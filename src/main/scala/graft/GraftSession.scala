@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * The reference (airflow.py:526-533) builds a bare local SparkSession per
+  * DAG run; here the session is tuned for the target deployment (many
+  * executors, 100 TB inputs) while remaining correct on `local[*]`:
+  *
+  *  - AQE on, with partition coalescing and skew-join splitting, so the
+  *    shuffle partition count self-corrects at runtime instead of being
+  *    hand-tuned per scale factor.
+  *  - `shuffle.partitions` defaults to 32 locally (driver runs local[32]);
+  *    on a cluster this is overridden to ~2-3x total cores and AQE
+  *    coalesces the excess.
+  *  - Broadcast threshold raised to 64 MB: every dimension table in the
+  *    star schema (region/nation/supplier/part/customer at TPC-H ratios)
+  *    broadcasts, so fact-dim joins never shuffle the fact side.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", master: Option[String] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    master.fold(b)(b.master)
+  }
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(appName: String = "graft", threads: Int = 0): SparkSession = {
+    val m = if (threads <= 0) "local[*]" else s"local[$threads]"
+    val s = builder(appName, Some(m)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** SURVEY §2 group A — the reference's ETL transforms re-expressed
+  * Spark-first on the analog star schema (schedule→orders,
+  * permit→customer; see SURVEY §1 data-model mapping).
+  */
+object EtlQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // A1 — surrogate key (airflow.py:161 `range(0, len(schedule_df))`).
+    QueryDef.sql("q_surrogate_key",
+      """SELECT (row_number() OVER (ORDER BY o_orderkey)) - 1 AS schedule_id,
+        |       o_orderkey
+        |FROM orders ORDER BY schedule_id""".stripMargin) { (s, d) =>
+      Relational.surrogateKey(Tables.orders(s, d), "schedule_id", Seq(col("o_orderkey")))
+        .select("schedule_id", "o_orderkey")
+        .orderBy("schedule_id")
+    },
+
+    // A2 — projection/drop (airflow.py:165-168): pruned scan, never SELECT *.
+    QueryDef.sql("q_project_drop",
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A3 — row repetition ×2 (airflow.py:170-174 `np.repeat(values, 2)`).
+    QueryDef.sql("q_row_repeat",
+      """SELECT c_custkey, c_name, t.rep
+        |FROM customer CROSS JOIN (VALUES (0), (1)) AS t(rep)
+        |ORDER BY c_custkey, t.rep""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("rep", explode(array(lit(0), lit(1))))
+        .select("c_custkey", "c_name", "rep")
+        .orderBy("c_custkey", "rep")
+    },
+
+    // A4 — dedup keep-first by key (airflow.py:176-180 details()).
+    QueryDef.sql("q_dedup_first",
+      """SELECT o_custkey, o_orderkey, o_orderstatus FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Relational.dedupKeepFirst(Tables.orders(s, d), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .select("o_custkey", "o_orderkey", "o_orderstatus")
+        .orderBy("o_custkey")
+    },
+
+    // A5 — outer merge + dedup-first + not-null filter (airflow.py:191-204
+    // location()): full outer join, keep-first per surviving key.
+    QueryDef.sql("q_outer_merge",
+      """SELECT o_orderkey, o_orderstatus, c_name, c_mktsegment FROM (
+        |  SELECT o_orderkey, o_orderstatus, c_name, c_mktsegment,
+        |         row_number() OVER (PARTITION BY o_orderkey
+        |                            ORDER BY c_custkey) AS rn
+        |  FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey)
+        |WHERE o_orderkey IS NOT NULL AND rn = 1
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val merged = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "full_outer")
+      Relational.dedupKeepFirst(merged, Seq("o_orderkey"), Seq(col("c_custkey")))
+        .filter(col("o_orderkey").isNotNull)
+        .select("o_orderkey", "o_orderstatus", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    },
+
+    // A6 — inner merge + dedup by join key (airflow.py:206-213 food_type()).
+    QueryDef.sql("q_inner_merge",
+      """SELECT c_custkey, c_name, o_orderkey, o_orderpriority FROM (
+        |  SELECT c_custkey, c_name, o_orderkey, o_orderpriority,
+        |         row_number() OVER (PARTITION BY c_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM customer JOIN orders ON c_custkey = o_custkey)
+        |WHERE rn = 1 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val merged = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      Relational.dedupKeepFirst(merged, Seq("c_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderpriority")
+        .orderBy("c_custkey")
+    },
+
+    // A7 — left-join enrichment + dropna + distinct (airflow.py:241-249
+    // yelp_info()). The dim side broadcasts (see GraftSession threshold).
+    QueryDef.sql("q_left_enrich",
+      """SELECT DISTINCT c_name, c_mktsegment, c_acctbal
+        |FROM (SELECT o_custkey FROM orders) o
+        |LEFT JOIN customer ON o.o_custkey = c_custkey
+        |WHERE c_name IS NOT NULL
+        |ORDER BY c_name""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_custkey")
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"), "left")
+        .filter(col("c_name").isNotNull)
+        .select("c_name", "c_mktsegment", "c_acctbal")
+        .distinct()
+        .orderBy("c_name")
+    },
+
+    // A8 — per-group count on every row, then dedup (airflow.py:251-256
+    // num_permit_per_business(): groupby.transform('count')).
+    QueryDef.sql("q_group_transform_count",
+      """SELECT o_custkey, n_orders FROM (
+        |  SELECT o_custkey,
+        |         count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      Relational.groupTransformCount(Tables.orders(s, d), "o_custkey", "n_orders",
+          Seq(col("o_orderkey")))
+        .select("o_custkey", "n_orders")
+        .orderBy("o_custkey")
+    },
+
+    // A9 — date parse/reformat (airflow.py:221-229: strftime('%Y-%m-%d')).
+    QueryDef.sql("q_date_format",
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(year(o_orderdate) AS INT) AS order_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          year(col("o_orderdate")).as("order_year"))
+        .orderBy("o_orderkey")
+    },
+
+    // A10 — FLAGSHIP: the reference's query1 (airflow.py:655-662):
+    // left join + group + count + top-5. TakeOrderedAndProject: no global sort.
+    QueryDef.sql("q_topk_join",
+      """SELECT c_name, count(o_orderkey) AS order_count
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_name
+        |ORDER BY order_count DESC, c_name LIMIT 5""".stripMargin) { (s, d) =>
+      Relational.topKByAgg(
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_name")
+          .agg(count(col("o_orderkey")).as("order_count")),
+        5, Seq(col("order_count").desc, col("c_name"))
+      )
+    },
+
+    // A11 — data-quality cardinality (airflow.py:57 countDistinct).
+    QueryDef.sql("q_count_distinct",
+      """SELECT count(DISTINCT o_custkey) AS n_customers,
+        |       count(DISTINCT o_orderpriority) AS n_priorities,
+        |       count(*) AS n_rows
+        |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_rows"))
+    },
+
+    // A13 — scale path of A11: HLL sketch (estimator ⇒ rows-only check).
+    QueryDef.rowsOnly("q_approx_distinct") { (s, d) =>
+      Tables.orders(s, d).agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+    }
+  )
+}
