@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, Sessionize}
+import graft.sources.Tables
+
+/** SURVEY §2 group B — the analytics/query-engine surface (flagship bench
+  * queries plus window/pivot/rollup/json capabilities).
+  *
+  * Determinism rules (SURVEY §4): money sums go through DECIMAL casts
+  * (exact, order-independent) and only the final output is DOUBLE; every
+  * query ends in a total ORDER BY with non-null keys.
+  */
+object AnalyticsQueries {
+
+  /** Exact decimal sum emitted as double: sum(CAST(e AS DECIMAL(p,s))). */
+  private def dsum(e: String, p: Int = 28, s: Int = 6) =
+    expr(s"CAST(sum(CAST($e AS DECIMAL($p,$s))) AS DOUBLE)")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // B1 — pricing summary (TPC-H Q1 shape) on lineitem. Pure partial-agg
+    // groupBy: map-side combine, 6-group output, scan is the only cost.
+    QueryDef.sql("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum("l_quantity", 18, 2).as("sum_qty"),
+          dsum("l_extendedprice", 18, 2).as("sum_base_price"),
+          dsum("l_extendedprice*(1-l_discount)").as("sum_disc_price"),
+          dsum("l_extendedprice*(1-l_discount)*(1+l_tax)").as("sum_charge"),
+          (dsum("l_quantity", 18, 2) / count(lit(1))).as("avg_qty"),
+          (dsum("l_extendedprice", 18, 2) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // B2 — top-k revenue (TPC-H Q3 shape): dim-filtered customer joins the
+    // orders→lineitem fact chain; broadcast the filtered customer keys.
+    QueryDef.sql("q3_topk_revenue",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-03-15 00:00:00").cast("timestamp"))
+      Relational.topKByAgg(
+        broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(dsum("l_extendedprice*(1-l_discount)").as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority")),
+        10, Seq(col("revenue").desc, col("l_orderkey")))
+    },
+
+    // B3 — multi-join volume rollup (TPC-H Q5 shape): all dims broadcast,
+    // the only shuffles are the orders⋈lineitem key exchange + final agg.
+    QueryDef.sql("q5_nation_volume",
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders   ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |              JOIN nation   ON c_nationkey = n_nationkey
+        |              JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      broadcast(Tables.customer(s, d))
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum("l_extendedprice*(1-l_discount)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // B4 — running total per key (window agg; cumulative decimal is exact
+    // per-prefix so the double output is deterministic).
+    QueryDef.sql("q_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // B5 — tumbling 1-day window over the event stream (batch equivalent of
+    // the Structured Streaming path, SURVEY §2 F1).
+    QueryDef.sql("q_events_tumbling",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum("value", 18, 2).as("total_value"))
+        .orderBy("day", "event_type")
+    },
+
+    // B6 — gap-based sessionization (30 min) — see operators.Sessionize.
+    QueryDef.sql("q_sessionize",
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                IS NULL THEN 1
+        |           WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+      Sessionize.byGap(Tables.events(s, d), "user_id", "ts", "event_id",
+          gapMillis = 1800000L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // B7 — pivot with known value set (no extra distinct-scan job).
+    QueryDef.sql("q_pivot",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Relational.pivotCounts(Tables.events(s, d),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"), "day",
+          "event_type", types)
+        .na.fill(0, types)
+        .orderBy("day")
+    },
+
+    // B8 — rollup subtotals; null grouping keys coalesced to 'ALL' so the
+    // output sort never orders on nulls (Spark/DuckDB null order differs).
+    QueryDef.sql("q_rollup",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice", 18, 2).as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total_price"))
+        .orderBy("status", "priority")
+    },
+
+    // B9 — JSON property extraction from the event payload column.
+    QueryDef.sql("q_json_extract",
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }
+  )
+}
