@@ -8,7 +8,9 @@ object SparkEntry {
 
   /** All registered capabilities, grouped as in SURVEY §2. */
   def catalog: Seq[QueryDef] =
-    EtlQueries.all ++ AnalyticsQueries.all
+    EtlQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MlQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is the reference's query1 (airflow.py:655-662) analog. */

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns (SURVEY §2 D5/E1/E2).
+  *
+  * Determinism contract (SURVEY §4): elements are cast float→double
+  * BEFORE any multiply, and sums are explicit left-to-right folds
+  * (`aggregate`), so Spark and the DuckDB oracle (`list_reduce` over the
+  * same element order) produce bit-identical doubles — rankings computed
+  * on these values cannot diverge between engines.
+  *
+  * All of this is `functions._` higher-order expressions: codegen'd,
+  * no UDF, no driver-side math.
+  */
+object VectorFunctions {
+
+  private def toD(v: Column): Column = v.cast("array<double>")
+
+  /** Left-fold sum of an array<double>. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(toD(a), toD(b), (x, y) => x * y))
+
+  def norm(a: Column): Column = sqrt(foldSum(transform(toD(a), x => x * x)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB twins — the identical fold, 1-based list indexing. */
+  def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), (x, y) -> x + y)"
+
+  def normDuck(a: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (x, y) -> x + y))"
+
+  def cosineDuck(a: String, b: String): String =
+    s"(${dotDuck(a, b)} / (${normDuck(a)} * ${normDuck(b)}))"
+
+  /** Random-hyperplane weight for (plane p, dim i): a deterministic LCG
+    * mapped to an integer in [-1000, 1000]. Same closed form in both
+    * dialects — no RNG state, no broadcast of a weight matrix needed
+    * (at 100 TB the weights are recomputed per row inside codegen, which
+    * beats shipping them). */
+  def planeWeight(p: Int, dims: Int, i: Column): Column =
+    pmod(lit(1103515245L) * (lit(p.toLong * dims) + i) + lit(12345L), lit(2001L)) - lit(1000L)
+
+  def planeWeightDuck(p: Int, dims: Int, i: String): String =
+    s"((CAST(1103515245 AS BIGINT) * (${p.toLong * dims} + $i) + 12345) % 2001 - 1000)"
+
+  /** Sign-bit bucket over `nPlanes` hyperplanes → integer bucket id. */
+  def lshBucket(v: Column, dims: Int, nPlanes: Int): Column = {
+    val planeDots = (0 until nPlanes).map { p =>
+      foldSum(transform(sequence(lit(0), lit(dims - 1)),
+        i => planeWeight(p, dims, i).cast("double") * element_at(toD(v), i + 1)))
+    }
+    planeDots.zipWithIndex.map { case (dp, p) =>
+      when(dp > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def lshBucketDuck(v: String, dims: Int, nPlanes: Int): String = {
+    val terms = (0 until nPlanes).map { p =>
+      val dp = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range($dims), i -> CAST(${planeWeightDuck(p, dims, "i")} AS DOUBLE) * CAST($v[i+1] AS DOUBLE))), (x, y) -> x + y)"
+      s"(CASE WHEN $dp > 0.0 THEN ${1L << p} ELSE 0 END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication family (SURVEY §2 D1-D4): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. All DataFrame-declarative — the only shuffles are the
+  * ones the semantics force (group-by-key, candidate equi-joins).
+  *
+  * Two hashing modes:
+  *  - ORACLE mode (these defaults): token/shingle ids come from a
+  *    `dense_rank` vocabulary and permutations are affine `(a·id+b) mod p`
+  *    — exact integer arithmetic the DuckDB oracle reproduces term by term.
+  *  - PRODUCTION mode ([[minHashSignatureXx]]): `xxhash64(shingle, seed)`
+  *    directly — no vocabulary build (which needs a global sort/window), no
+  *    extra join; this is the 100 TB path. Same algorithm, different hash.
+  */
+object Dedup {
+
+  val P: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+
+  /** Affine permutation coefficients, deterministic closed form. */
+  def perms(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(j => (((2L * j + 1) * 1103515245L) % P, ((j + 1) * 12345679L) % P))
+
+  /** D1 — exact dedup by content hash: one shuffle on md5(text). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-grams (shingles) of the token array; empty below n tokens.
+    * The `when` guard matters: Spark's `sequence(0, m)` with m<0 would
+    * count DOWN — never let it see a negative bound. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct (id, shingle) pairs for a document table. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(wordNgrams(TextFunctions.tokens(col(textCol)), n)).as("g"))
+      .distinct()
+
+  /** Shingle vocabulary: dense ids from a global order (ORACLE mode only —
+    * the window is a single-partition sort, fine to ~10^8 distinct
+    * shingles, replaced by xxhash64 in production mode). */
+  def vocab(sh: DataFrame): DataFrame =
+    sh.select("g").distinct()
+      .withColumn("gid", dense_rank().over(Window.orderBy("g")).cast("long"))
+
+  /** (doc, gid) pairs. */
+  def shingleIds(sh: DataFrame, vb: DataFrame): DataFrame =
+    sh.join(vb, "g").select("doc", "gid")
+
+  /** MinHash signature: k affine permutations, one min-agg pass. */
+  def minHashSignature(ids: DataFrame, k: Int): DataFrame = {
+    val aggs = perms(k).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(lit(a) * col("gid") + lit(b), lit(P))).as(s"m$j")
+    }
+    ids.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** PRODUCTION signature — no vocabulary: permutation j hashes the raw
+    * shingle with seed j via xxhash64. */
+  def minHashSignatureXx(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy("doc")
+      .agg(min(xxhash64(lit(0), col("g"))).as("m0"),
+        (1 until k).map(j => min(xxhash64(lit(j), col("g"))).as(s"m$j")): _*)
+
+  /** LSH banding: signature → (band, bandKey) rows; docs sharing any band
+    * key are candidates. rowsPerBand=2 packs two minhashes (< P = 2^31)
+    * into one long key — an equi-join key, never a similarity compare.
+    * ORACLE mode only: the arithmetic pack overflows on full-range
+    * xxhash64 signatures — production uses [[lshBandsHashed]]. */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand == 2, "band key packing implemented for r=2")
+    val pairs = (0 until bands).map { t =>
+      struct(lit(t).as("band"),
+        (col(s"m${2 * t}") * lit(P) + col(s"m${2 * t + 1}")).as("bkey"))
+    }
+    sig.select(col("doc"), explode(array(pairs: _*)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.bkey"))
+  }
+
+  /** PRODUCTION banding: band key = xxhash64 over the band's minhashes —
+    * overflow-free for any signature domain, same candidate semantics. */
+  def lshBandsHashed(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val pairs = (0 until bands).map { t =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${rowsPerBand * t + r}"))
+      struct(lit(t).as("band"), xxhash64(cols: _*).as("bkey"))
+    }
+    sig.select(col("doc"), explode(array(pairs: _*)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.bkey"))
+  }
+
+  /** Distinct candidate pairs (a < b) sharing at least one band bucket. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val x = bandsDf.as("x"); val y = bandsDf.as("y")
+    x.join(y, col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over the shingle-id sets, restricted to candidates. */
+  def verifiedJaccard(cand: DataFrame, ids: DataFrame): DataFrame = {
+    val sizes = ids.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ids.as("ia"), col("a") === col("ia.doc"))
+      .join(ids.as("ib"), col("b") === col("ib.doc") && col("ia.gid") === col("ib.gid"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** D2 — all near-dup pairs by n-gram Jaccard ≥ threshold, candidates
+    * blocked on sharing ≥1 shingle (the join IS the blocking). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.g") === col("y.g") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a") === col("sa.doc"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** SimHash bit coefficients. */
+  def simPerms(bits: Int): Seq[(Long, Long)] =
+    (0 until bits).map(j => (((3L * j + 7) * 2654435761L) % P, ((j + 1) * 97003L) % P))
+
+  /** D4 — b-bit SimHash over the distinct-token set: bit j of token id t is
+    * ((c·t+d) mod P) mod 2; the signature bit is the sign of the ±1 vote
+    * sum. One group-by pass computes all bits. */
+  def simHash(ids: DataFrame, bits: Int): DataFrame = {
+    val votes = simPerms(bits).zipWithIndex.map { case ((c, dd), j) =>
+      sum(pmod(pmod(lit(c) * col("gid") + lit(dd), lit(P)), lit(2L)) * 2L - 1L).as(s"v$j")
+    }
+    val sig = ids.groupBy("doc").agg(votes.head, votes.tail: _*)
+    val sim = (0 until bits).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sig.select(col("doc"), sim.as("sim"))
+  }
+
+  /** D4 — pairs within `maxHamming`, blocked by 4-bit chunks (pigeonhole:
+    * hamming ≤ 3 over 16 bits ⇒ some 4-bit chunk is identical, so the
+    * blocked equi-join loses nothing vs the quadratic scan). */
+  def simHashPairs(sims: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val chunks = bits / 4
+    val chunked = sims.select(col("doc"), col("sim"),
+      explode(array((0 until chunks).map(t =>
+        struct(lit(t).as("blk"),
+          expr(s"shiftright(sim, ${4 * t}) & 15").as("ckey"))): _*)).as("c"))
+      .select(col("doc"), col("sim"), col("c.blk"), col("c.ckey"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        expr("bit_count(x.sim ^ y.sim)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

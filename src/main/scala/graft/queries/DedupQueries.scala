@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** SURVEY §2 group D — the deduplication family over `documents` /
+  * `embeddings`. Oracle variants use the dense-rank vocabulary + affine
+  * permutations (SURVEY §4 rule 6); the xxhash64 production variants live
+  * in operators.Dedup and are spec-tested.
+  */
+object DedupQueries {
+
+  private val toks = TextFunctions.tokensDuck("text")
+  private val P = Dedup.P
+
+  /** Shared oracle CTE prefix: tokenize → word n-grams → distinct
+    * (doc, shingle) → dense-rank vocabulary → (doc, gid). */
+  private def idsCte(n: Int): String = {
+    val gram = if (n == 1) "unnest(toks)"
+    else {
+      val parts = (0 until n).map(k => s"toks[i+${k + 1}]").mkString(" || ' ' || ")
+      s"unnest(list_transform(range(0, len(toks)-${n - 1}), i -> $parts))"
+    }
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |sh0 AS (SELECT doc_id AS doc, $gram AS g FROM t WHERE len(toks) >= $n),
+       |sh AS (SELECT DISTINCT doc, g FROM sh0),
+       |vb AS (SELECT g, CAST(dense_rank() OVER (ORDER BY g) AS BIGINT) AS gid
+       |       FROM (SELECT DISTINCT g FROM sh)),
+       |ids AS (SELECT doc, gid FROM sh JOIN vb USING (g))""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // D1 — exact dedup by content hash. Run against the corpus doubled so
+    // the operator provably collapses duplicates (base corpus is all-unique).
+    QueryDef.sql("d_exact_dedup",
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY 1 ORDER BY text_hash""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.exactDedup(docs.unionAll(docs), "text", "doc_id")
+        .orderBy("text_hash")
+    },
+
+    // D2 — word-bigram Jaccard near-dup pairs ≥ 0.3 (blocking = the
+    // shared-shingle join itself).
+    QueryDef.sql("d_ngram_jaccard",
+      s"""WITH ${idsCte(2)},
+         |sizes AS (SELECT doc, count(*) AS n FROM ids GROUP BY doc),
+         |inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS ic
+         |          FROM ids x JOIN ids y ON x.gid = y.gid AND x.doc < y.doc
+         |          GROUP BY 1, 2)
+         |SELECT a, b,
+         |  CAST(ic AS DOUBLE) / CAST(sa.n + sb.n - ic AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON a = sa.doc JOIN sizes sb ON b = sb.doc
+         |WHERE CAST(ic AS DOUBLE) / CAST(sa.n + sb.n - ic AS DOUBLE) >= 0.3
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.3)
+        .orderBy("a", "b")
+    },
+
+    // D3 — MinHash (8 perms) + LSH (4 bands × 2 rows) candidates, verified
+    // by exact Jaccard ≥ 0.5 over 3-gram shingles.
+    QueryDef.sql("d_minhash_lsh", {
+      val k = 8
+      val minExprs = Dedup.perms(k).zipWithIndex.map { case ((a, b), j) =>
+        s"min(($a*gid + $b) % $P) AS m$j"
+      }.mkString(", ")
+      val bandSelects = (0 until 4).map { t =>
+        s"SELECT doc, $t AS band, m${2 * t}*$P + m${2 * t + 1} AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH ${idsCte(3)},
+         |sig AS (SELECT doc, $minExprs FROM ids GROUP BY doc),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
+         |sizes AS (SELECT doc, count(*) AS n FROM ids GROUP BY doc),
+         |inter AS (SELECT c.a, c.b, count(*) AS ic
+         |          FROM cand c JOIN ids ia ON ia.doc = c.a
+         |                      JOIN ids ib ON ib.doc = c.b AND ia.gid = ib.gid
+         |          GROUP BY c.a, c.b)
+         |SELECT a, b,
+         |  CAST(ic AS DOUBLE) / CAST(sa.n + sb.n - ic AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON a = sa.doc JOIN sizes sb ON b = sb.doc
+         |WHERE CAST(ic AS DOUBLE) / CAST(sa.n + sb.n - ic AS DOUBLE) >= 0.5
+         |ORDER BY a, b""".stripMargin
+    }) { (s, d) =>
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
+      val ids = Dedup.shingleIds(sh, Dedup.vocab(sh))
+      val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ids, 8), 4, 2))
+      Dedup.verifiedJaccard(cand, ids)
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    },
+
+    // D4 — 16-bit SimHash over the distinct-token set; pairs with Hamming
+    // distance ≤ 3, candidate join blocked by 4-bit chunks (pigeonhole).
+    QueryDef.sql("d_simhash", {
+      val bits = 16
+      val voteExprs = Dedup.simPerms(bits).zipWithIndex.map { case ((c, dd), j) =>
+        s"sum((($c*gid + $dd) % $P) % 2 * 2 - 1) AS v$j"
+      }.mkString(", ")
+      val simExpr = (0 until bits)
+        .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      val chunkSelects = (0 until 4).map { t =>
+        s"SELECT doc, sim, $t AS blk, (sim >> ${4 * t}) & 15 AS ckey FROM sim"
+      }.mkString(" UNION ALL ")
+      s"""WITH ${idsCte(1)},
+         |sig AS (SELECT doc, $voteExprs FROM ids GROUP BY doc),
+         |sim AS (SELECT doc, $simExpr AS sim FROM sig),
+         |chunk AS ($chunkSelects),
+         |pairs AS (SELECT DISTINCT x.doc AS a, y.doc AS b,
+         |                 bit_count(xor(x.sim, y.sim)) AS hamming
+         |          FROM chunk x JOIN chunk y
+         |            ON x.blk = y.blk AND x.ckey = y.ckey AND x.doc < y.doc)
+         |SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY a, b""".stripMargin
+    }) { (s, d) =>
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 1)
+      val ids = Dedup.shingleIds(sh, Dedup.vocab(sh))
+      Dedup.simHashPairs(Dedup.simHash(ids, 16), 16, 3)
+        .orderBy("a", "b")
+    },
+
+    // D5 — embedding-cosine near-dup pairs ≥ 0.4, blocked by cluster label.
+    QueryDef.sql("d_embed_neardup", {
+      val cos = graft.functions.VectorFunctions.cosineDuck("x.embedding", "y.embedding")
+      s"""SELECT x.vec_id AS a, y.vec_id AS b, $cos AS cos
+         |FROM embeddings x JOIN embeddings y
+         |  ON x.label = y.label AND x.vec_id < y.vec_id
+         |WHERE $cos >= 0.4
+         |ORDER BY a, b""".stripMargin
+    }) { (s, d) =>
+      graft.operators.Similarity
+        .embeddingNearDupPairs(Tables.embeddings(s, d), "label", 0.4)
+        .orderBy("a", "b")
+    }
+  )
+}

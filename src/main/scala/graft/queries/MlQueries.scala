@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ml.Regression
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** SURVEY §2 group F (batch-checkable parts) — ML regression (F2/F3) and
+  * multimodal binary plumbing (F4).
+  */
+object MlQueries {
+
+  /** Shared oracle CTE: decimal-exact OLS sufficient statistics for
+    * y = l_extendedprice on x = l_quantity, then closed-form fit. */
+  private val olsCte =
+    """a AS (SELECT count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+      |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  FROM lineitem),
+      |f AS (SELECT n, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope, sx, sy, sxx, sxy, syy FROM a)""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // F2 — single-feature OLS in closed form from exact aggregates
+    // (one partial-aggregated scan; the whole "fit" is a 6-value agg).
+    QueryDef.sql("m_linreg",
+      s"""WITH $olsCte
+         |SELECT n, slope, (sy - slope*sx)/n AS intercept,
+         |  ((n*sxy - sx*sy)*(n*sxy - sx*sy)) /
+         |  ((n*sxx - sx*sx)*(n*syy - sy*sy)) AS r2
+         |FROM f""".stripMargin) { (s, d) =>
+      Regression.exactOls(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
+    },
+
+    // F3 — RMSE of the fitted line (RegressionEvaluator semantics),
+    // residual squares decimal-summed so the metric is deterministic.
+    QueryDef.sql("m_regression_eval",
+      s"""WITH $olsCte,
+         |s AS (SELECT n, slope, (sy - slope*sx)/n AS intercept FROM f)
+         |SELECT sqrt(CAST(sum(CAST(
+         |    (l_extendedprice - (intercept + slope*l_quantity)) *
+         |    (l_extendedprice - (intercept + slope*l_quantity)) AS DECIMAL(38,8)))
+         |  AS DOUBLE) / s.n) AS rmse, s.n AS n
+         |FROM lineitem CROSS JOIN s GROUP BY s.n""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val fit = Regression.exactOls(li, "l_quantity", "l_extendedprice").head()
+      Regression.exactRmse(li, "l_quantity", "l_extendedprice",
+        fit.getAs[Double]("slope"), fit.getAs[Double]("intercept"))
+        .select(col("rmse"), col("n"))
+    },
+
+    // F2 production path — spark.ml multi-feature fit (iterative-free
+    // normal solver); estimator output ⇒ rows-only driver check, exact
+    // agreement with the closed form is asserted in RegressionSpec.
+    QueryDef.rowsOnly("m_linreg_ml") { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val model = Regression.fitMl(li, Seq("l_quantity", "l_discount"), "l_extendedprice")
+      Seq((model.coefficients(0), model.coefficients(1), model.intercept))
+        .toDF("coef_quantity", "coef_discount", "intercept")
+    },
+
+    // F4 — multimodal binary metadata via the batched mapPartitions decode
+    // stub (UTF-8 text bytes stand in for the image payload).
+    QueryDef.sql("mm_binary_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(16 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+        |  CAST(16 + ascii(substr(text, 2, 1)) % 64 AS INT) AS height,
+        |  CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |       ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeStub(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  )
+}

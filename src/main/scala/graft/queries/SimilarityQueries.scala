@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** SURVEY §2 group E — similarity search over `embeddings`. Probe set =
+  * vec_id < 20. Rankings compare bit-identical doubles in both engines
+  * (VectorFunctions determinism contract), so top-k sets can't diverge.
+  */
+object SimilarityQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // E1 — brute-force exact cosine top-5 per probe (the baseline).
+    QueryDef.sql("s_ann_bruteforce", {
+      val cos = VectorFunctions.cosineDuck("p.embedding", "c.embedding")
+      s"""SELECT q, rank, n, cos FROM (
+         |  SELECT q, n, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
+         |  FROM (SELECT p.vec_id AS q, c.vec_id AS n, $cos AS cos
+         |        FROM (SELECT * FROM embeddings WHERE vec_id < 20) p
+         |        CROSS JOIN embeddings c WHERE p.vec_id <> c.vec_id))
+         |WHERE rank <= 5 ORDER BY q, rank""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 5)
+        .orderBy("q", "rank")
+    },
+
+    // E2 — LSH-bucketed ANN: 8 deterministic hyperplanes → 256 buckets;
+    // neighbors searched only inside the probe's bucket (top-3).
+    QueryDef.sql("s_ann_lsh", {
+      val bkt = VectorFunctions.lshBucketDuck("embedding", 64, 8)
+      val cos = VectorFunctions.cosineDuck("p.qv", "c.nv")
+      s"""SELECT q, rank, n, cos FROM (
+         |  SELECT q, n, cos, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
+         |  FROM (SELECT p.q, c.n, $cos AS cos
+         |        FROM (SELECT vec_id AS q, embedding AS qv, $bkt AS bucket
+         |              FROM embeddings WHERE vec_id < 20) p
+         |        JOIN (SELECT vec_id AS n, embedding AS nv, $bkt AS bucket
+         |              FROM embeddings) c USING (bucket)
+         |        WHERE p.q <> c.n))
+         |WHERE rank <= 3 ORDER BY q, rank""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, 3, 64, 8)
+        .orderBy("q", "rank")
+    }
+  )
+}

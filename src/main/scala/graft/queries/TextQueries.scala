@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** SURVEY §2 group C — text analysis over the `documents` table. */
+object TextQueries {
+
+  private val toks = tokensDuck("text")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // C1 — token count (whitespace+regex tokenizer) + char length.
+    QueryDef.sql("t_token_count",
+      s"""SELECT doc_id, len($toks) AS n_tokens, length(text) AS n_chars_calc
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id")
+    },
+
+    // C2 — quality scoring from length/punctuation/stopword/word-length
+    // heuristics; components exposed so the blend is auditable.
+    QueryDef.sql("t_quality_score", {
+      val enStops = langProfiles.find(_._1 == "en").get._2
+      s"""SELECT doc_id, n_tokens, punct_ratio, stop_ratio, avg_token_len,
+         |  least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.4 + stop_ratio*0.3 +
+         |    (1.0 - punct_ratio)*0.2 + least(avg_token_len/10.0, 1.0)*0.1 AS quality
+         |FROM (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    CASE WHEN length(text) > 0 THEN
+         |      CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |      ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(${stopwordCountDuck("toks", enStops)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS stop_ratio,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a,b) -> a+b) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS avg_token_len
+         |  FROM (SELECT doc_id, text, $toks AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val comps = qualityComponents(col("text"))
+      val withComps = comps.foldLeft(Tables.documents(s, d)) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      withComps.select(
+          col("doc_id"), col("n_tokens"), col("punct_ratio"), col("stop_ratio"),
+          col("avg_token_len"),
+          qualityScore(col("n_tokens"), col("punct_ratio"), col("stop_ratio"),
+            col("avg_token_len")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // C3 — stopword-overlap language ID (argmax over profiles, ties to the
+    // alphabetically first language); prediction shown against the label.
+    QueryDef.sql("t_langid", {
+      val scoreCols = langProfiles.map { case (lang, words) =>
+        s"${stopwordCountDuck("toks", words)} AS s_$lang"
+      }
+      val scoreNames = langProfiles.map { case (lang, _) => s"s_$lang" }
+      s"""SELECT doc_id, lang AS actual_lang,
+         |  ${langIdFromScoresDuck(scoreNames)} AS pred_lang
+         |FROM (SELECT doc_id, lang, ${scoreCols.mkString(", ")}
+         |      FROM (SELECT doc_id, lang, $toks AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val base = Tables.documents(s, d).withColumn("__toks", tokens(col("text")))
+      val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang", stopwordCount(col("__toks"), words))
+      }
+      scored.select(
+          col("doc_id"), col("lang").as("actual_lang"),
+          langIdFromScores(langProfiles.map { case (l, _) => col(s"s_$l") }).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // C4 — rolling-hash document fingerprint (char-stream polynomial fold;
+    // production path is xxhash64 — see TextFunctions.xxFingerprint).
+    QueryDef.sql("t_fingerprint",
+      s"""SELECT doc_id, ${charFingerprintDuck("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), charFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

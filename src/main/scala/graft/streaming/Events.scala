@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2 F1): the `events` table as an
+  * unbounded stream. Batch equivalents of both aggregations are the
+  * oracle-checked queries B5 (`q_events_tumbling`) and B6 (`q_sessionize`);
+  * the streaming versions are spec-tested with MemoryStream.
+  */
+object Events {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long)
+
+  /** Per-user session state: (startMillis, endMillis, eventCount). A plain
+    * tuple keeps the state encoder codegen-friendly. */
+  private type SessionState = (Long, Long, Long)
+
+  /** File-source stream over a directory of event parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** F1a — watermarked tumbling-window aggregation; the streaming twin of
+    * q_events_tumbling. Append-mode emits a window only once its watermark
+    * passes — at scale this is a partial-aggregated stateful op whose state
+    * is bounded by (windows in flight × event types). */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 day",
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** F1b — gap-based sessionization with explicit state
+    * (flatMapGroupsWithState + event-time timeout): the streaming twin of
+    * q_sessionize. A session closes when the watermark passes its end+gap;
+    * state per user is one (start, end, count) triple. */
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n) = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(start), new Timestamp(end), n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some((start, end, n)) if t - end <= gapMillis =>
+                  cur = Some((start, math.max(end, t), n + 1))
+                case Some((start, end, n)) =>
+                  closed ::= Session(userId, new Timestamp(start), new Timestamp(end), n)
+                  cur = Some((t, t, 1L))
+                case None =>
+                  cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2 + gapMillis)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming sink helper: append to parquet with checkpointing. */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", path)
+      .option("checkpointLocation", checkpoint)
+}

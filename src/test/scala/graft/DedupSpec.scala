@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (3L, "completely different words about spark engines here"))
+    .toDF("doc_id", "text")
+
+  test("exactDedup collapses identical texts and keeps the min id") {
+    val out = Dedup.exactDedup(corpus, "text", "doc_id")
+      .orderBy("keep_id").select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 2L), (1L, 1L), (3L, 1L)))
+  }
+
+  test("minhash+LSH surfaces the exact and near duplicates") {
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val ids = Dedup.shingleIds(sh, Dedup.vocab(sh))
+    val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ids, 8), 4, 2))
+    val pairs = Dedup.verifiedJaccard(cand, ids)
+      .filter(col("jaccard") >= 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // exact dup always survives
+    val j02 = Dedup.verifiedJaccard(cand, ids).filter(col("a") === 0 && col("b") === 2)
+      .select("jaccard").as[Double].collect()
+    assert(j02.toSeq == Seq(1.0))
+  }
+
+  test("production xxhash64 signature agrees with oracle signature on dup detection") {
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val sig = Dedup.minHashSignatureXx(sh, 8)
+    val cand = Dedup.lshCandidates(Dedup.lshBandsHashed(sig, 4, 2))
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 2L)))
+  }
+
+  test("simhash gives identical signatures to identical token sets") {
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 1)
+    val ids = Dedup.shingleIds(sh, Dedup.vocab(sh))
+    val sims = Dedup.simHash(ids, 16).orderBy("doc").as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(2L))
+    val pairs = Dedup.simHashPairs(Dedup.simHash(ids, 16), 16, 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+  }
+
+  test("ngram jaccard finds the near-dup pair above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
+  }
+}

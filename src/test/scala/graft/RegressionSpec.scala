@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Regression
+import graft.sources.Tables
+
+class RegressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("closed-form OLS agrees with spark.ml LinearRegression (normal solver)") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val exact = Regression.exactOls(li, "l_quantity", "l_extendedprice").head()
+    val model = Regression.fitMl(li, Seq("l_quantity"), "l_extendedprice")
+    assert(math.abs(exact.getAs[Double]("slope") - model.coefficients(0)) < 1e-6)
+    assert(math.abs(exact.getAs[Double]("intercept") - model.intercept) < 1e-4)
+  }
+
+  test("exactRmse matches RegressionEvaluator rmse") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val model = Regression.fitMl(li, Seq("l_quantity"), "l_extendedprice")
+    val evRmse = Regression.evaluate(model, li, Seq("l_quantity"), "l_extendedprice")
+    val exRmse = Regression
+      .exactRmse(li, "l_quantity", "l_extendedprice", model.coefficients(0), model.intercept)
+      .head().getAs[Double]("rmse")
+    assert(math.abs(evRmse - exRmse) / evRmse < 1e-9)
+  }
+
+  test("r2 is within [0, 1] and matches model summary") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val exact = Regression.exactOls(li, "l_quantity", "l_extendedprice").head()
+    val model = Regression.fitMl(li, Seq("l_quantity"), "l_extendedprice")
+    val r2 = exact.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    assert(math.abs(r2 - model.summary.r2) < 1e-6)
+  }
+}

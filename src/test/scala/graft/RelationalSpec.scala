@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational, Sessionize}
+
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("surrogateKey assigns dense 0-based ids in order") {
+    val df = Seq(("c", 3), ("a", 1), ("b", 2)).toDF("k", "v")
+    val out = Relational.surrogateKey(df, "id", Seq(col("k"))).orderBy("id")
+      .select("k", "id").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L)))
+  }
+
+  test("surrogateKeyUnordered ids are unique without a sort") {
+    val df = spark.range(1000).toDF("v")
+    val out = Relational.surrogateKeyUnordered(df, "id")
+    assert(out.select("id").distinct().count() == 1000)
+  }
+
+  test("repeatRows duplicates every row n times") {
+    val df = Seq(1, 2).toDF("v")
+    assert(Relational.repeatRows(df, 3).count() == 6)
+  }
+
+  test("dedupKeepFirst keeps exactly the first row per key by the given order") {
+    val df = Seq(("k1", 2, "second"), ("k1", 1, "first"), ("k2", 9, "only"))
+      .toDF("k", "ord", "tag")
+    val out = Relational.dedupKeepFirst(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").select("tag").as[String].collect()
+    assert(out.toSeq == Seq("first", "only"))
+  }
+
+  test("groupTransformCount attaches group sizes then dedups") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val out = Relational.groupTransformCount(df, "k", "n", Seq(col("v")))
+      .orderBy("k").select("k", "n").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("a", 2L), ("b", 1L)))
+  }
+
+  test("topKByAgg plans TakeOrderedAndProject (no global sort)") {
+    val df = spark.range(100).toDF("v")
+    val plan = Relational.topKByAgg(df, 5, Seq(col("v").desc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L))
+      .toDF("event_id", "ts", "user_id")
+    val out = Sessionize.byGap(df, "user_id", "ts", "event_id", 1800000L)
+      .orderBy("event_id").select("session_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 1L, 2L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val c = df.select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns k ranked neighbors excluding self") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 5)
+    val rows = out.select("q", "rank", "n").as[(Long, Int, Long)].collect()
+    assert(rows.length == 15)
+    assert(rows.forall { case (q, _, n) => q != n })
+    val ranks = rows.filter(_._1 == 0L).map(_._2).sorted.toSeq
+    assert(ranks == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("LSH top-k neighbors all share the probe's bucket and rank correctly") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val out = Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 3, 64, 8)
+    val byQ = out.select("q", "cos").as[(Long, Double)].collect().groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val cs = rows.map(_._2).toSeq
+      assert(cs == cs.sorted.reverse) // descending within each probe
+    }
+  }
+
+  test("LSH recall vs brute force is nontrivial at rank 1") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val bf = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, 1)
+      .select("q", "n").as[(Long, Long)].collect().toMap
+    val ls = Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, 1, 64, 8)
+      .select("q", "n").as[(Long, Long)].collect().toMap
+    val hits = bf.keys.count(q => ls.get(q).contains(bf(q)))
+    assert(hits >= 1) // 8-plane 256-bucket LSH: some rank-1s survive bucketing
+  }
+
+  test("embeddingNearDupPairs respects the block column") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val pairs = Similarity.embeddingNearDupPairs(emb, "label", 0.3)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => labels(a) == labels(b) })
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("r")).collect().head.getAs[T]("r")
+
+  private def toks(text: String): Seq[String] =
+    one[scala.collection.Seq[String]](TextFunctions.tokens(col("text")), text).toSeq
+
+  test("tokens lowercases, strips punctuation, drops empties") {
+    assert(toks("  Hello, WORLD!2x  ") == Seq("hello", "world", "2x"))
+  }
+
+  test("tokens of empty/whitespace text is empty") {
+    assert(toks("  ,;  ").isEmpty)
+    assert(toks("").isEmpty)
+  }
+
+  test("charFingerprint matches a reference fold") {
+    val expected = "ab".foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+    assert(one[Long](TextFunctions.charFingerprint(col("text")), "ab") == expected)
+  }
+
+  test("xxFingerprint is deterministic and text-sensitive") {
+    val a = one[Long](TextFunctions.xxFingerprint(col("text")), "abc")
+    val b = one[Long](TextFunctions.xxFingerprint(col("text")), "abd")
+    assert(a == one[Long](TextFunctions.xxFingerprint(col("text")), "abc"))
+    assert(a != b)
+  }
+
+  test("langId picks the profile with most stopword hits, ties alphabetical") {
+    val df = Seq("the cat and the hat is back", "el que no la de y en un")
+      .toDF("text").withColumn("__toks", TextFunctions.tokens(col("text")))
+    val scored = TextFunctions.langProfiles.foldLeft(df) { case (acc, (lang, words)) =>
+      acc.withColumn(s"s_$lang", TextFunctions.stopwordCount(col("__toks"), words))
+    }
+    val preds = scored.select(TextFunctions.langIdFromScores(
+      TextFunctions.langProfiles.map { case (l, _) => col(s"s_$l") }).as("p"))
+      .as[String].collect()
+    assert(preds.toSeq == Seq("en", "es"))
+  }
+
+  test("qualityScore is bounded by construction") {
+    val comps = TextFunctions.qualityComponents(col("text"))
+    val df = Seq("The quick brown fox jumps over the lazy dog.", "", "!!!")
+      .toDF("text")
+    val withComps = comps.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+    val scores = withComps.select(TextFunctions.qualityScore(
+      col("n_tokens"), col("punct_ratio"), col("stop_ratio"), col("avg_token_len")).as("q"))
+      .as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+}
