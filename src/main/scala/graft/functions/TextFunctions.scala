@@ -87,9 +87,15 @@ object TextFunctions {
   }
 
   /** C2 — quality-score components. The composite is a fixed affine blend,
-    * computed from integer counts with single double divisions. */
-  def qualityComponents(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+    * computed from integer counts with single double divisions.
+    *
+    * Callers on a hot path should pass a pre-materialized token column
+    * (see the overload) — inlining `tokens(text)` here evaluates the
+    * regex tokenization once per component. */
+  def qualityComponents(text: Column): Seq[(String, Column)] =
+    qualityComponents(text, tokens(text))
+
+  def qualityComponents(text: Column, toks: Column): Seq[(String, Column)] = {
     val nTok = size(toks)
     val nChars = length(text)
     val stripped = length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))

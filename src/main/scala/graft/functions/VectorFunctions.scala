@@ -50,11 +50,13 @@ object VectorFunctions {
   def planeWeightDuck(p: Int, dims: Int, i: String): String =
     s"((CAST(1103515245 AS BIGINT) * (${p.toLong * dims} + $i) + 12345) % 2001 - 1000)"
 
-  /** Sign-bit bucket over `nPlanes` hyperplanes → integer bucket id. */
+  /** Sign-bit bucket over `nPlanes` hyperplanes → integer bucket id.
+    * Single pass per plane: the indexed `transform` overload visits each
+    * element once (the earlier `element_at(cast(v), i+1)` form re-cast the
+    * whole array per element — O(dims²) work per plane). */
   def lshBucket(v: Column, dims: Int, nPlanes: Int): Column = {
     val planeDots = (0 until nPlanes).map { p =>
-      foldSum(transform(sequence(lit(0), lit(dims - 1)),
-        i => planeWeight(p, dims, i).cast("double") * element_at(toD(v), i + 1)))
+      foldSum(transform(toD(v), (x, i) => planeWeight(p, dims, i).cast("double") * x))
     }
     planeDots.zipWithIndex.map { case (dp, p) =>
       when(dp > 0.0, lit(1L << p)).otherwise(lit(0L))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions
 
 /** Deduplication family (SURVEY §2 D1-D4): exact, MinHash+LSH, SimHash,
@@ -39,10 +40,18 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct (id, shingle) pairs for a document table. */
+  /** Distinct (id, shingle) pairs for a document table.
+    *
+    * The token array is materialized in its own projection BEFORE the
+    * n-gram transform: `wordNgrams` indexes the array once per shingle
+    * position, and if the tokenizer expression were inlined there, each
+    * `element_at` would re-run the whole regex tokenization (O(tokens²)
+    * work per document — measured 10× slowdown at sf0.1). CollapseProject
+    * keeps the split because the alias is referenced repeatedly by a
+    * non-cheap expression. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"),
-        explode(wordNgrams(TextFunctions.tokens(col(textCol)), n)).as("g"))
+    df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("doc"), explode(wordNgrams(col("__toks"), n)).as("g"))
       .distinct()
 
   /** Shingle vocabulary: dense ids from a global order (ORACLE mode only —
@@ -97,8 +106,12 @@ object Dedup {
       .select(col("doc"), col("bk.band"), col("bk.bkey"))
   }
 
-  /** Distinct candidate pairs (a < b) sharing at least one band bucket. */
+  /** Distinct candidate pairs (a < b) sharing at least one band bucket.
+    * The band table is self-joined, so it is materialized once
+    * (MEMORY_AND_DISK — signatures are k longs per doc, tiny relative to
+    * the text; at 100 TB this is the table you'd persist too). */
   def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    bandsDf.persist(StorageLevel.MEMORY_AND_DISK)
     val x = bandsDf.as("x"); val y = bandsDf.as("y")
     x.join(y, col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc") < col("y.doc"))
@@ -125,7 +138,8 @@ object Dedup {
     * blocked on sharing ≥1 shingle (the join IS the blocking). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // Used three times below (both join sides + sizes): tokenize once.
+    val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"), col("x.g") === col("y.g") && col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
@@ -166,6 +180,7 @@ object Dedup {
         struct(lit(t).as("blk"),
           expr(s"shiftright(sim, ${4 * t}) & 15").as("ckey"))): _*)).as("c"))
       .select(col("doc"), col("sim"), col("c.blk"), col("c.ckey"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
     chunked.as("x").join(chunked.as("y"),
         col("x.blk") === col("y.blk") && col("x.ckey") === col("y.ckey") &&
           col("x.doc") < col("y.doc"))

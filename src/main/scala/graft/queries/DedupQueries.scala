@@ -89,7 +89,10 @@ object DedupQueries {
          |ORDER BY a, b""".stripMargin
     }) { (s, d) =>
       val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
+      // ids feeds the signature AND the 3-way verification join: the
+      // vocabulary build (global-sort window) must run exactly once.
       val ids = Dedup.shingleIds(sh, Dedup.vocab(sh))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ids, 8), 4, 2))
       Dedup.verifiedJaccard(cand, ids)
         .filter(col("jaccard") >= 0.5)
@@ -123,6 +126,22 @@ object DedupQueries {
       val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 1)
       val ids = Dedup.shingleIds(sh, Dedup.vocab(sh))
       Dedup.simHashPairs(Dedup.simHash(ids, 16), 16, 3)
+        .orderBy("a", "b")
+    },
+
+    // D3 production path — same MinHash+LSH pipeline hashed with xxhash64:
+    // no vocabulary build (the oracle variant's global-sort window and
+    // vocab join disappear), band keys re-hashed to avoid packing
+    // overflow. This is the 100 TB configuration; estimator-free but not
+    // DuckDB-expressible (no xxhash64 there) ⇒ rows-only check.
+    QueryDef.rowsOnly("d_minhash_lsh_xx") { (s, d) =>
+      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.lshCandidates(
+        Dedup.lshBandsHashed(Dedup.minHashSignatureXx(sh, 8), 4, 2))
+      val ids = sh.select(col("doc"), xxhash64(col("g")).as("gid"))
+      Dedup.verifiedJaccard(cand, ids)
+        .filter(col("jaccard") >= 0.5)
         .orderBy("a", "b")
     },
 

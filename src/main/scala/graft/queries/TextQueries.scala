@@ -43,8 +43,9 @@ object TextQueries {
          |  FROM (SELECT doc_id, text, $toks AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      val comps = qualityComponents(col("text"))
-      val withComps = comps.foldLeft(Tables.documents(s, d)) {
+      val base = Tables.documents(s, d).withColumn("__toks", tokens(col("text")))
+      val comps = qualityComponents(col("text"), col("__toks"))
+      val withComps = comps.foldLeft(base) {
         case (df, (name, c)) => df.withColumn(name, c)
       }
       withComps.select(
