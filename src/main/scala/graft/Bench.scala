@@ -21,8 +21,12 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // Queries may persist reused intermediates; drop them so later
-        // queries aren't timed against a polluted executor heap.
+        // queries aren't timed against a polluted executor heap. Spark
+        // reclaims shuffle/broadcast state via GC-triggered weak refs
+        // (ContextCleaner), so force a GC or heavy queries' garbage is
+        // paid for by whoever runs next.
         spark.catalog.clearCache()
+        System.gc()
         name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -112,7 +112,7 @@ object Dedup {
     * the text; at 100 TB this is the table you'd persist too). */
   def lshCandidates(bandsDf: DataFrame): DataFrame = {
     bandsDf.persist(StorageLevel.MEMORY_AND_DISK)
-    val x = bandsDf.as("x"); val y = bandsDf.as("y")
+    val x = bandsDf.as("x"); val y = bandsDf.hint("shuffle_hash").as("y")
     x.join(y, col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
@@ -123,8 +123,9 @@ object Dedup {
   def verifiedJaccard(cand: DataFrame, ids: DataFrame): DataFrame = {
     val sizes = ids.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(ids.as("ia"), col("a") === col("ia.doc"))
-      .join(ids.as("ib"), col("b") === col("ib.doc") && col("ia.gid") === col("ib.gid"))
+      .join(ids.hint("shuffle_hash").as("ia"), col("a") === col("ia.doc"))
+      .join(ids.hint("shuffle_hash").as("ib"),
+        col("b") === col("ib.doc") && col("ia.gid") === col("ib.gid"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("a") === col("sa.doc"))
@@ -141,7 +142,13 @@ object Dedup {
     // Used three times below (both join sides + sizes): tokenize once.
     val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"), col("x.g") === col("y.g") && col("x.doc") < col("y.doc"))
+    // Shuffled-hash over sort-merge: both sides are the bounded shingle
+    // table, and the join's multi-match fan-out (every doc pair sharing a
+    // shingle) dwarfs the input — hashing 256k rows beats sorting them,
+    // and the fan-out cost is identical either way.
+    val inter = sh.as("x")
+      .join(sh.hint("shuffle_hash").as("y"),
+        col("x.g") === col("y.g") && col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -181,7 +188,7 @@ object Dedup {
           expr(s"shiftright(sim, ${4 * t}) & 15").as("ckey"))): _*)).as("c"))
       .select(col("doc"), col("sim"), col("c.blk"), col("c.ckey"))
       .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
-    chunked.as("x").join(chunked.as("y"),
+    chunked.as("x").join(chunked.hint("shuffle_hash").as("y"),
         col("x.blk") === col("y.blk") && col("x.ckey") === col("y.ckey") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"),

@@ -203,6 +203,29 @@ object AnalyticsQueries {
         .orderBy("status", "priority")
     },
 
+    // B10 — top-k per group (training-data staple: best docs per domain,
+    // latest events per user...). Window row_number + filter: one shuffle
+    // on the group key, no global sort at any scale.
+    QueryDef.sql("q_topk_per_group",
+      """SELECT o_orderpriority, rnk, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("totalprice"))
+        .orderBy("o_orderpriority", "rnk")
+    },
+
     // B9 — JSON property extraction from the event payload column.
     QueryDef.sql("q_json_extract",
       """SELECT event_type, count(*) AS n,

@@ -166,6 +166,22 @@ object EtlQueries {
       Tables.orders(s, d).agg(
         approx_count_distinct(col("o_custkey")).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"))
+    },
+
+    // A14 — deterministic hash sampling (reference: `import random  # data
+    // quality testing`). RNG sampling isn't reproducible across engines or
+    // re-runs; hashing the key IS: take rows whose md5(key) starts below a
+    // cut. Same ~4/256 rate everywhere, stable under retries/partitioning —
+    // the only sane way to sample 100 TB reproducibly.
+    QueryDef.sql("q_hash_sample",
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '04'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "04")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
     }
   )
 }

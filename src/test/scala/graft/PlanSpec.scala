@@ -35,6 +35,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"))
   }
 
+  test("dedup candidate self-joins honor the shuffled-hash hint") {
+    val p = plan("d_ngram_jaccard")
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected ShuffledHashJoin in:\n$p")
+  }
+
+  test("hash sampling pushes nothing but still prunes to the 3 output columns") {
+    val p = plan("q_hash_sample")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("o_totalprice"))
+  }
+
   test("whole-stage codegen covers the q1 aggregation (final AQE plan)") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, d)
     df.collect() // resolve AQE to the final plan

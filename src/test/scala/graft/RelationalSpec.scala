@@ -48,6 +48,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("hash sampling is deterministic and key-stable across repartitioning") {
+    val df = spark.range(10000).toDF("k")
+    val sampled = df
+      .filter(substring(md5(col("k").cast("string")), 1, 2) < "04")
+    val once = sampled.select("k").as[Long].collect().toSet
+    val again = df.repartition(7)
+      .filter(substring(md5(col("k").cast("string")), 1, 2) < "04")
+      .select("k").as[Long].collect().toSet
+    assert(once == again)              // partitioning-independent
+    assert(once.nonEmpty && once.size < 1000) // ~4/256 ≈ 156 expected
+  }
+
+  test("top-k per group emits at most k rows per group in rank order") {
+    val df = Seq(("a", 5), ("a", 3), ("a", 9), ("a", 1), ("b", 2))
+      .toDF("g", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc)
+    val out = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 2)
+      .orderBy("g", "rnk").select("g", "v").as[(String, Int)].collect()
+    assert(out.toSeq == Seq(("a", 9), ("a", 5), ("b", 2)))
+  }
+
   test("sessionize splits on gaps > threshold") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
