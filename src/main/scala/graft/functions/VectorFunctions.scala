@@ -27,7 +27,17 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(foldSum(transform(toD(a), x => x * x)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** HOF formulation — kept as the cross-check twin of [[CosineF32]]
+    * (the spec asserts bit-identical outputs). HOF lambdas evaluate
+    * interpreted, so the hot paths use the codegen expression instead. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the native codegen expression (same arithmetic,
+    * same result bits as [[cosineHof]] — see CosineF32's scaladoc).
+    * Resolved through the FunctionRegistry name GraftExtensions installs,
+    * so sessions must come from GraftSession (all of the engine's do). */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a.cast("array<float>"), b.cast("array<float>"))
 
   /** DuckDB twins — the identical fold, 1-based list indexing. */
   def dotDuck(a: String, b: String): String =

@@ -17,6 +17,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("native CosineF32 is bit-identical to the HOF formulation") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("av"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("bv")))
+      .filter(col("a") < col("b"))
+    val diffs = pairs.select(
+        VectorFunctions.cosine(col("av"), col("bv")).as("native"),
+        VectorFunctions.cosineHof(col("av"), col("bv")).as("hof"))
+      .filter(col("native") =!= col("hof")) // bit-exact: plain != on doubles
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("graft_cosine is registered for SQL via GraftExtensions") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    emb.createOrReplaceTempView("emb_sql_check")
+    val c = spark.sql(
+      """SELECT graft_cosine(embedding, embedding) AS c
+        |FROM emb_sql_check LIMIT 1""".stripMargin).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
   test("brute-force top-k returns k ranked neighbors excluding self") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 5)
