@@ -107,6 +107,30 @@ object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // B11 — promo revenue share (TPC-H Q14 shape): fact⋈dim broadcast join
+    // + conditional aggregation. The part dim broadcasts; the only
+    // fact-side cost is the pushed-down date-range scan.
+    QueryDef.sql("q14_promo_revenue",
+      """SELECT
+        |  100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS promo_revenue_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
+      li.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            expr("CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)") /
+            dsum("l_extendedprice*(1-l_discount)")).as("promo_revenue_pct"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // B4 — running total per key (window agg; cumulative decimal is exact
     // per-prefix so the double output is deterministic).
     QueryDef.sql("q_window_running",
