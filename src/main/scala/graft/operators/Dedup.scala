@@ -22,6 +22,15 @@ object Dedup {
 
   val P: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
 
+  /** Partition count for fan-out self-joins. AQE coalesces exchanges by
+    * their INPUT bytes; a candidate self-join has tiny inputs (signatures)
+    * and a 100×+ multi-match fan-out, so coalescing collapses it onto 1-2
+    * threads (measured: load ~1.7 on a local[32] box mid-join). An
+    * explicit numbered repartition is exempt from AQE coalescing, pinning
+    * the fan-out work at cluster parallelism. */
+  private def fanout(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
   /** Affine permutation coefficients, deterministic closed form. */
   def perms(k: Int): Seq[(Long, Long)] =
     (0 until k).map(j => (((2L * j + 1) * 1103515245L) % P, ((j + 1) * 12345679L) % P))
@@ -54,21 +63,37 @@ object Dedup {
       .select(col("doc"), explode(wordNgrams(col("__toks"), n)).as("g"))
       .distinct()
 
-  /** Shingle vocabulary: dense ids from a global order (ORACLE mode only —
-    * the window is a single-partition sort, fine to ~10^8 distinct
-    * shingles, replaced by xxhash64 in production mode). */
+  /** Shingle vocabulary: dense ids from a global order. Kept for
+    * reference/spec use; the oracle queries use [[hashedIds]] instead —
+    * the window is a single-partition sort, which is both the scaling
+    * bottleneck and a latency cliff even locally. */
   def vocab(sh: DataFrame): DataFrame =
     sh.select("g").distinct()
       .withColumn("gid", dense_rank().over(Window.orderBy("g")).cast("long"))
 
-  /** (doc, gid) pairs. */
+  /** (doc, gid) pairs via the dense-rank vocabulary. */
   def shingleIds(sh: DataFrame, vb: DataFrame): DataFrame =
     sh.join(vb, "g").select("doc", "gid")
 
-  /** MinHash signature: k affine permutations, one min-agg pass. */
+  /** ORACLE-mode shingle ids without a vocabulary: the top 60 bits of
+    * md5(shingle) as a long. md5 is computable bit-identically in DuckDB
+    * (`CAST('0x' || substr(md5(g),1,15) AS BIGINT)`), so parity holds with
+    * no global sort, no distinct, no join-back — a pure projection. A
+    * collision merges two shingles in BOTH engines identically, so
+    * comparisons still agree exactly. */
+  def hashedIds(sh: DataFrame): DataFrame =
+    sh.select(col("doc"),
+      conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gid"))
+
+  def hashedGidDuck(g: String): String =
+    s"CAST('0x' || substr(md5($g), 1, 15) AS BIGINT)"
+
+  /** MinHash signature: k affine permutations, one min-agg pass. gid is
+    * reduced mod P before the multiply so a·gid never overflows a long
+    * (a < P < 2^31 and gid%P < 2^31 keep the product under 2^62). */
   def minHashSignature(ids: DataFrame, k: Int): DataFrame = {
     val aggs = perms(k).zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(lit(a) * col("gid") + lit(b), lit(P))).as(s"m$j")
+      min(pmod(lit(a) * pmod(col("gid"), lit(P)) + lit(b), lit(P))).as(s"m$j")
     }
     ids.groupBy("doc").agg(aggs.head, aggs.tail: _*)
   }
@@ -111,8 +136,9 @@ object Dedup {
     * (MEMORY_AND_DISK — signatures are k longs per doc, tiny relative to
     * the text; at 100 TB this is the table you'd persist too). */
   def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    bandsDf.persist(StorageLevel.MEMORY_AND_DISK)
-    val x = bandsDf.as("x"); val y = bandsDf.hint("shuffle_hash").as("y")
+    val b = bandsDf.persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(fanout(bandsDf), col("band"), col("bkey"))
+    val x = b.as("x"); val y = b.hint("shuffle_hash").as("y")
     x.join(y, col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
@@ -122,9 +148,10 @@ object Dedup {
   /** Exact Jaccard over the shingle-id sets, restricted to candidates. */
   def verifiedJaccard(cand: DataFrame, ids: DataFrame): DataFrame = {
     val sizes = ids.groupBy("doc").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(ids.hint("shuffle_hash").as("ia"), col("a") === col("ia.doc"))
-      .join(ids.hint("shuffle_hash").as("ib"),
+    val idsP = ids.repartition(fanout(ids), col("doc"))
+    val inter = cand.repartition(fanout(cand), col("a"))
+      .join(idsP.hint("shuffle_hash").as("ia"), col("a") === col("ia.doc"))
+      .join(idsP.hint("shuffle_hash").as("ib"),
         col("b") === col("ib.doc") && col("ia.gid") === col("ib.gid"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
@@ -145,9 +172,11 @@ object Dedup {
     // Shuffled-hash over sort-merge: both sides are the bounded shingle
     // table, and the join's multi-match fan-out (every doc pair sharing a
     // shingle) dwarfs the input — hashing 256k rows beats sorting them,
-    // and the fan-out cost is identical either way.
-    val inter = sh.as("x")
-      .join(sh.hint("shuffle_hash").as("y"),
+    // and the fan-out cost is identical either way. The numbered
+    // repartition pins parallelism through the fan-out (see [[fanout]]).
+    val shP = sh.repartition(fanout(sh), col("g"))
+    val inter = shP.as("x")
+      .join(shP.as("y"),
         col("x.g") === col("y.g") && col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -169,7 +198,7 @@ object Dedup {
     * sum. One group-by pass computes all bits. */
   def simHash(ids: DataFrame, bits: Int): DataFrame = {
     val votes = simPerms(bits).zipWithIndex.map { case ((c, dd), j) =>
-      sum(pmod(pmod(lit(c) * col("gid") + lit(dd), lit(P)), lit(2L)) * 2L - 1L).as(s"v$j")
+      sum(pmod(pmod(lit(c) * pmod(col("gid"), lit(P)) + lit(dd), lit(P)), lit(2L)) * 2L - 1L).as(s"v$j")
     }
     val sig = ids.groupBy("doc").agg(votes.head, votes.tail: _*)
     val sim = (0 until bits).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -188,6 +217,7 @@ object Dedup {
           expr(s"shiftright(sim, ${4 * t}) & 15").as("ckey"))): _*)).as("c"))
       .select(col("doc"), col("sim"), col("c.blk"), col("c.ckey"))
       .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
+      .repartition(fanout(sims), col("blk"), col("ckey"))
     chunked.as("x").join(chunked.hint("shuffle_hash").as("y"),
         col("x.blk") === col("y.blk") && col("x.ckey") === col("y.ckey") &&
           col("x.doc") < col("y.doc"))

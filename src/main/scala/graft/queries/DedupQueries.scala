@@ -6,9 +6,11 @@ import graft.operators.Dedup
 import graft.sources.Tables
 
 /** SURVEY §2 group D — the deduplication family over `documents` /
-  * `embeddings`. Oracle variants use the dense-rank vocabulary + affine
-  * permutations (SURVEY §4 rule 6); the xxhash64 production variants live
-  * in operators.Dedup and are spec-tested.
+  * `embeddings`. Oracle variants hash shingles to 60-bit md5-derived ids
+  * + affine permutations (SURVEY §4 rule 6) — exact integer arithmetic
+  * both engines compute identically, with no vocabulary build. The
+  * xxhash64 production variants (faster hash, not DuckDB-expressible)
+  * are d_minhash_lsh_xx and operators.Dedup's *Xx functions.
   */
 object DedupQueries {
 
@@ -16,7 +18,8 @@ object DedupQueries {
   private val P = Dedup.P
 
   /** Shared oracle CTE prefix: tokenize → word n-grams → distinct
-    * (doc, shingle) → dense-rank vocabulary → (doc, gid). */
+    * (doc, shingle) → md5-hashed 60-bit gid (Dedup.hashedIds twin — no
+    * vocabulary build in either engine). */
   private def idsCte(n: Int): String = {
     val gram = if (n == 1) "unnest(toks)"
     else {
@@ -26,9 +29,7 @@ object DedupQueries {
     s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
        |sh0 AS (SELECT doc_id AS doc, $gram AS g FROM t WHERE len(toks) >= $n),
        |sh AS (SELECT DISTINCT doc, g FROM sh0),
-       |vb AS (SELECT g, CAST(dense_rank() OVER (ORDER BY g) AS BIGINT) AS gid
-       |       FROM (SELECT DISTINCT g FROM sh)),
-       |ids AS (SELECT doc, gid FROM sh JOIN vb USING (g))""".stripMargin
+       |ids AS (SELECT doc, ${graft.operators.Dedup.hashedGidDuck("g")} AS gid FROM sh)""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -66,7 +67,7 @@ object DedupQueries {
     QueryDef.sql("d_minhash_lsh", {
       val k = 8
       val minExprs = Dedup.perms(k).zipWithIndex.map { case ((a, b), j) =>
-        s"min(($a*gid + $b) % $P) AS m$j"
+        s"min(($a*(gid % $P) + $b) % $P) AS m$j"
       }.mkString(", ")
       val bandSelects = (0 until 4).map { t =>
         s"SELECT doc, $t AS band, m${2 * t}*$P + m${2 * t + 1} AS bkey FROM sig"
@@ -89,9 +90,9 @@ object DedupQueries {
          |ORDER BY a, b""".stripMargin
     }) { (s, d) =>
       val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
-      // ids feeds the signature AND the 3-way verification join: the
-      // vocabulary build (global-sort window) must run exactly once.
-      val ids = Dedup.shingleIds(sh, Dedup.vocab(sh))
+      // ids feeds the signature AND the 3-way verification join: hash it
+      // once (pure projection — no vocabulary) and persist.
+      val ids = Dedup.hashedIds(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ids, 8), 4, 2))
       Dedup.verifiedJaccard(cand, ids)
@@ -99,17 +100,18 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // D4 — 16-bit SimHash over the distinct-token set; pairs with Hamming
-    // distance ≤ 3, candidate join blocked by 4-bit chunks (pigeonhole).
+    // D4 — 32-bit SimHash over the distinct-token set; pairs with Hamming
+    // distance ≤ 3, candidate join blocked by 4-bit chunks (pigeonhole:
+    // 3 differing bits over 8 chunks leave ≥5 chunks identical).
     QueryDef.sql("d_simhash", {
-      val bits = 16
+      val bits = 32
       val voteExprs = Dedup.simPerms(bits).zipWithIndex.map { case ((c, dd), j) =>
-        s"sum((($c*gid + $dd) % $P) % 2 * 2 - 1) AS v$j"
+        s"sum((($c*(gid % $P) + $dd) % $P) % 2 * 2 - 1) AS v$j"
       }.mkString(", ")
       val simExpr = (0 until bits)
         .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" + ")
-      val chunkSelects = (0 until 4).map { t =>
+      val chunkSelects = (0 until bits / 4).map { t =>
         s"SELECT doc, sim, $t AS blk, (sim >> ${4 * t}) & 15 AS ckey FROM sim"
       }.mkString(" UNION ALL ")
       s"""WITH ${idsCte(1)},
@@ -124,8 +126,7 @@ object DedupQueries {
          |ORDER BY a, b""".stripMargin
     }) { (s, d) =>
       val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 1)
-      val ids = Dedup.shingleIds(sh, Dedup.vocab(sh))
-      Dedup.simHashPairs(Dedup.simHash(ids, 16), 16, 3)
+      Dedup.simHashPairs(Dedup.simHash(Dedup.hashedIds(sh), 32), 32, 3)
         .orderBy("a", "b")
     },
 

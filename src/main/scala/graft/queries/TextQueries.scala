@@ -79,6 +79,58 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // C5 — the training-data cleaning pipeline composed end-to-end:
+    // quality score + language ID -> keep en docs above threshold ->
+    // exact-dedup keep-first -> per-doc stats. One declarative plan, so
+    // Catalyst fuses the whole chain over a single documents scan.
+    QueryDef.sql("p_corpus_clean", {
+      val enStops = langProfiles.find(_._1 == "en").get._2
+      val scoreCols = langProfiles.map { case (lang, words) =>
+        s"${stopwordCountDuck("toks", words)} AS s_$lang"
+      }
+      val scoreNames = langProfiles.map { case (lang, _) => s"s_$lang" }
+      s"""SELECT doc_id, n_tokens, quality FROM (
+         |  SELECT doc_id, n_tokens, quality,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM (
+         |    SELECT doc_id, text, n_tokens,
+         |      least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.4 + stop_ratio*0.3 +
+         |        (1.0 - punct_ratio)*0.2 + least(avg_token_len/10.0, 1.0)*0.1 AS quality,
+         |      ${langIdFromScoresDuck(scoreNames)} AS pred_lang
+         |    FROM (
+         |      SELECT doc_id, text, len(toks) AS n_tokens,
+         |        CASE WHEN length(text) > 0 THEN
+         |          CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |          ELSE 0.0 END AS punct_ratio,
+         |        CASE WHEN len(toks) > 0 THEN
+         |          CAST(${stopwordCountDuck("toks", enStops)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |          ELSE 0.0 END AS stop_ratio,
+         |        CASE WHEN len(toks) > 0 THEN
+         |          CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a,b) -> a+b) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |          ELSE 0.0 END AS avg_token_len,
+         |        ${scoreCols.mkString(", ")}
+         |      FROM (SELECT doc_id, text, $toks AS toks FROM documents)))
+         |  WHERE quality >= 0.4 AND pred_lang = 'en')
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.Relational
+      val base = Tables.documents(s, d).withColumn("__toks", tokens(col("text")))
+      val comps = qualityComponents(col("text"), col("__toks"))
+      val withComps = comps.foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+      val scored = langProfiles.foldLeft(withComps) { case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang", stopwordCount(col("__toks"), words))
+      }
+        .withColumn("quality", qualityScore(col("n_tokens"), col("punct_ratio"),
+          col("stop_ratio"), col("avg_token_len")))
+        .withColumn("pred_lang",
+          langIdFromScores(langProfiles.map { case (l, _) => col(s"s_$l") }))
+      val kept = scored.filter(col("quality") >= 0.4 && col("pred_lang") === "en")
+      Relational.dedupKeepFirst(kept.withColumn("__h", md5(col("text"))),
+          Seq("__h"), Seq(col("doc_id")))
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    },
+
     // C4 — rolling-hash document fingerprint (char-stream polynomial fold;
     // production path is xxhash64 — see TextFunctions.xxFingerprint).
     QueryDef.sql("t_fingerprint",

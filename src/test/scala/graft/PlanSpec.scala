@@ -35,10 +35,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"))
   }
 
-  test("dedup candidate self-joins honor the shuffled-hash hint") {
+  test("dedup fan-out self-join pins its partitioning against AQE coalescing") {
+    // The candidate self-join has tiny inputs but 100x fan-out; AQE would
+    // coalesce it onto 1-2 threads (it sizes by input bytes). The numbered
+    // repartition (REPARTITION_BY_NUM) is exempt from coalescing.
     val p = plan("d_ngram_jaccard")
-    assert(p.contains("ShuffledHashJoin"),
-      s"expected ShuffledHashJoin in:\n$p")
+    assert(p.contains("REPARTITION_BY_NUM"), s"expected pinned repartition in:\n$p")
   }
 
   test("hash sampling pushes nothing but still prunes to the 3 output columns") {
