@@ -67,4 +67,63 @@ object Relational {
     * per-partition heap + single-reduce merge — no global sort at any scale. */
   def topKByAgg(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** B13 — range (interval) join: pairs every point row with the interval
+    * rows of the same key whose [start, end] contains it (inclusive).
+    *
+    * The naive formulation is an equi-join on the key with a range
+    * predicate — a per-key cross product that AQE can't save. Binning
+    * makes it an equi-join on (key, time-bin): intervals explode to the
+    * bins they overlap, points join only their own bin, so each
+    * (point, interval) pair meets exactly once and the blowup is bounded
+    * by interval-span / bin width. Pick binMillis near the typical
+    * interval length.
+    *
+    * Column names must be disjoint between the two sides (pre-rename). */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame, key: String,
+                      tsCol: String, startCol: String, endCol: String,
+                      binMillis: Long): DataFrame = {
+    def bin(c: Column): Column = floor(unix_millis(c) / lit(binMillis.toDouble)).cast("long")
+    val pb = points.withColumn("__bin", bin(col(tsCol)))
+    val ib = intervals.withColumn("__bin",
+      explode(sequence(bin(col(startCol)), bin(col(endCol)))))
+    pb.join(ib, Seq(key, "__bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bin")
+  }
+
+  /** B12 — as-of join: for every left row, the payload of the LATEST right
+    * row with `right.ts <= left.ts` in the same key (ties at equal ts take
+    * the right row — DuckDB ASOF semantics).
+    *
+    * Spark has no native as-of join; the naive formulation (range join +
+    * keep-latest) degenerates to a per-key cross product. This one is a
+    * union + last-non-null window carry: ONE shuffle on the key and one
+    * per-partition sort, cost O(n log n) regardless of how many right rows
+    * precede each left row — the shape that survives 100 TB.
+    *
+    * `right` must be unique per (key, ts) — dedup first (the right row
+    * chosen among same-ts duplicates would otherwise be order-dependent).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val carryCols = left.columns.filterNot(c => c == key || c == ts)
+    val lU = left.withColumn("__side", lit(1))
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        carryCols.map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    val rU = right.withColumn("__side", lit(0))
+      .select(Seq(col(key), col(ts), col("__side")) ++
+        carryCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(lU.unionByName(rU)) { case (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(Seq(col(key), col(ts)) ++
+        carryCols.map(col) ++
+        payloadCols.map(c => col(s"__c_$c").as(c)): _*)
+  }
 }

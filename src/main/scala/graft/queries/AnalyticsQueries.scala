@@ -250,6 +250,68 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority", "rnk")
     },
 
+    // B12 — as-of join: every event annotated with the user's most recent
+    // purchase value at-or-before it. Oracle = DuckDB's native ASOF JOIN;
+    // Spark side = Relational.asofJoin (union + window carry, one shuffle).
+    QueryDef.sql("q_asof_join",
+      """WITH p AS (
+        |  SELECT user_id, ts, purchase_value FROM (
+        |    SELECT user_id, ts, value AS purchase_value,
+        |           row_number() OVER (PARTITION BY user_id, ts
+        |                              ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.event_type, p.purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = Relational.dedupKeepFirst(
+          ev.filter(col("event_type") === "purchase"),
+          Seq("user_id", "ts"), Seq(col("event_id").desc))
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      Relational.asofJoin(
+          ev.select("event_id", "user_id", "ts", "event_type"),
+          purchases, "user_id", "ts", Seq("purchase_value"))
+        .select("event_id", "user_id", "event_type", "purchase_value")
+        .orderBy("event_id")
+    },
+
+    // B13 — range join: clicks landing inside the hour after each purchase
+    // by the same user. Spark side bins time so the join is an equi-join
+    // on (user, bin); the oracle does the plain range join (fine at
+    // oracle scale, quadratic at 100 TB — which is the point of binning).
+    QueryDef.sql("q_range_join",
+      """WITH p AS (SELECT event_id AS pid, user_id, ts AS start_ts,
+        |                  ts + INTERVAL 1 HOUR AS end_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts, value FROM events
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT pid, count(c_ts) AS n_clicks,
+        |             coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+        |               AS click_value
+        |      FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |                        AND c.c_ts >= p.start_ts AND c.c_ts <= p.end_ts
+        |      GROUP BY pid)
+        |SELECT pid, n_clicks, click_value FROM j ORDER BY pid""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("value"))
+      val pairs = Relational.rangeJoinBinned(c, p, "user_id",
+        "c_ts", "start_ts", "end_ts", binMillis = 3600000L)
+      val agg = pairs.groupBy("pid").agg(
+        count(lit(1)).as("n_clicks"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("click_value"))
+      p.select("pid").join(agg, Seq("pid"), "left")
+        .select(col("pid"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("click_value"), lit(0.0)).as("click_value"))
+        .orderBy("pid")
+    },
+
     // B9 — JSON property extraction from the event payload column.
     QueryDef.sql("q_json_extract",
       """SELECT event_type, count(*) AS n,

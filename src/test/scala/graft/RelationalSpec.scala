@@ -70,6 +70,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 9), ("a", 5), ("b", 2)))
   }
 
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val left = Seq((1L, 5L, "e1"), (1L, 10L, "e2"), (1L, 3L, "e0"), (2L, 3L, "f0"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 4L, 40.0), (1L, 9L, 90.0), (1L, 10L, 100.0), (2L, 7L, 70.0))
+      .toDF("k", "ts", "p")
+    val out = Relational.asofJoin(left, right, "k", "ts", Seq("p"))
+      .select("tag", "p").as[(String, Option[Double])].collect().toMap
+    // e0@3: no purchase yet; e1@5: latest is 4→40; e2@10: same-ts right wins (100)
+    assert(out == Map("e0" -> None, "e1" -> Some(40.0), "e2" -> Some(100.0),
+      "f0" -> None))
+  }
+
+  test("rangeJoinBinned pairs each point with exactly its containing intervals") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq((1L, t("2024-01-01 10:30:00"), "in1"),
+      (1L, t("2024-01-01 13:00:00"), "in2"), (1L, t("2024-01-01 09:59:59"), "out"),
+      (2L, t("2024-01-01 10:30:00"), "wrongkey"))
+      .toDF("k", "ts", "tag")
+    val intervals = Seq(
+      (1L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"), "iv1"),
+      (1L, t("2024-01-01 10:15:00"), t("2024-01-01 14:00:00"), "iv2"))
+      .toDF("k", "start_ts", "end_ts", "iv")
+    val out = Relational.rangeJoinBinned(points, intervals, "k",
+        "ts", "start_ts", "end_ts", binMillis = 1800000L)
+      .select("tag", "iv").as[(String, String)].collect().toSet
+    // in1 ∈ both intervals (exactly once each despite multi-bin overlap);
+    // in2 only iv2; boundary-exclusive point and wrong key drop out
+    assert(out == Set(("in1", "iv1"), ("in1", "iv2"), ("in2", "iv2")))
+  }
+
   test("sessionize splits on gaps > threshold") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
