@@ -312,6 +312,37 @@ object AnalyticsQueries {
         .orderBy("pid")
     },
 
+    // B14 — exact discrete percentiles per group (p50/p90 of order value by
+    // priority). Discrete definition — the value at rank ceil(p·n) — so the
+    // rank is pure integer math ((p_num·n + p_den−1) div p_den) and no
+    // float interpolation can diverge between engines. One window pass.
+    QueryDef.sql("q_percentiles",
+      """SELECT o_orderpriority,
+        |  max(CASE WHEN rn = (cnt + 1) // 2 THEN val END) AS p50,
+        |  max(CASE WHEN rn = (9*cnt + 9) // 10 THEN val END) AS p90,
+        |  max(cnt) AS n
+        |FROM (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS val,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice").cast("double").as("val"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("o_orderpriority")).as("cnt"))
+      ranked.groupBy("o_orderpriority")
+        .agg(
+          max(when(col("rn") === expr("(cnt + 1) div 2"), col("val"))).as("p50"),
+          max(when(col("rn") === expr("(9*cnt + 9) div 10"), col("val"))).as("p90"),
+          max(col("cnt")).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // B9 — JSON property extraction from the event payload column.
     QueryDef.sql("q_json_extract",
       """SELECT event_type, count(*) AS n,
