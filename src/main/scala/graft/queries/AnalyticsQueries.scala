@@ -343,6 +343,46 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // B15 — CUBE: all grouping-set combinations (B8's rollup sibling).
+    QueryDef.sql("q_cube",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"))
+        .orderBy("status", "priority")
+    },
+
+    // B16 — set operations: customers with orders but no high-priority
+    // ones (EXCEPT), and with both statuses (INTERSECT).
+    QueryDef.sql("q_set_ops",
+      """SELECT 'except' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'intersect' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY op, o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val exc = o.select("o_custkey")
+        .except(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+        .select(lit("except").as("op"), col("o_custkey"))
+      val inter = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .select(lit("intersect").as("op"), col("o_custkey"))
+      exc.unionAll(inter).orderBy("op", "o_custkey")
+    },
+
     // B9 — JSON property extraction from the event payload column.
     QueryDef.sql("q_json_extract",
       """SELECT event_type, count(*) AS n,

@@ -45,10 +45,13 @@ object DedupQueries {
         .orderBy("text_hash")
     },
 
-    // D2 — word-bigram Jaccard near-dup pairs ≥ 0.3 (blocking = the
-    // shared-shingle join itself).
+    // D2 — word-trigram Jaccard near-dup pairs ≥ 0.3 (blocking = the
+    // shared-shingle join itself). Trigrams are the standard near-dup
+    // shingling (D3 uses the same): on this corpus bigrams co-occur so
+    // heavily that the candidate join degenerates toward the full
+    // quadratic (36M pairs vs 1.3M at sf0.1 — the operator takes any n).
     QueryDef.sql("d_ngram_jaccard",
-      s"""WITH ${idsCte(2)},
+      s"""WITH ${idsCte(3)},
          |sizes AS (SELECT doc, count(*) AS n FROM ids GROUP BY doc),
          |inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS ic
          |          FROM ids x JOIN ids y ON x.gid = y.gid AND x.doc < y.doc
@@ -58,7 +61,7 @@ object DedupQueries {
          |FROM inter JOIN sizes sa ON a = sa.doc JOIN sizes sb ON b = sb.doc
          |WHERE CAST(ic AS DOUBLE) / CAST(sa.n + sb.n - ic AS DOUBLE) >= 0.3
          |ORDER BY a, b""".stripMargin) { (s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 2, 0.3)
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.3)
         .orderBy("a", "b")
     },
 
