@@ -383,6 +383,28 @@ object AnalyticsQueries {
       exc.unionAll(inter).orderBy("op", "o_custkey")
     },
 
+    // B17 — semi/anti joins: customers WITH urgent orders (semi) and
+    // customers with NO orders at all (anti). Both plan as one-sided
+    // joins — no fan-out, the probe side never duplicates.
+    QueryDef.sql("q_semi_anti_join",
+      """SELECT 'semi' AS op, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'anti' AS op, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY op, c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val semi = c.join(o.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("semi").as("op"), col("c_custkey"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("anti").as("op"), col("c_custkey"))
+      semi.unionAll(anti).orderBy("op", "c_custkey")
+    },
+
     // B9 — JSON property extraction from the event payload column.
     QueryDef.sql("q_json_extract",
       """SELECT event_type, count(*) AS n,

@@ -85,6 +85,26 @@ object Events {
       }
   }
 
+  /** F1c — stream-stream join: each click joined to the same user's
+    * purchases within the preceding hour. Both sides watermarked so the
+    * join state is bounded: Spark drops click state older than the
+    * watermark and purchase state older than watermark + range. */
+  def clicksAfterPurchases(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+  }
+
   /** Streaming sink helper: append to parquet with checkpointing. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =
     df.writeStream.outputMode(OutputMode.Append())

@@ -33,6 +33,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs clicks with in-window purchases (F1c)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val joined = Events.clicksAfterPurchases(input.toDF())
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "purchase", 50.0),
+        Event(2, ts("2024-01-01 10:30:00"), 1, "click", 1.0),    // in window
+        Event(3, ts("2024-01-01 11:30:00"), 1, "click", 1.0),    // past 1h
+        Event(4, ts("2024-01-01 10:30:00"), 2, "click", 1.0))    // other user
+      q.processAllAvailable()
+      val out = spark.table("ss_join_test")
+        .selectExpr("click_id", "purchase_value")
+        .as[(Long, Double)].collect().toSet
+      assert(out == Set((2L, 50.0)))
+    } finally q.stop()
+  }
+
+  test("parquet streaming sink appends with checkpointing (G6 sink)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[Event]
+    val q = Events.writeParquetStream(
+      input.toDF().filter($"event_type" === "click"),
+      s"$dir/out", s"$dir/ckpt").start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.count() == 1 && out.select("event_id").as[Long].head() == 1L)
+    } finally q.stop()
+  }
+
   test("streaming sessionize closes sessions after the gap (event-time timeout)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
