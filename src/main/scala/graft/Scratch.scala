@@ -9,22 +9,94 @@ object Scratch {
     val sfDir = "/root/testdata/sf0.1"
     val qname = if (args.nonEmpty) args(0) else "d_ngram_jaccard"
     val spark = GraftSession.local("scratch", 32)
-    val stages = ArrayBuffer.empty[(Int, Int, Long, Long, String)]
+    val stages = ArrayBuffer.empty[(Int, Int, Long, Long, Long, Long, Long, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
-        stages += ((si.stageId, si.numTasks, wall,
-          si.taskMetrics.executorRunTime, si.name.take(60)))
+        val tm = si.taskMetrics
+        stages += ((si.stageId, si.numTasks, wall, tm.executorRunTime,
+          tm.executorCpuTime / 1000000, tm.jvmGCTime,
+          tm.inputMetrics.recordsRead,
+          tm.shuffleReadMetrics.recordsRead, tm.shuffleWriteMetrics.recordsWritten))
       }
     })
+    if (qname == "probe") {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      import graft.sources.Tables
+      def time(label: String)(f: => Long): Unit = {
+        val t = System.nanoTime()
+        val n = f
+        println(f"[probe] $label%-34s ${(System.nanoTime() - t) / 1e9}%6.2f s  rows=$n")
+      }
+      val docs = Tables.documents(spark, sfDir)
+      time("scan only")(docs.count())
+      time("tokenize only")(docs.repartition(32, col("doc_id"))
+        .select(graft.functions.TextFunctions.tokens(col("text")).as("t")).count())
+      time("tokenize+size")(docs.repartition(32, col("doc_id"))
+        .select(size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+        .agg(sum("n")).count())
+      val sh = docs.repartition(32, col("doc_id"))
+        .select(col("doc_id").as("doc"), graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc"), explode(Dedup.wordNgrams(col("__toks"), 3)).as("g"))
+      time("shingle explode")(sh.count())
+      time("shingle+md5gid")(sh.select(col("doc"), Dedup.hashedGid(col("g")).as("gid")).count())
+      time("shingle+xxgid")(sh.select(col("doc"), xxhash64(col("g")).as("gid")).count())
+      time("docSets")(Dedup.hashedDocSets(docs, "doc_id", "text", 3).count())
+      val ds = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds.count()
+      time("sig from warm cache")(Dedup.minHashSignature(ds, 8).count())
+      time("bands from warm cache")(Dedup.lshBands(Dedup.minHashSignature(ds, 8), 4, 2).count())
+      time("cand from warm cache")(Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ds, 8), 4, 2)).count())
+      spark.stop(); return
+    }
+    if (qname == "probe2") {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      import graft.sources.Tables
+      def time(label: String)(f: => Long): Unit = {
+        val t = System.nanoTime()
+        val n = f
+        println(f"[probe] $label%-34s ${(System.nanoTime() - t) / 1e9}%6.2f s  rows=$n")
+      }
+      val docs = Tables.documents(spark, sfDir)
+      val ds = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time("docSets eager")(ds.count())
+      val buckets = Dedup.docIds(ds)
+        .repartition(32, col("gid"))
+        .groupBy("gid").agg(sort_array(collect_set(col("doc"))).as("docs"))
+        .filter(size(col("docs")) > 1)
+      time("A: buckets only")(buckets.count())
+      time("A: buckets only (2nd)")(buckets.count())
+      time("A: buckets only (3rd)")(buckets.count())
+      time("A: bucket explode pairs")(
+        buckets.select(col("docs"), posexplode(col("docs")))
+          .select(col("col").as("a"), expr("slice(docs, pos + 2, size(docs))").as("rest"))
+          .select(col("a"), explode(col("rest")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter")).count())
+      val idsP = Dedup.docIds(ds).repartition(32, col("gid"))
+      time("B: self-join pairs")(
+        idsP.as("x").join(idsP.hint("shuffle_hash").as("y"),
+            col("x.gid") === col("y.gid") && col("x.doc") < col("y.doc"))
+          .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+          .agg(count(lit(1)).as("inter")).count())
+      time("B2: self-join sortmerge")(
+        idsP.as("x").join(idsP.as("y"),
+            col("x.gid") === col("y.gid") && col("x.doc") < col("y.doc"))
+          .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+          .agg(count(lit(1)).as("inter")).count())
+      spark.stop(); return
+    }
     val t0 = System.nanoTime()
     SparkEntry.queries(qname)(spark, sfDir).count()
     println(f"[scratch] $qname total: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     Thread.sleep(1000)
-    println("[scratch] stageId tasks wallMs execRunMs name")
-    stages.sortBy(-_._3).take(12).foreach { case (id, n, w, r, nm) =>
-      println(f"[scratch] $id%7d $n%5d $w%7d $r%9d $nm")
+    println("[scratch] stageId tasks wallMs execRunMs cpuMs gcMs inputRec shufReadRec shufWriteRec")
+    stages.sortBy(-_._3).take(14).foreach { case (id, n, w, r, c, g, ir, sr, sw) =>
+      println(f"[scratch] $id%7d $n%5d $w%7d $r%9d $c%7d $g%6d $ir%9d $sr%11d $sw%12d")
     }
     spark.stop()
   }

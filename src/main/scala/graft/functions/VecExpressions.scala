@@ -96,5 +96,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineF32].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineF32(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) => WordShinglesExpr(children.head, children(1))))
   }
 }

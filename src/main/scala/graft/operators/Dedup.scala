@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions
@@ -10,13 +9,20 @@ import graft.functions.TextFunctions
   * n-gram Jaccard. All DataFrame-declarative — the only shuffles are the
   * ones the semantics force (group-by-key, candidate equi-joins).
   *
+  * The corpus is tokenized/hashed exactly ONCE into per-document shingle
+  * sets ([[hashedDocSets]]): one groupBy(doc) shuffle producing
+  * `(doc, gs: array<long>)`. Everything downstream — signatures, sizes,
+  * verification — derives from that table without rescanning text:
+  * signatures re-explode it (Generate preserves the hash partitioning, so
+  * the min/sum aggregates run exchange-free) and candidate verification is
+  * two slim joins + `array_intersect`, never a per-shingle fan-out join.
+  *
   * Two hashing modes:
-  *  - ORACLE mode (these defaults): token/shingle ids come from a
-  *    `dense_rank` vocabulary and permutations are affine `(a·id+b) mod p`
-  *    — exact integer arithmetic the DuckDB oracle reproduces term by term.
-  *  - PRODUCTION mode ([[minHashSignatureXx]]): `xxhash64(shingle, seed)`
-  *    directly — no vocabulary build (which needs a global sort/window), no
-  *    extra join; this is the 100 TB path. Same algorithm, different hash.
+  *  - ORACLE mode: shingle ids are the top 60 bits of md5(shingle) and
+  *    permutations are affine `(a·id+b) mod p` — exact integer arithmetic
+  *    the DuckDB oracle reproduces term by term.
+  *  - PRODUCTION mode (the *Xx functions): `xxhash64` throughout — cheaper
+  *    hashing, not DuckDB-expressible; this is the 100 TB path.
   */
 object Dedup {
 
@@ -49,7 +55,8 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct (id, shingle) pairs for a document table.
+  /** (doc, shingle) rows, duplicates included (set semantics are applied
+    * by whoever aggregates downstream).
     *
     * The token array is materialized in its own projection BEFORE the
     * n-gram transform: `wordNgrams` indexes the array once per shingle
@@ -58,52 +65,67 @@ object Dedup {
     * work per document — measured 10× slowdown at sf0.1). CollapseProject
     * keeps the split because the alias is referenced repeatedly by a
     * non-cheap expression. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("doc"), explode(wordNgrams(col("__toks"), n)).as("g"))
-      .distinct()
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+                               n: Int): DataFrame =
+    // Repartition the RAW text by doc id before the shingling projection:
+    // it is the same hash distribution the downstream groupBy(doc) needs
+    // (so that agg becomes exchange-free), moved BEFORE the expensive
+    // work — a small-file corpus otherwise tokenizes on however few
+    // partitions the scan produced (measured: 1 task for the whole
+    // corpus at sf0.1). graft_shingles is the native codegen expression
+    // (ShingleExpr) — one compiled byte-scan per doc vs ~20 CPU-s of
+    // interpreted HOF evaluation for the same result.
+    df.repartition(fanout(df), col(idCol))
+      .select(col(idCol).as("doc"),
+        explode(call_function("graft_shingles", col(textCol), lit(n))).as("g"))
 
-  /** Shingle vocabulary: dense ids from a global order. Kept for
-    * reference/spec use; the oracle queries use [[hashedIds]] instead —
-    * the window is a single-partition sort, which is both the scaling
-    * bottleneck and a latency cliff even locally. */
-  def vocab(sh: DataFrame): DataFrame =
-    sh.select("g").distinct()
-      .withColumn("gid", dense_rank().over(Window.orderBy("g")).cast("long"))
-
-  /** (doc, gid) pairs via the dense-rank vocabulary. */
-  def shingleIds(sh: DataFrame, vb: DataFrame): DataFrame =
-    sh.join(vb, "g").select("doc", "gid")
-
-  /** ORACLE-mode shingle ids without a vocabulary: the top 60 bits of
-    * md5(shingle) as a long. md5 is computable bit-identically in DuckDB
-    * (`CAST('0x' || substr(md5(g),1,15) AS BIGINT)`), so parity holds with
-    * no global sort, no distinct, no join-back — a pure projection. A
-    * collision merges two shingles in BOTH engines identically, so
+  /** ORACLE-mode shingle id: the top 60 bits of md5(shingle) as a long.
+    * md5 is computable bit-identically in DuckDB ([[hashedGidDuck]]), so
+    * parity holds with no vocabulary build — a pure projection. A
+    * collision merges two shingles in BOTH engines identically, so set
     * comparisons still agree exactly. */
-  def hashedIds(sh: DataFrame): DataFrame =
-    sh.select(col("doc"),
-      conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gid"))
+  def hashedGid(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
 
   def hashedGidDuck(g: String): String =
     s"CAST('0x' || substr(md5($g), 1, 15) AS BIGINT)"
 
-  /** MinHash signature: k affine permutations, one min-agg pass. gid is
-    * reduced mod P before the multiply so a·gid never overflows a long
-    * (a < P < 2^31 and gid%P < 2^31 keep the product under 2^62). */
-  def minHashSignature(ids: DataFrame, k: Int): DataFrame = {
+  /** The corpus reduced to per-doc shingle-id sets: `(doc, gs)`. ONE
+    * shuffle (the groupBy; collect_set dedups map-side), after which the
+    * text is never touched again. Docs with fewer than n tokens vanish
+    * (no shingles), matching the oracle's `len(toks) >= n` filter. */
+  def hashedDocSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    explodedShingles(df, idCol, textCol, n)
+      .groupBy("doc").agg(collect_set(hashedGid(col("g"))).as("gs"))
+
+  /** PRODUCTION doc sets: xxhash64 ids, no md5/hex decode. */
+  def hashedDocSetsXx(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    explodedShingles(df, idCol, textCol, n)
+      .groupBy("doc").agg(collect_set(xxhash64(col("g"))).as("gs"))
+
+  /** Re-exploded (doc, gid) view of a doc-set table. Generate preserves
+    * the parent's hash partitioning on `doc`, so a following
+    * groupBy("doc") aggregates WITHOUT another exchange. */
+  def docIds(docSets: DataFrame): DataFrame =
+    docSets.select(col("doc"), explode(col("gs")).as("gid"))
+
+  /** MinHash signature: k affine permutations, one exchange-free min-agg
+    * pass over [[docIds]]. gid is reduced mod P before the multiply so
+    * a·gid never overflows a long (a < P < 2^31 and gid%P < 2^31 keep the
+    * product under 2^62). */
+  def minHashSignature(docSets: DataFrame, k: Int): DataFrame = {
     val aggs = perms(k).zipWithIndex.map { case ((a, b), j) =>
       min(pmod(lit(a) * pmod(col("gid"), lit(P)) + lit(b), lit(P))).as(s"m$j")
     }
-    ids.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+    docIds(docSets).groupBy("doc").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** PRODUCTION signature — no vocabulary: permutation j hashes the raw
-    * shingle with seed j via xxhash64. */
-  def minHashSignatureXx(sh: DataFrame, k: Int): DataFrame =
-    sh.groupBy("doc")
-      .agg(min(xxhash64(lit(0), col("g"))).as("m0"),
-        (1 until k).map(j => min(xxhash64(lit(j), col("g"))).as(s"m$j")): _*)
+  /** PRODUCTION signature: permutation j re-hashes the shingle id with
+    * seed j via xxhash64 — full-range, no modular arithmetic. */
+  def minHashSignatureXx(docSets: DataFrame, k: Int): DataFrame =
+    docIds(docSets).groupBy("doc")
+      .agg(min(xxhash64(lit(0), col("gid"))).as("m0"),
+        (1 until k).map(j => min(xxhash64(lit(j), col("gid"))).as(s"m$j")): _*)
 
   /** LSH banding: signature → (band, bandKey) rows; docs sharing any band
     * key are candidates. rowsPerBand=2 packs two minhashes (< P = 2^31)
@@ -132,54 +154,80 @@ object Dedup {
   }
 
   /** Distinct candidate pairs (a < b) sharing at least one band bucket.
-    * The band table is self-joined, so it is materialized once
-    * (MEMORY_AND_DISK — signatures are k longs per doc, tiny relative to
-    * the text; at 100 TB this is the table you'd persist too). */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val b = bandsDf.persist(StorageLevel.MEMORY_AND_DISK)
-      .repartition(fanout(bandsDf), col("band"), col("bkey"))
-    val x = b.as("x"); val y = b.hint("shuffle_hash").as("y")
-    x.join(y, col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+    *
+    * One groupBy materializes each bucket's (sorted) doc list, and the
+    * pairs explode from the array — the bands table is scanned ONCE,
+    * where a self-join would materialize it twice (and, cold, race both
+    * copies concurrently — measured as the dominant cost of the whole
+    * query under driver conditions). Per-bucket memory is the doc-id
+    * array: LSH buckets are near-duplicate cliques, small by
+    * construction; a degenerate corpus (millions of copies of one doc)
+    * makes the pair set itself quadratic, which no candidate scheme
+    * avoids — exact-dedup first ([[exactDedup]]) is the standard guard. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame =
+    bandsDf.groupBy("band", "bkey")
+      .agg(sort_array(collect_set(col("doc"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(col("docs"), posexplode(col("docs")))
+      .select(col("col").as("a"), expr("slice(docs, pos + 2, size(docs))").as("rest"))
+      .select(col("a"), explode(col("rest")).as("b"))
       .distinct()
-  }
 
-  /** Exact Jaccard over the shingle-id sets, restricted to candidates. */
-  def verifiedJaccard(cand: DataFrame, ids: DataFrame): DataFrame = {
-    val sizes = ids.groupBy("doc").agg(count(lit(1)).as("n"))
-    val idsP = ids.repartition(fanout(ids), col("doc"))
-    val inter = cand.repartition(fanout(cand), col("a"))
-      .join(idsP.hint("shuffle_hash").as("ia"), col("a") === col("ia.doc"))
-      .join(idsP.hint("shuffle_hash").as("ib"),
-        col("b") === col("ib.doc") && col("ia.gid") === col("ib.gid"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("a") === col("sa.doc"))
-      .join(sizes.as("sb"), col("b") === col("sb.doc"))
+  /** Exact Jaccard over the shingle-id sets, restricted to candidates:
+    * two joins against the doc-set table (one row per candidate per side
+    * — NO per-shingle fan-out) and an `array_intersect` per pair. The
+    * per-pair cost is O(|ga|+|gb|), bounded by document length, and the
+    * joined payload is the bounded id array — the shape that survives a
+    * web-scale corpus. */
+  def verifiedJaccard(cand: DataFrame, docSets: DataFrame): DataFrame =
+    cand
+      .join(docSets.as("sa"), col("a") === col("sa.doc"))
+      .join(docSets.as("sb"), col("b") === col("sb.doc"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa.gs"), col("sb.gs"))).cast("long").as("inter"),
+        size(col("sa.gs")).cast("long").as("na"),
+        size(col("sb.gs")).cast("long").as("nb"))
       .select(col("a"), col("b"),
         (col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")).cast("double")).as("jaccard"))
-  }
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
 
   /** D2 — all near-dup pairs by n-gram Jaccard ≥ threshold, candidates
-    * blocked on sharing ≥1 shingle (the join IS the blocking). */
+    * blocked on sharing ≥1 shingle (the per-shingle bucket IS the
+    * blocking).
+    *
+    * Shape: one [[hashedDocSets]] pass (the text is hashed to long ids
+    * once and never shuffled again), then per-gid doc buckets
+    * (groupBy + collect_set), intra-bucket pair explosion, and a count
+    * per pair — `inter(a,b)` = number of shared shingle ids. No
+    * self-join: the bucket table is scanned once, and all joined/shuffled
+    * data is longs. The numbered repartition pins the fan-out stage at
+    * cluster parallelism (AQE would coalesce it by its tiny input bytes
+    * and run the pair explosion on 1-2 threads).
+    *
+    * `maxDf` caps the blocking side: shingles appearing in more than
+    * `maxDf` docs are dropped from candidate GENERATION (not from the
+    * Jaccard sizes). On a web-scale corpus high-df shingles create
+    * near-quadratic hot buckets while contributing almost no evidence of
+    * duplication — the standard production mitigation. `maxDf <= 0`
+    * disables the cap (exact semantics, what the oracle checks). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    // Used three times below (both join sides + sizes): tokenize once.
-    val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    // Shuffled-hash over sort-merge: both sides are the bounded shingle
-    // table, and the join's multi-match fan-out (every doc pair sharing a
-    // shingle) dwarfs the input — hashing 256k rows beats sorting them,
-    // and the fan-out cost is identical either way. The numbered
-    // repartition pins parallelism through the fan-out (see [[fanout]]).
-    val shP = sh.repartition(fanout(sh), col("g"))
-    val inter = shP.as("x")
-      .join(shP.as("y"),
-        col("x.g") === col("y.g") && col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
-      .agg(count(lit(1)).as("inter"))
+                        n: Int, threshold: Double, maxDf: Int = 0): DataFrame = {
+    // Eager fill: the sizes and candidate branches below share this
+    // cache; left lazy they race to materialize it concurrently
+    // (measured: full 32-task waves parked on block locks).
+    val docSets = hashedDocSets(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    docSets.count()
+    val sizes = docSets.select(col("doc"), size(col("gs")).cast("long").as("n"))
+    val buckets = docIds(docSets)
+      .repartition(fanout(docSets), col("gid"))
+      .groupBy("gid").agg(sort_array(collect_set(col("doc"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val capped = if (maxDf > 0) buckets.filter(size(col("docs")) <= maxDf) else buckets
+    val inter = capped
+      .select(col("docs"), posexplode(col("docs")))
+      .select(col("col").as("a"), expr("slice(docs, pos + 2, size(docs))").as("rest"))
+      .select(col("a"), explode(col("rest")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("a") === col("sa.doc"))
       .join(sizes.as("sb"), col("b") === col("sb.doc"))
@@ -195,35 +243,61 @@ object Dedup {
 
   /** D4 — b-bit SimHash over the distinct-token set: bit j of token id t is
     * ((c·t+d) mod P) mod 2; the signature bit is the sign of the ±1 vote
-    * sum. One group-by pass computes all bits. */
-  def simHash(ids: DataFrame, bits: Int): DataFrame = {
+    * sum. One exchange-free group-by pass over [[docIds]] computes all
+    * bits. */
+  def simHash(docSets: DataFrame, bits: Int): DataFrame = {
     val votes = simPerms(bits).zipWithIndex.map { case ((c, dd), j) =>
       sum(pmod(pmod(lit(c) * pmod(col("gid"), lit(P)) + lit(dd), lit(P)), lit(2L)) * 2L - 1L).as(s"v$j")
     }
-    val sig = ids.groupBy("doc").agg(votes.head, votes.tail: _*)
+    val sig = docIds(docSets).groupBy("doc").agg(votes.head, votes.tail: _*)
     val sim = (0 until bits).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     sig.select(col("doc"), sim.as("sim"))
   }
 
-  /** D4 — pairs within `maxHamming`, blocked by 4-bit chunks (pigeonhole:
-    * hamming ≤ 3 over 16 bits ⇒ some 4-bit chunk is identical, so the
-    * blocked equi-join loses nothing vs the quadratic scan). */
+  /** D4 — pairs within `maxHamming`, blocked by chunk keys.
+    *
+    * Pigeonhole with the MINIMAL block count: `maxHamming+1` blocks of
+    * `bits/(maxHamming+1)` bits — at most `maxHamming` blocks can differ,
+    * so some block is identical and the blocked equi-join loses nothing
+    * vs the quadratic scan. Fewer blocks ⇒ wider chunks ⇒ exponentially
+    * more key values per block (2^8=256 for 32-bit/hamming-3 vs 2^4=16
+    * for 4-bit chunks) ⇒ thinner buckets and a near-linear join.
+    *
+    * A pair sharing several chunk keys is emitted ONCE, at its first
+    * matching block (the filter requires every earlier block to differ) —
+    * no distinct() shuffle over the pair fan-out. */
   def simHashPairs(sims: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
-    val chunks = bits / 4
+    val blocks = maxHamming + 1
+    require(bits % blocks == 0, s"bits=$bits not divisible into $blocks blocks")
+    val cb = bits / blocks
+    val mask = (1L << cb) - 1
     val chunked = sims.select(col("doc"), col("sim"),
-      explode(array((0 until chunks).map(t =>
+      explode(array((0 until blocks).map(t =>
         struct(lit(t).as("blk"),
-          expr(s"shiftright(sim, ${4 * t}) & 15").as("ckey"))): _*)).as("c"))
+          expr(s"shiftright(sim, ${cb * t}) & $mask").as("ckey"))): _*)).as("c"))
       .select(col("doc"), col("sim"), col("c.blk"), col("c.ckey"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // self-joined below
-      .repartition(fanout(sims), col("blk"), col("ckey"))
-    chunked.as("x").join(chunked.hint("shuffle_hash").as("y"),
-        col("x.blk") === col("y.blk") && col("x.ckey") === col("y.ckey") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("a"), col("y.doc").as("b"),
-        expr("bit_count(x.sim ^ y.sim)").as("hamming"))
-      .distinct()
+    // Bucket group-by + intra-bucket pair explosion: the chunk table is
+    // scanned once (no self-join, no persist, no duplicated cold
+    // materialization). sort_array on (doc, sim) structs orders by doc,
+    // so a < b holds by construction.
+    val xorC = col("sa").bitwiseXOR(col("y.sim"))
+    val firstMatch = (0 until blocks).map { t =>
+      val earlierAllDiffer = (0 until t)
+        .map(tp => shiftright(xorC, cb * tp).bitwiseAND(lit(mask)) =!= 0)
+        .foldLeft(lit(true))(_ && _)
+      (col("blk") === t) && earlierAllDiffer
+    }.reduce(_ || _)
+    chunked.groupBy("blk", "ckey")
+      .agg(sort_array(collect_set(struct(col("doc"), col("sim")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("blk"), col("ds"), posexplode(col("ds")))
+      .select(col("blk"), col("col.doc").as("a"), col("col.sim").as("sa"),
+        expr("slice(ds, pos + 2, size(ds))").as("rest"))
+      .select(col("blk"), col("a"), col("sa"), explode(col("rest")).as("y"))
+      .filter(firstMatch)
+      .select(col("a"), col("y.doc").as("b"),
+        expr("bit_count(sa ^ y.sim)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -14,14 +14,42 @@ object Relational {
 
   /** A1 — surrogate key (reference: `range(0, len(df))`, airflow.py:161).
     *
-    * Deterministic variant: `row_number()` over an explicit total order.
-    * This is what the reference semantics require (ids follow feed order)
-    * and what the oracle checks. Costs a global sort — fine into the TB
-    * range with range-partitioned sort, but see [[surrogateKeyUnordered]]
-    * for the 100 TB path when ids only need uniqueness, not order.
+    * Deterministic dense 0-based ids following an explicit total order —
+    * what the reference semantics require (ids follow feed order) and what
+    * the oracle checks — WITHOUT the single-partition global window
+    * (`row_number() OVER (ORDER BY ...)` moves all data to one task).
+    *
+    * Shape: range-partition on the order keys, sort within partitions,
+    * take the per-partition counter from `monotonically_increasing_id`
+    * (pid in the high bits, in-partition position in the low 33), then add
+    * per-partition offsets from a tiny count aggregate (one row per
+    * partition, broadcast back). When `order` is a total order this equals
+    * the global `row_number() - 1` exactly; the data-sized work is one
+    * range exchange + local sort — no stage sees more than 1/n of the
+    * input at any scale.
     */
-  def surrogateKey(df: DataFrame, idCol: String, order: Seq[Column]): DataFrame =
-    df.withColumn(idCol, row_number().over(Window.orderBy(order: _*)).cast("long") - 1)
+  def surrogateKey(df: DataFrame, idCol: String, order: Seq[Column]): DataFrame = {
+    val n = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    // monotonically_increasing_id is nondeterministic, so Catalyst never
+    // reorders it across the sort below — assignment follows sorted order.
+    val mids = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+    // The offsets table is one row per partition (n rows total) — a
+    // single-partition window over it is the POINT, not a hazard. The
+    // partition key must be non-foldable (pmod(__pid, 1) ≡ 0) or
+    // EliminateWindowPartitions folds it away and WindowExec logs the
+    // scary-but-wrong "No Partition Defined" warning for an n-row frame.
+    val offW = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = mids.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(offW), lit(0L)))
+      .select("__pid", "__off")
+    mids.join(broadcast(offsets), "__pid")
+      .withColumn(idCol, col("__off") + (col("__mid") - shiftleft(col("__pid"), 33)))
+      .drop("__mid", "__pid", "__off")
+  }
 
   /** A1 scale path — unique ids without a total sort: partition id in the
     * high bits, per-partition counter in the low bits. One narrow pass,

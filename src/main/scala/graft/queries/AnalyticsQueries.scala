@@ -49,7 +49,7 @@ object AnalyticsQueries {
     },
 
     // B2 — top-k revenue (TPC-H Q3 shape): dim-filtered customer joins the
-    // orders→lineitem fact chain; broadcast the filtered customer keys.
+    // orders→lineitem fact chain.
     QueryDef.sql("q3_topk_revenue",
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
@@ -66,8 +66,11 @@ object AnalyticsQueries {
         .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1996-03-15 00:00:00").cast("timestamp"))
+      // No broadcast hint on customer: it grows with sf (billions of rows
+      // at the 100 TB point). Locally the 64 MB auto-threshold + AQE still
+      // pick a broadcast join; at scale they fall back to shuffle.
       Relational.topKByAgg(
-        broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
           .join(li, col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
           .agg(dsum("l_extendedprice*(1-l_discount)").as("revenue"))
@@ -77,8 +80,9 @@ object AnalyticsQueries {
         10, Seq(col("revenue").desc, col("l_orderkey")))
     },
 
-    // B3 — multi-join volume rollup (TPC-H Q5 shape): all dims broadcast,
-    // the only shuffles are the orders⋈lineitem key exchange + final agg.
+    // B3 — multi-join volume rollup (TPC-H Q5 shape): fixed-size dims
+    // (nation/region) broadcast by hint; sf-proportional tables join by
+    // whatever the threshold + AQE pick at the actual scale.
     QueryDef.sql("q5_nation_volume",
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
@@ -94,10 +98,12 @@ object AnalyticsQueries {
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
                 col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-      broadcast(Tables.customer(s, d))
+      // customer/supplier grow linearly with sf — no forced broadcast;
+      // only the fixed-size nation/region dims keep explicit hints.
+      Tables.customer(s, d)
         .join(ord, col("c_custkey") === col("o_custkey"))
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
@@ -107,9 +113,9 @@ object AnalyticsQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
-    // B11 — promo revenue share (TPC-H Q14 shape): fact⋈dim broadcast join
-    // + conditional aggregation. The part dim broadcasts; the only
-    // fact-side cost is the pushed-down date-range scan.
+    // B11 — promo revenue share (TPC-H Q14 shape): fact⋈dim join +
+    // conditional aggregation; the only fact-side cost is the pushed-down
+    // date-range scan.
     QueryDef.sql("q14_promo_revenue",
       """SELECT
         |  100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
@@ -123,7 +129,8 @@ object AnalyticsQueries {
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
                 col("l_shipdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
-      li.join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      // part grows with sf: no forced broadcast (threshold + AQE decide).
+      li.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .agg(
           (lit(100.0) *
             expr("CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)") /
@@ -171,8 +178,8 @@ object AnalyticsQueries {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
         |FROM (
         |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM (
         |    SELECT user_id, ts, event_id,
         |      CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -408,7 +415,7 @@ object AnalyticsQueries {
     // B9 — JSON property extraction from the event payload column.
     QueryDef.sql("q_json_extract",
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)

@@ -92,20 +92,27 @@ object DedupQueries {
          |WHERE CAST(ic AS DOUBLE) / CAST(sa.n + sb.n - ic AS DOUBLE) >= 0.5
          |ORDER BY a, b""".stripMargin
     }) { (s, d) =>
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
-      // ids feeds the signature AND the 3-way verification join: hash it
-      // once (pure projection — no vocabulary) and persist.
-      val ids = Dedup.hashedIds(sh)
+      // The corpus is hashed ONCE into per-doc shingle-id sets; the
+      // signature, banding, and verification all reuse that one table
+      // (signature agg is exchange-free on its partitioning; verification
+      // is array_intersect per candidate — no per-shingle fan-out join).
+      val docSets = Dedup.hashedDocSets(Tables.documents(s, d), "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ids, 8), 4, 2))
-      Dedup.verifiedJaccard(cand, ids)
+      // Eager fill: the candidate chain and the two verification joins all
+      // read this cache; left lazy they race to materialize it
+      // concurrently (duplicated work + block-lock stalls, measured 2-3×
+      // on a cold JVM).
+      docSets.count()
+      val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2))
+      Dedup.verifiedJaccard(cand, docSets)
         .filter(col("jaccard") >= 0.5)
         .orderBy("a", "b")
     },
 
     // D4 — 32-bit SimHash over the distinct-token set; pairs with Hamming
-    // distance ≤ 3, candidate join blocked by 4-bit chunks (pigeonhole:
-    // 3 differing bits over 8 chunks leave ≥5 chunks identical).
+    // distance ≤ 3, candidate join blocked by 8-bit chunks (pigeonhole:
+    // 3 differing bits over 4 chunks leave ≥1 chunk identical; 256-value
+    // chunk keys keep the buckets thin where 4-bit keys made them fat).
     QueryDef.sql("d_simhash", {
       val bits = 32
       val voteExprs = Dedup.simPerms(bits).zipWithIndex.map { case ((c, dd), j) =>
@@ -114,8 +121,8 @@ object DedupQueries {
       val simExpr = (0 until bits)
         .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" + ")
-      val chunkSelects = (0 until bits / 4).map { t =>
-        s"SELECT doc, sim, $t AS blk, (sim >> ${4 * t}) & 15 AS ckey FROM sim"
+      val chunkSelects = (0 until bits / 8).map { t =>
+        s"SELECT doc, sim, $t AS blk, (sim >> ${8 * t}) & 255 AS ckey FROM sim"
       }.mkString(" UNION ALL ")
       s"""WITH ${idsCte(1)},
          |sig AS (SELECT doc, $voteExprs FROM ids GROUP BY doc),
@@ -128,23 +135,22 @@ object DedupQueries {
          |SELECT a, b, hamming FROM pairs WHERE hamming <= 3
          |ORDER BY a, b""".stripMargin
     }) { (s, d) =>
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 1)
-      Dedup.simHashPairs(Dedup.simHash(Dedup.hashedIds(sh), 32), 32, 3)
+      val docSets = Dedup.hashedDocSets(Tables.documents(s, d), "doc_id", "text", 1)
+      Dedup.simHashPairs(Dedup.simHash(docSets, 32), 32, 3)
         .orderBy("a", "b")
     },
 
-    // D3 production path — same MinHash+LSH pipeline hashed with xxhash64:
-    // no vocabulary build (the oracle variant's global-sort window and
-    // vocab join disappear), band keys re-hashed to avoid packing
+    // D3 production path — same MinHash+LSH pipeline hashed with xxhash64
+    // end to end (no md5/hex decode), band keys re-hashed to avoid packing
     // overflow. This is the 100 TB configuration; estimator-free but not
     // DuckDB-expressible (no xxhash64 there) ⇒ rows-only check.
     QueryDef.rowsOnly("d_minhash_lsh_xx") { (s, d) =>
-      val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
+      val docSets = Dedup.hashedDocSetsXx(Tables.documents(s, d), "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docSets.count() // eager fill — see d_minhash_lsh
       val cand = Dedup.lshCandidates(
-        Dedup.lshBandsHashed(Dedup.minHashSignatureXx(sh, 8), 4, 2))
-      val ids = sh.select(col("doc"), xxhash64(col("g")).as("gid"))
-      Dedup.verifiedJaccard(cand, ids)
+        Dedup.lshBandsHashed(Dedup.minHashSignatureXx(docSets, 8), 4, 2))
+      Dedup.verifiedJaccard(cand, docSets)
         .filter(col("jaccard") >= 0.5)
         .orderBy("a", "b")
     },

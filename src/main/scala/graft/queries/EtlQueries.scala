@@ -97,8 +97,9 @@ object EtlQueries {
         |LEFT JOIN customer ON o.o_custkey = c_custkey
         |WHERE c_name IS NOT NULL
         |ORDER BY c_name""".stripMargin) { (s, d) =>
+      // customer grows with sf: rely on the auto-threshold, not a hint.
       Tables.orders(s, d).select("o_custkey")
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"), "left")
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "left")
         .filter(col("c_name").isNotNull)
         .select("c_name", "c_mktsegment", "c_acctbal")
         .distinct()

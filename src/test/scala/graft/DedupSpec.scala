@@ -22,34 +22,41 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash+LSH surfaces the exact and near duplicates") {
-    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
-    val ids = Dedup.shingleIds(sh, Dedup.vocab(sh))
-    val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ids, 8), 4, 2))
-    val pairs = Dedup.verifiedJaccard(cand, ids)
+    val docSets = Dedup.hashedDocSets(corpus, "doc_id", "text", 3)
+    val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2))
+    val pairs = Dedup.verifiedJaccard(cand, docSets)
       .filter(col("jaccard") >= 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 2L))) // exact dup always survives
-    val j02 = Dedup.verifiedJaccard(cand, ids).filter(col("a") === 0 && col("b") === 2)
+    val j02 = Dedup.verifiedJaccard(cand, docSets).filter(col("a") === 0 && col("b") === 2)
       .select("jaccard").as[Double].collect()
     assert(j02.toSeq == Seq(1.0))
   }
 
   test("production xxhash64 signature agrees with oracle signature on dup detection") {
-    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
-    val sig = Dedup.minHashSignatureXx(sh, 8)
+    val docSets = Dedup.hashedDocSetsXx(corpus, "doc_id", "text", 3)
+    val sig = Dedup.minHashSignatureXx(docSets, 8)
     val cand = Dedup.lshCandidates(Dedup.lshBandsHashed(sig, 4, 2))
       .as[(Long, Long)].collect().toSet
     assert(cand.contains((0L, 2L)))
   }
 
   test("simhash gives identical signatures to identical token sets") {
-    val sh = Dedup.shingles(corpus, "doc_id", "text", 1)
-    val ids = Dedup.shingleIds(sh, Dedup.vocab(sh))
-    val sims = Dedup.simHash(ids, 16).orderBy("doc").as[(Long, Long)].collect().toMap
+    val docSets = Dedup.hashedDocSets(corpus, "doc_id", "text", 1)
+    val sims = Dedup.simHash(docSets, 16).orderBy("doc").as[(Long, Long)].collect().toMap
     assert(sims(0L) == sims(2L))
-    val pairs = Dedup.simHashPairs(Dedup.simHash(ids, 16), 16, 3)
+    val pairs = Dedup.simHashPairs(Dedup.simHash(docSets, 16), 16, 3)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 2L)))
+  }
+
+  test("simhash pair emitted once even when several chunk keys match") {
+    // docs 0 and 2 are identical ⇒ every block's chunk key matches; the
+    // first-match filter must still emit exactly one (0,2) row.
+    val docSets = Dedup.hashedDocSets(corpus, "doc_id", "text", 1)
+    val rows = Dedup.simHashPairs(Dedup.simHash(docSets, 16), 16, 3)
+      .filter(col("a") === 0 && col("b") === 2).collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("hamming") == 0)
   }
 
   test("ngram jaccard finds the near-dup pair above threshold") {
