@@ -93,6 +93,12 @@ object Scratch {
     val t0 = System.nanoTime()
     SparkEntry.queries(qname)(spark, sfDir).count()
     println(f"[scratch] $qname total: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    if (args.length > 1 && args(1) == "twice") {
+      spark.catalog.clearCache(); System.gc()
+      val t1 = System.nanoTime()
+      SparkEntry.queries(qname)(spark, sfDir).count()
+      println(f"[scratch] $qname 2nd run: ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
     Thread.sleep(1000)
     println("[scratch] stageId tasks wallMs execRunMs cpuMs gcMs inputRec shufReadRec shufWriteRec")
     stages.sortBy(-_._3).take(14).foreach { case (id, n, w, r, c, g, ir, sr, sw) =>

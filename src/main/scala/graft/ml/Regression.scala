@@ -64,6 +64,21 @@ object Regression {
       count(lit(1)).as("n"))
   }
 
+  /** Fit + RMSE fused into ONE plan: the 1-row fit aggregate is broadcast
+    * cross-joined onto the residual scan, so no driver-side `.head()`
+    * round-trip splits the work into two jobs. Numerically identical to
+    * [[exactOls]] → [[exactRmse]] (the fit emerges as the same doubles;
+    * residual squares are decimal-summed either way). */
+  def exactRmseFitted(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val fit = exactOls(df, xCol, yCol).select(col("slope"), col("intercept"))
+    val resid = col(yCol) - (col("intercept") + col("slope") * col(xCol))
+    df.crossJoin(broadcast(fit))
+      .agg(
+        sqrt(sum((resid * resid).cast("decimal(38,8)")).cast("double") / count(lit(1)))
+          .as("rmse"),
+        count(lit(1)).as("n"))
+  }
+
   /** spark.ml pipeline: assemble features → LinearRegression (normal
     * solver, no regularization) — the general multi-feature path. */
   def fitMl(df: DataFrame, features: Seq[String], labelCol: String): LinearRegressionModel = {

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Typed decode output — the `Dataset[BinaryMeta]` encoder keeps the
+    * whole decode inside Catalyst (DeserializeToObject → MapPartitions →
+    * SerializeFromObject), unlike an RDD round-trip which would detach the
+    * stage from the optimizer and codegen. */
+  final case class BinaryMeta(doc_id: Long, n_bytes: Int, width: Int,
+                              height: Int, format: String)
+
   val metaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),
@@ -26,7 +33,7 @@ object Multimodal {
   /** STUB decode: derives fake (width, height, format) from the first two
     * payload bytes. A real deployment swaps `decodeBatch` for the codec
     * call (e.g. JNI image decode) — the Spark plumbing is unchanged. */
-  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[Row] =
+  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[BinaryMeta] =
     batch.map { case (id, bytes) =>
       val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
       val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
@@ -35,20 +42,20 @@ object Multimodal {
         case 1 => "png"
         case _ => "webp"
       }
-      Row(id, bytes.length, 16 + b0 % 64, 16 + b1 % 64, fmt)
+      BinaryMeta(id, bytes.length, 16 + b0 % 64, 16 + b1 % 64, fmt)
     }
 
   /** Attach a binary payload column (here: the UTF-8 text bytes stand in
-    * for an image payload) and run the batched decode stub. */
+    * for an image payload) and run the batched decode stub as a typed
+    * `Dataset.mapPartitions` — partition-local, batched, and still a
+    * Catalyst plan node. */
   def decodeStub(docs: DataFrame, idCol: String, payloadCol: String,
                  batchSize: Int = 64): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col(idCol), col(payloadCol).cast("binary"))
-      .rdd.mapPartitions { it =>
-        it.grouped(batchSize).flatMap { rows =>
-          decodeBatch(rows.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
-        }
-      }
-    spark.createDataFrame(rdd, metaSchema)
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
+      .toDF()
   }
 }

@@ -65,6 +65,21 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // D2 production path — same Jaccard pipeline with the blocking side
+    // capped at document frequency ≤ 32: shingles shared by more docs are
+    // dropped from candidate GENERATION (not from the Jaccard sizes).
+    // On a web-scale corpus high-df shingles make near-quadratic hot
+    // buckets while contributing almost no evidence of duplication — the
+    // cap bounds every bucket's pair fan-out at maxDf². Recall vs the
+    // exact operator is spec'd in DedupSpec on the sf0.001 corpus.
+    // Candidate capping isn't SQL-expressible as the same ORDER OF OPS in
+    // DuckDB without replicating the bucket pipeline ⇒ rows-only check.
+    QueryDef.rowsOnly("d_ngram_jaccard_capped") { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.3,
+          maxDf = 32)
+        .orderBy("a", "b")
+    },
+
     // D3 — MinHash (8 perms) + LSH (4 bands × 2 rows) candidates, verified
     // by exact Jaccard ≥ 0.5 over 3-gram shingles.
     QueryDef.sql("d_minhash_lsh", {

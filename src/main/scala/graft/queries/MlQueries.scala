@@ -37,6 +37,8 @@ object MlQueries {
 
     // F3 — RMSE of the fitted line (RegressionEvaluator semantics),
     // residual squares decimal-summed so the metric is deterministic.
+    // Fit + eval is ONE plan (broadcast crossJoin of the 1-row fit) —
+    // no driver-side .head() splitting it into two jobs.
     QueryDef.sql("m_regression_eval",
       s"""WITH $olsCte,
          |s AS (SELECT n, slope, (sy - slope*sx)/n AS intercept FROM f)
@@ -45,10 +47,7 @@ object MlQueries {
          |    (l_extendedprice - (intercept + slope*l_quantity)) AS DECIMAL(38,8)))
          |  AS DOUBLE) / s.n) AS rmse, s.n AS n
          |FROM lineitem CROSS JOIN s GROUP BY s.n""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-      val fit = Regression.exactOls(li, "l_quantity", "l_extendedprice").head()
-      Regression.exactRmse(li, "l_quantity", "l_extendedprice",
-        fit.getAs[Double]("slope"), fit.getAs[Double]("intercept"))
+      Regression.exactRmseFitted(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
         .select(col("rmse"), col("n"))
     },
 

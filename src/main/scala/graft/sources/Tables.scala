@@ -96,9 +96,9 @@ object Tables {
   }
 
   /** JDBC surface mirroring the reference's Postgres stage
-    * (airflow.py:560-650). No database ships in this container, so these
-    * are thin compile-tested wrappers: partitioned-read options are the
-    * part that matters at scale (parallel fetch, not one connection). */
+    * (airflow.py:560-650). Round-trip spec'd against embedded Derby
+    * (SourcesSpec): partitioned-read options are the part that matters at
+    * scale (N parallel range-bounded connections, not one cursor). */
   def jdbcRead(spark: SparkSession, url: String, table: String,
                partitionColumn: Option[(String, Long, Long, Int)] = None,
                props: Map[String, String] = Map.empty): DataFrame = {

@@ -65,4 +65,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
     assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
   }
+
+  test("df-capped blocking is a subset of exact pairs with high recall (sf0.001)") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3, maxDf = 32)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // Capping only removes candidates, never adds: capped ⊆ exact always.
+    assert(capped.subsetOf(exact))
+    // Near-dup pairs share many LOW-df shingles (their unique content),
+    // so dropping the high-df blocking shingles barely dents recall.
+    assert(exact.nonEmpty, "sf0.001 corpus should contain near-dup pairs")
+    assert(capped.size.toDouble / exact.size >= 0.9,
+      s"recall ${capped.size}/${exact.size} below 0.9")
+  }
 }

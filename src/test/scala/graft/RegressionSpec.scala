@@ -25,6 +25,18 @@ class RegressionSpec extends AnyFunSuite {
     assert(math.abs(evRmse - exRmse) / evRmse < 1e-9)
   }
 
+  test("fused fit+rmse plan equals the two-step fit then rmse") {
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+    val fit = Regression.exactOls(li, "l_quantity", "l_extendedprice").head()
+    val twoStep = Regression
+      .exactRmse(li, "l_quantity", "l_extendedprice",
+        fit.getAs[Double]("slope"), fit.getAs[Double]("intercept"))
+      .head().getAs[Double]("rmse")
+    val fused = Regression.exactRmseFitted(li, "l_quantity", "l_extendedprice")
+      .head().getAs[Double]("rmse")
+    assert(fused == twoStep) // same doubles feed the same decimal sum
+  }
+
   test("r2 is within [0, 1] and matches model summary") {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
     val exact = Regression.exactOls(li, "l_quantity", "l_extendedprice").head()

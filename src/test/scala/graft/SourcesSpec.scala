@@ -53,6 +53,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(!scan.contains("grp=B"))
   }
 
+  test("jdbc write/read round-trips against embedded Derby (G5)") {
+    val home = Files.createTempDirectory("graft_derby").toString
+    System.setProperty("derby.system.home", home) // keep derby.log out of the repo
+    val url = s"jdbc:derby:$home/db;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, "c", 9.0))
+      .toDF("id", "name", "score")
+    Tables.jdbcWrite(df, url, "t_roundtrip", props)
+    val back = Tables.jdbcRead(spark, url, "t_roundtrip", props = props)
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, "c", 9.0)))
+    // Partitioned read: the scale path is N parallel range-bounded
+    // connections, not one cursor streaming the whole table.
+    val part = Tables.jdbcRead(spark, url, "t_roundtrip",
+      partitionColumn = Some(("id", 1L, 3L, 2)), props = props)
+    assert(part.rdd.getNumPartitions == 2)
+    assert(part.count() == 3)
+  }
+
+  test("multimodal decode stays a Catalyst plan — no RDD round-trip (F4)") {
+    val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    val out = graft.multimodal.Multimodal.decodeStub(docs, "doc_id", "text")
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LogicalRDD") && !plan.contains("ExternalRDD"),
+      s"decode detached from Catalyst:\n$plan")
+    assert(out.orderBy("doc_id").select("n_bytes", "format").collect().length == 2)
+  }
+
   test("streaming file source feeds the tumbling aggregation (G6/F1)") {
     val inDir = Files.createTempDirectory("graft_stream_in").toString + "/events"
     val batch = Seq(
