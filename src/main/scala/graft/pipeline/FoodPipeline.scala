@@ -90,10 +90,33 @@ object FoodPipeline {
         .agg(count(col("schedule_id")).as("schedule_count")),
       k, Seq(col("schedule_count").desc, col("applicant")))
 
-  /** Load stage: columnar partitioned export (replaces airflow.py:463-521
-    * row-wise Postgres INSERT + airflow.py:718 pandas parquet round-trip). */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Unit =
-    build(spark, sfDir).foreach { case (name, df) =>
-      Tables.writeParquet(df, s"$outDir/$name")
-    }
+  /** The full DAG under [[Orchestrator]] semantics (airflow.py:816-850:
+    * Extract >> Transform >> Load >> Spark, `retries=2`): input
+    * validation, normalization, columnar export (replaces the
+    * reference's row-wise Postgres INSERT, airflow.py:463-521), then the
+    * flagship analysis exported as an SVG pie (airflow.py:674-687's
+    * matplotlib-to-S3 stage; the Hadoop FS writer takes `s3a://` paths
+    * unchanged). Returns per-task status. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          retries: Int = 2): Map[String, Orchestrator.Status] = {
+    var tables: Map[String, DataFrame] = Map.empty
+    Orchestrator.run(Seq(
+      Orchestrator.Task("extract", Nil, retries) { () =>
+        // The reference's Extract pulls the feeds; here the feeds are the
+        // input tables — fail fast (and retryably) if any is unreadable.
+        Seq("orders", "customer", "nation").foreach(Tables.load(spark, sfDir, _).schema)
+      },
+      Orchestrator.Task("transform", Seq("extract"), retries) { () =>
+        tables = build(spark, sfDir)
+      },
+      Orchestrator.Task("load", Seq("transform"), retries) { () =>
+        tables.foreach { case (name, df) => Tables.writeParquet(df, s"$outDir/$name") }
+      },
+      Orchestrator.Task("analyze", Seq("load"), retries) { () =>
+        graft.viz.Charts.exportPie(topBusinesses(tables),
+          "applicant", "schedule_count",
+          "Top 5 businesses by approved schedule share",
+          s"$outDir/images/schedule_per_business.svg")
+      }))
+  }
 }

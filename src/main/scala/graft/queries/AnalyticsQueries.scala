@@ -350,6 +350,24 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // B14x — approximate percentiles: the scale path for q_percentiles.
+    // The exact operator's per-group rank window makes each group one
+    // task — 5 priority groups = 5 straggler tasks at 100 TB.
+    // percentile_approx is a mergeable quantile sketch: partial-aggregated
+    // map-side like any sum, no per-group collection anywhere. Estimator
+    // output ⇒ rows-only driver check; agreement with the exact discrete
+    // percentiles is spec'd (PercentileSpec) at accuracy 10000.
+    QueryDef.rowsOnly("q_approx_percentiles") { (s, d) =>
+      val v = col("o_totalprice").cast("double")
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile_approx(v, lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(v, lit(0.9), lit(10000)).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // B15 — CUBE: all grouping-set combinations (B8's rollup sibling).
     QueryDef.sql("q_cube",
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -25,11 +25,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts == counts.sorted.reverse)
   }
 
-  test("run() writes every output as parquet") {
+  test("run() executes the DAG, writes every output, and exports the chart") {
     val out = Files.createTempDirectory("graft_pipe").toString
-    FoodPipeline.run(spark, d, out)
+    val status = FoodPipeline.run(spark, d, out)
+    assert(status.keySet == Set("extract", "transform", "load", "analyze"))
+    assert(status.values.forall(_.isInstanceOf[graft.pipeline.Orchestrator.Succeeded]),
+      status.toString)
     val details = spark.read.parquet(s"$out/details")
     assert(details.count() > 0)
     assert(details.columns.toSet == Set("permit", "applicant", "facilitytype"))
+    val svg = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/images/schedule_per_business.svg")), "UTF-8")
+    assert(svg.startsWith("<svg") && svg.contains("</svg>"))
+    assert(svg.contains("Top 5 businesses"))
   }
 }
