@@ -90,6 +90,20 @@ object Scratch {
           .agg(count(lit(1)).as("inter")).count())
       spark.stop(); return
     }
+    if (qname == "ivf") {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      import graft.sources.Tables
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val cents = Similarity.trainIvfCentroids(emb, "embedding", 16)
+      println(s"[ivf] centroid norms: ${cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)).map(n => f"$n%.2f").mkString(",")}")
+      val assigned = emb.select(col("vec_id"), col("label"),
+        Similarity.ivfDebugList(col("embedding"), cents).as("list"))
+      assigned.groupBy("label").agg(count_distinct(col("list")).as("n_lists"),
+          count(lit(1)).as("n")).orderBy("label").show(20, false)
+      assigned.groupBy("list").agg(count(lit(1)).as("n")).orderBy(desc("n")).show(20, false)
+      spark.stop(); return
+    }
     val t0 = System.nanoTime()
     SparkEntry.queries(qname)(spark, sfDir).count()
     println(f"[scratch] $qname total: ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -32,6 +32,15 @@ object VectorFunctions {
     * interpreted, so the hot paths use the codegen expression instead. */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2-normalized copy of the vector (doubles). Cosine is invariant to
+    * it; k-means is NOT — training on unit vectors makes L2 k-means
+    * spherical, so "nearest centroid by cosine" and "centroid that
+    * claimed me in training" agree (the IVF assignment consistency). */
+  def unit(a: Column): Column = {
+    val n = norm(a)
+    transform(toD(a), x => x / n)
+  }
+
   /** Cosine similarity via the native codegen expression (same arithmetic,
     * same result bits as [[cosineHof]] — see CosineF32's scaladoc).
     * Resolved through the FunctionRegistry name GraftExtensions installs,

@@ -1,18 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
-/** Similarity search over embedding columns (SURVEY §2 E1-E2, D5).
+/** Similarity search over embedding columns (SURVEY §2 E1-E3, D5).
   *
   * E1 brute force is the exactness baseline: probes × corpus cross join.
   * O(|Q|·N) — only sane for small probe sets; it exists to calibrate the
   * approximate paths. E2 buckets both sides by random-hyperplane LSH sign
   * bits so the join becomes an equi-join on bucket id: at 100 TB the
   * cross join disappears and each bucket is a small dense block (AQE
-  * handles bucket skew).
+  * handles bucket skew). E3 is IVF: data-adaptive k-means coarse
+  * centroids, inverted lists keyed by nearest centroid, probes search
+  * only their `nProbe` nearest lists.
   */
 object Similarity {
 
@@ -36,6 +38,77 @@ object Similarity {
     val pb = probes.select(col("vec_id").as("q"), col("embedding").as("qv"), bucket.as("bucket"))
     val cb = corpus.select(col("vec_id").as("n"), col("embedding").as("nv"), bucket.as("bucket"))
     val joined = pb.join(cb, "bucket")
+      .filter(col("q") =!= col("n"))
+      .select(col("q"), col("n"), VectorFunctions.cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("rank"), col("n"), col("cos"))
+  }
+
+  /** E3 — train IVF coarse centroids with spark.ml KMeans (fixed seed).
+    * At 100 TB this trains on a driver-bounded SAMPLE of the corpus (the
+    * coarse quantizer needs cluster shapes, not every row); `sampleCap`
+    * bounds the training set regardless of corpus size. Returns the
+    * centroids as plain float arrays — small (nLists × dims), shipped to
+    * executors as literals inside the assignment expression. */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String, nLists: Int,
+                        sampleCap: Long = 100000L, seed: Long = 42L): Array[Array[Float]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = corpus.count()
+    val sampled =
+      if (n <= sampleCap) corpus
+      else corpus.sample(withReplacement = false, sampleCap.toDouble / n, seed)
+    // Unit-normalize before training: L2 k-means on unit vectors is
+    // spherical k-means, so the cosine-nearest centroid at query time is
+    // the centroid that owned the vector in training.
+    val feats = sampled.select(
+      array_to_vector(VectorFunctions.unit(col(vecCol)).cast("array<float>")).as("features"))
+    // A coarse quantizer needs rough cluster shapes, not convergence —
+    // 10 iterations caps the per-iteration job overhead that dominates
+    // training cost at any corpus size (the data per iteration is tiny).
+    new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(feats).clusterCenters
+      .map { c =>
+        // Re-normalize each centroid: on unit centroids, cosine-argmax ==
+        // L2-argmin on the unit sphere, so query-time assignment matches
+        // the training partition (plain mean centroids sit inside the
+        // sphere with varying norms, which skews a cosine argmax).
+        val a = c.toArray
+        val nrm = math.sqrt(a.map(x => x * x).sum)
+        a.map(x => (x / nrm).toFloat)
+      }
+  }
+
+  /** Nearest-centroid ids for a vector, best first. The per-centroid
+    * cosine runs through the codegen expression against LITERAL centroid
+    * arrays — no weight-matrix join or broadcast variable; ties break to
+    * the lower list id deterministically. */
+  private def nearestLists(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.cosine(v, typedlit(c)).as("cos"), lit(-i).as("negid"))
+    }
+    val top = slice(sort_array(array(scored: _*), asc = false), 1, nProbe)
+    transform(top, s => -s.getField("negid"))
+  }
+
+  /** Debug hook: top-1 list id for a vector (Scratch profiling only). */
+  def ivfDebugList(v: Column, centroids: Array[Array[Float]]): Column =
+    nearestLists(v, centroids, 1)(0)
+
+  /** E3 — IVF top-k: corpus rows live in the inverted list of their
+    * nearest centroid; each probe searches its `nProbe` nearest lists.
+    * The join is an equi-join on list id (no cross join anywhere), and
+    * list skew is AQE's bread and butter. Recall vs E1 rises with
+    * `nProbe` — the standard IVF quality/cost dial. */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Array[Array[Float]], nProbe: Int): DataFrame = {
+    val cb = corpus.select(col("vec_id").as("n"), col("embedding").as("nv"),
+      nearestLists(col("embedding"), centroids, 1)(0).as("list"))
+    val pb = probes.select(col("vec_id").as("q"), col("embedding").as("qv"),
+      explode(nearestLists(col("embedding"), centroids, nProbe)).as("list"))
+    val joined = pb.join(cb, "list")
       .filter(col("q") =!= col("n"))
       .select(col("q"), col("n"), VectorFunctions.cosine(col("qv"), col("nv")).as("cos"))
     val w = Window.partitionBy("q").orderBy(col("cos").desc, col("n"))

@@ -105,6 +105,17 @@ object Events {
       .select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
   }
 
+  /** F1d — streaming exact dedup: keep the first occurrence of each key,
+    * with state bounded by the watermark (`dropDuplicatesWithinWatermark`
+    * evicts a key's state once the watermark passes it — without that,
+    * dedup state on an unbounded stream grows forever). This is the
+    * streaming twin of D1/A4: an ingest pipeline dedups events by id at
+    * the door, before anything stateful downstream pays for duplicates. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Streaming sink helper: append to parquet with checkpointing. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =
     df.writeStream.outputMode(OutputMode.Append())

@@ -69,6 +69,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 1) // 8-plane 256-bucket LSH: some rank-1s survive bucketing
   }
 
+  test("IVF with exhaustive probing equals brute force; partial probing beats random") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", nLists = 16)
+    assert(centroids.length == 16 && centroids.forall(_.nonEmpty))
+    val probes = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(probes, emb, 1)
+      .select("q", "n").as[(Long, Long)].collect().toMap
+    // nProbe == nLists searches every inverted list: identical to brute
+    // force by construction — the recall dial tops out at exact.
+    val full = Similarity.ivfTopK(probes, emb, 1, centroids, nProbe = 16)
+      .select("q", "n").as[(Long, Long)].collect().toMap
+    assert(full == bf)
+    // This synthetic corpus is near-noise (measured within-label cosine
+    // ~0.02, true NN shares a label 7% of the time), so NO partitioning
+    // scheme gets high recall at nProbe=2/16 — random co-assignment
+    // would give ~12.5%. The assignment still has to beat that baseline:
+    // probe and true NN share direction, so spherical k-means co-assigns
+    // them more often than chance.
+    val part = Similarity.ivfTopK(probes, emb, 1, centroids, nProbe = 2)
+      .select("q", "n").as[(Long, Long)].collect().toMap
+    val hits = bf.keys.count(q => part.get(q).contains(bf(q)))
+    assert(hits >= 5, s"IVF recall@1 $hits/${bf.size} below the random baseline")
+  }
+
   test("embeddingNearDupPairs respects the block column") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap

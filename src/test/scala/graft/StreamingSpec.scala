@@ -54,6 +54,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per key with watermark-bounded state (F1d)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = Events.dedupStream(input.toDF(), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // same-batch dup
+        Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0), // cross-batch dup
+        Event(3, ts("2024-01-01 10:06:00"), 3, "click", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_test").select("event_id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("parquet streaming sink appends with checkpointing (G6 sink)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
