@@ -95,6 +95,24 @@ object Tables {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed managed table: rows hash-partitioned into `nBuckets` files
+    * per partition BY KEY AT WRITE TIME, with the layout recorded in the
+    * catalog. A join or aggregation on the bucket key then needs NO
+    * exchange at read time — the shuffle is paid once when the table is
+    * built, not by every downstream query. This is the co-located-join
+    * primitive for fact tables that join repeatedly on the same key
+    * (orders⋈customer on custkey every day at 100 TB): both sides
+    * bucketed by the key × same bucket count ⇒ sort-merge join with
+    * zero Exchange nodes (spec'd in SourcesSpec). `sortCols` pre-sorts
+    * within buckets so even the merge-sort is read-time-free. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** JDBC surface mirroring the reference's Postgres stage
     * (airflow.py:560-650). Round-trip spec'd against embedded Derby
     * (SourcesSpec): partitioned-read options are the part that matters at

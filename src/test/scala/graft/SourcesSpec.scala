@@ -53,6 +53,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(!scan.contains("grp=B"))
   }
 
+  test("bucketed tables join with zero exchanges (G1 co-located join)") {
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0), (4L, 40.0)).toDF("k", "rv")
+    Tables.writeBucketed(left, "g_bkt_left", Seq("k"), 4, sortCols = Seq("k"))
+    Tables.writeBucketed(right, "g_bkt_right", Seq("k"), 4, sortCols = Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the assertion is about bucketing,
+      // not about the small side being broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("g_bkt_left").join(spark.table("g_bkt_right"), "k")
+      assert(joined.orderBy("k").count() == 2)
+      joined.count() // materialize so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS g_bkt_left")
+      spark.sql("DROP TABLE IF EXISTS g_bkt_right")
+    }
+  }
+
   test("jdbc write/read round-trips against embedded Derby (G5)") {
     val home = Files.createTempDirectory("graft_derby").toString
     System.setProperty("derby.system.home", home) // keep derby.log out of the repo
