@@ -169,6 +169,22 @@ object EtlQueries {
         countDistinct(col("o_custkey")).as("exact_customers"))
     },
 
+    // A15 — salted join (operators.Skew): semantics-preserving skew
+    // fallback for hot keys AQE can't re-plan. The oracle is the PLAIN
+    // join — the whole point is that salting changes the shuffle layout
+    // and nothing else, and the hash gate proves it row-for-row.
+    QueryDef.sql("q_salted_join",
+      """SELECT o_orderkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.operators.Skew
+      val big = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      val small = Tables.customer(s, d).select("c_custkey", "c_name")
+      Skew.saltedJoin(big, small, "c_custkey", salts = 8)
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    },
+
     // A14 — deterministic hash sampling (reference: `import random  # data
     // quality testing`). RNG sampling isn't reproducible across engines or
     // re-runs; hashing the key IS: take rows whose md5(key) starts below a
