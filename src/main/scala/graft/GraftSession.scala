@@ -14,9 +14,12 @@ import org.apache.spark.sql.SparkSession
   *  - `shuffle.partitions` defaults to 32 locally (driver runs local[32]);
   *    on a cluster this is overridden to ~2-3x total cores and AQE
   *    coalesces the excess.
-  *  - Broadcast threshold raised to 64 MB: every dimension table in the
-  *    star schema (region/nation/supplier/part/customer at TPC-H ratios)
-  *    broadcasts, so fact-dim joins never shuffle the fact side.
+  *  - Broadcast threshold raised to 64 MB: genuinely small sides (the
+  *    fixed-size dims; sf-proportional tables only while they fit)
+  *    broadcast so fact-dim joins don't shuffle the fact side. Tables
+  *    that grow with scale cross the threshold and fall back to shuffle
+  *    on their own — no forced hints anywhere (a forced broadcast of a
+  *    growing table is an OOM at 100 TB, not a plan choice).
   */
 object GraftSession {
   def builder(appName: String = "graft", master: Option[String] = None): SparkSession.Builder = {

@@ -1,0 +1,96 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Relational, Skew}
+
+/** Randomized equivalence properties: each blocked/partitioned/salted
+  * operator must produce EXACTLY what its naive quadratic definition
+  * produces, on data the author didn't get to pick. Seeds are fixed so
+  * failures reproduce; iteration counts stay small because every check
+  * runs real Spark jobs.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  for (seed <- 1 to 3) {
+    test(s"simHashPairs == brute-force hamming pairs (seed $seed)") {
+      val rnd = new Random(seed)
+      val sims = (0L until 60L).map(i => (i, rnd.nextInt(1 << 16).toLong)).toDF("doc", "sim")
+      val blocked = Dedup.simHashPairs(sims, bits = 16, maxHamming = 3)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val rows = sims.as[(Long, Long)].collect()
+      val brute = (for {
+        (a, sa) <- rows; (b, sb) <- rows if a < b
+        if java.lang.Long.bitCount(sa ^ sb) <= 3
+      } yield (a, b)).toSet
+      assert(blocked == brute)
+    }
+
+    test(s"asofJoin == naive latest-at-or-before definition (seed $seed)") {
+      val rnd = new Random(1000 + seed)
+      val left = (0 until 80).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(50)))
+        .toDF("lid", "k", "t")
+      // unique (k, t) on the right, as the operator requires
+      val right = rnd.shuffle((0 until 5).flatMap(k => (0 until 50).map(t => (k.toLong, t))))
+        .take(60).map { case (k, t) => (k, t, s"p$k-$t") }
+        .toDF("k", "t", "payload")
+      val out = Relational.asofJoin(left, right, "k", "t", Seq("payload"))
+        .select("lid", "payload").as[(Long, String)].collect().toMap
+      val rightRows = right.as[(Long, Int, String)].collect()
+      left.as[(Long, Long, Int)].collect().foreach { case (lid, k, t) =>
+        val expected = rightRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(out.get(lid).flatMap(Option(_)) == expected, s"lid=$lid k=$k t=$t")
+      }
+    }
+
+    test(s"saltedJoin == plain join (seed $seed)") {
+      val rnd = new Random(2000 + seed)
+      // heavily skewed keys on the big side — the case salting exists for
+      val big = (0 until 200).map { i =>
+        (i.toLong, if (rnd.nextInt(10) < 7) 0L else rnd.nextInt(8).toLong)
+      }.toDF("rid", "k")
+      val small = (0L until 8L).map(k => (k, s"v$k")).toDF("k", "v")
+      val salted = Skew.saltedJoin(big, small, "k", salts = 4)
+        .select("rid", "v").as[(Long, String)].collect().sorted.toSeq
+      val plain = big.join(small, "k")
+        .select("rid", "v").as[(Long, String)].collect().sorted.toSeq
+      assert(salted == plain)
+    }
+
+    test(s"surrogateKey is dense, 0-based, and follows the order (seed $seed)") {
+      val rnd = new Random(3000 + seed)
+      val df = rnd.shuffle((0 until 500).toList)
+        .map(i => (i.toLong * 7 % 500, s"row$i")).toDF("sort_k", "payload")
+      val out = Relational.surrogateKey(df, "sid", Seq(col("sort_k")))
+        .select("sid", "sort_k").as[(Long, Long)].collect().sortBy(_._1)
+      assert(out.map(_._1).toSeq == (0L until 500L).toSeq) // dense, 0-based
+      val keysInIdOrder = out.map(_._2).toSeq
+      assert(keysInIdOrder == keysInIdOrder.sorted) // ids follow the order
+    }
+  }
+
+  test("ngramJaccardPairs equals the brute-force pairwise Jaccard on random corpora") {
+    val rnd = new Random(42)
+    val vocab = Vector("red", "blue", "fox", "dog", "runs", "jumps", "high", "low")
+    def doc(): String = (0 until 6 + rnd.nextInt(5)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0L until 40L).map(i => (i, doc())).toDF("doc_id", "text")
+    val op = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // brute force in Scala over the same shingle definition
+    val raw = docs.as[(Long, String)].collect()
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+    val brute = (for {
+      (a, ta) <- raw; (b, tb) <- raw if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      inter = (sa & sb).size.toDouble
+      if sa.nonEmpty && sb.nonEmpty && inter / (sa.size + sb.size - inter) >= 0.2
+    } yield (a, b)).toSet
+    assert(op == brute)
+  }
+}
