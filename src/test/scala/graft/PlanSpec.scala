@@ -49,6 +49,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("o_totalprice"))
   }
 
+  test("surrogate key has no single-partition window over the data") {
+    // The data-sized stages are a range exchange + local sort; the only
+    // window runs over the n-row per-partition offsets table.
+    val p = plan("q_surrogate_key")
+    assert(p.contains("rangepartitioning"), s"expected range exchange in:\n$p")
+    val windowFrames = "Window ".r.findAllIn(p).size
+    assert(windowFrames <= 1, s"unexpected extra window stages:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"single-partition exchange in:\n$p")
+  }
+
+  test("salted join shuffles on (key, salt), never a plain hot key") {
+    val p = plan("q_salted_join")
+    assert(p.contains("__salt"), s"salt column missing from plan:\n$p")
+  }
+
+  test("IVF probe joins lists by equi-join — no cross join anywhere") {
+    val p = plan("s_ann_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF degenerated to a cross join:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregation (final AQE plan)") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, d)
     df.collect() // resolve AQE to the final plan
