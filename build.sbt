@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs all 32 executor threads in this one JVM; the box has
   // 128 GiB, and the heavy candidate-pair aggregations are GC-bound at 8g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // G1 (the default) measured decisively better here than ParallelGC
+  // (37-46 s vs 69-71 s bench totals): the dedup pair-explosion stages
+  // allocate in bursts that G1's regional evacuation absorbs, where
+  // ParallelGC full collections of the 32 GB heap stall all 32 task
+  // threads. Don't "optimize" the collector without re-measuring.
 )
