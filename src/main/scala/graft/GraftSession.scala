@@ -30,6 +30,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // ObjectHashAggregate (collect_set/collect_list — every dedup
+      // bucket stage) falls back to SORT-BASED aggregation after this
+      // many distinct keys per partition. The default 128 silently turns
+      // each bucket group-by into a full sort of the exploded
+      // (doc, shingle) data; the engine's bucket stages carry tens of
+      // thousands of small-payload keys per partition, which the hash
+      // map handles in bounded memory. Partition counts scale with the
+      // cluster, so keys-per-partition stays bounded at 100 TB too.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

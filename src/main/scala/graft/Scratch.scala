@@ -90,6 +90,14 @@ object Scratch {
           .agg(count(lit(1)).as("inter")).count())
       spark.stop(); return
     }
+    if (qname == "confcheck") {
+      Seq("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "spark.sql.codegen.hugeMethodLimit",
+        "spark.sql.codegen.aggregate.map.twolevel.enabled").foreach { k =>
+        println(s"[conf] $k = ${spark.conf.get(k)}")
+      }
+      spark.stop(); return
+    }
     if (qname == "ivf") {
       import org.apache.spark.sql.functions._
       import graft.operators.Similarity
