@@ -117,6 +117,19 @@ object Similarity {
       .select(col("q"), col("rank"), col("n"), col("cos"))
   }
 
+  /** D5 production path — near-dup pairs blocked by a REAL clustering
+    * pre-pass: IVF lists from [[trainIvfCentroids]] instead of a given
+    * label column. Same per-block verification as [[embeddingNearDupPairs]];
+    * recall is bounded by co-assignment (raise nLists granularity or run
+    * multiple seeds to push it), and the quadratic term is bounded by the
+    * largest list, not the corpus. */
+  def embeddingNearDupPairsIvf(emb: DataFrame, centroids: Array[Array[Float]],
+                               threshold: Double): DataFrame = {
+    val listed = emb.select(col("vec_id"), col("embedding"),
+      nearestLists(col("embedding"), centroids, 1)(0).as("__blk"))
+    embeddingNearDupPairs(listed, "__blk", threshold)
+  }
+
   /** D5 — near-duplicate pairs by cosine ≥ threshold, blocked by a
     * coarse partition column (here: the label/cluster id — at scale this
     * is the output of a clustering/LSH pre-pass, so the quadratic blowup

@@ -170,6 +170,18 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // D5 production path — same near-dup verification blocked by the IVF
+    // clustering pre-pass (Similarity.trainIvfCentroids) instead of a
+    // GIVEN label column: this is the shape that exists without labeled
+    // data. KMeans estimator ⇒ rows-only; subset-of-brute-force is
+    // spec'd in SimilaritySpec.
+    QueryDef.rowsOnly("d_embed_neardup_ivf") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = SimilarityQueries.centroidsFor(emb, d)
+      graft.operators.Similarity.embeddingNearDupPairsIvf(emb, centroids, 0.4)
+        .orderBy("a", "b")
+    },
+
     // D5 — embedding-cosine near-dup pairs ≥ 0.4, blocked by cluster label.
     QueryDef.sql("d_embed_neardup", {
       val cos = graft.functions.VectorFunctions.cosineDuck("x.embedding", "y.embedding")

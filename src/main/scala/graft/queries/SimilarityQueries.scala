@@ -58,13 +58,18 @@ object SimilarityQueries {
     // deterministic, so the memo never changes a result).
     QueryDef.rowsOnly("s_ann_ivf") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val centroids = ivfCentroidCache.getOrElseUpdate(d,
-        Similarity.trainIvfCentroids(emb, "embedding", nLists = 16))
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, 3, centroids, nProbe = 2)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, 3,
+          centroidsFor(emb, d), nProbe = 2)
         .orderBy("q", "rank")
     }
   )
 
   private val ivfCentroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+
+  /** Shared memoized IVF quantizer for a dataset (also used by the
+    * d_embed_neardup_ivf blocking pre-pass — one index, many consumers). */
+  def centroidsFor(emb: org.apache.spark.sql.DataFrame, d: String): Array[Array[Float]] =
+    ivfCentroidCache.getOrElseUpdate(d,
+      Similarity.trainIvfCentroids(emb, "embedding", nLists = 16))
 }

@@ -93,6 +93,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 5, s"IVF recall@1 $hits/${bf.size} below the random baseline")
   }
 
+  test("IVF-blocked near-dup pairs are a subset of brute-force pairs with exact cosines") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val centroids = Similarity.trainIvfCentroids(emb, "embedding", nLists = 16)
+    val blocked = Similarity.embeddingNearDupPairsIvf(emb, centroids, 0.3)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect().toSet
+    // brute force over all pairs at the same threshold
+    val x = emb.select(col("vec_id").as("a"), col("embedding").as("av"))
+    val y = emb.select(col("vec_id").as("b"), col("embedding").as("bv"))
+    val brute = x.crossJoin(y).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.VectorFunctions.cosine(col("av"), col("bv")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked.subsetOf(brute)) // blocking only removes, never invents
+    assert(blocked.forall { case (_, _, c) => c >= 0.3 })
+  }
+
   test("embeddingNearDupPairs respects the block column") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
