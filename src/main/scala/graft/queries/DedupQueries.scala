@@ -19,17 +19,45 @@ object DedupQueries {
 
   /** Shared oracle CTE prefix: tokenize → word n-grams → distinct
     * (doc, shingle) → md5-hashed 60-bit gid (Dedup.hashedIds twin — no
-    * vocabulary build in either engine). */
-  private def idsCte(n: Int): String = {
+    * vocabulary build in either engine). `from` is any relation with
+    * (doc_id, text) — also reused by the composed p_llm_prep oracle. */
+  private[queries] def idsCte(n: Int, from: String = "documents"): String = {
     val gram = if (n == 1) "unnest(toks)"
     else {
       val parts = (0 until n).map(k => s"toks[i+${k + 1}]").mkString(" || ' ' || ")
       s"unnest(list_transform(range(0, len(toks)-${n - 1}), i -> $parts))"
     }
-    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toks AS toks FROM $from),
        |sh0 AS (SELECT doc_id AS doc, $gram AS g FROM t WHERE len(toks) >= $n),
        |sh AS (SELECT DISTINCT doc, g FROM sh0),
        |ids AS (SELECT doc, ${graft.operators.Dedup.hashedGidDuck("g")} AS gid FROM sh)""".stripMargin
+  }
+
+  /** MinHash(8)+LSH(4×2)+verify oracle fragment over the `ids`/`sizes`
+    * CTEs from [[idsCte]]: yields `nd` = verified near-dup pairs (a<b)
+    * with jaccard ≥ `threshold`. Shared by d_minhash_lsh and p_llm_prep. */
+  private[queries] def minhashVerifyCte(threshold: Double): String = {
+    val k = 8
+    val minExprs = Dedup.perms(k).zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a*(gid % $P) + $b) % $P) AS m$j"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { t =>
+      s"SELECT doc, $t AS band, m${2 * t}*$P + m${2 * t + 1} AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sig AS (SELECT doc, $minExprs FROM ids GROUP BY doc),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
+       |sizes AS (SELECT doc, count(*) AS n FROM ids GROUP BY doc),
+       |inter AS (SELECT c.a, c.b, count(*) AS ic
+       |          FROM cand c JOIN ids ia ON ia.doc = c.a
+       |                      JOIN ids ib ON ib.doc = c.b AND ia.gid = ib.gid
+       |          GROUP BY c.a, c.b),
+       |nd AS (SELECT a, b,
+       |         CAST(ic AS DOUBLE) / CAST(sa.n + sb.n - ic AS DOUBLE) AS jaccard
+       |       FROM inter JOIN sizes sa ON a = sa.doc JOIN sizes sb ON b = sb.doc
+       |       WHERE CAST(ic AS DOUBLE) / CAST(sa.n + sb.n - ic AS DOUBLE) >= $threshold)""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -82,31 +110,10 @@ object DedupQueries {
 
     // D3 — MinHash (8 perms) + LSH (4 bands × 2 rows) candidates, verified
     // by exact Jaccard ≥ 0.5 over 3-gram shingles.
-    QueryDef.sql("d_minhash_lsh", {
-      val k = 8
-      val minExprs = Dedup.perms(k).zipWithIndex.map { case ((a, b), j) =>
-        s"min(($a*(gid % $P) + $b) % $P) AS m$j"
-      }.mkString(", ")
-      val bandSelects = (0 until 4).map { t =>
-        s"SELECT doc, $t AS band, m${2 * t}*$P + m${2 * t + 1} AS bkey FROM sig"
-      }.mkString(" UNION ALL ")
+    QueryDef.sql("d_minhash_lsh",
       s"""WITH ${idsCte(3)},
-         |sig AS (SELECT doc, $minExprs FROM ids GROUP BY doc),
-         |bands AS ($bandSelects),
-         |cand AS (SELECT DISTINCT x.doc AS a, y.doc AS b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
-         |sizes AS (SELECT doc, count(*) AS n FROM ids GROUP BY doc),
-         |inter AS (SELECT c.a, c.b, count(*) AS ic
-         |          FROM cand c JOIN ids ia ON ia.doc = c.a
-         |                      JOIN ids ib ON ib.doc = c.b AND ia.gid = ib.gid
-         |          GROUP BY c.a, c.b)
-         |SELECT a, b,
-         |  CAST(ic AS DOUBLE) / CAST(sa.n + sb.n - ic AS DOUBLE) AS jaccard
-         |FROM inter JOIN sizes sa ON a = sa.doc JOIN sizes sb ON b = sb.doc
-         |WHERE CAST(ic AS DOUBLE) / CAST(sa.n + sb.n - ic AS DOUBLE) >= 0.5
-         |ORDER BY a, b""".stripMargin
-    }) { (s, d) =>
+         |${minhashVerifyCte(0.5)}
+         |SELECT a, b, jaccard FROM nd ORDER BY a, b""".stripMargin) { (s, d) =>
       // The corpus is hashed ONCE into per-doc shingle-id sets; the
       // signature, banding, and verification all reuse that one table
       // (signature agg is exchange-free on its partitioning; verification

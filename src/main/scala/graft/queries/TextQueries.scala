@@ -9,6 +9,60 @@ object TextQueries {
 
   private val toks = tokensDuck("text")
 
+  /** The cleaning chain's survivors as a reusable SQL fragment:
+    * quality ≥ 0.4 ∧ predicted-en ∧ exact-dedup-keep-first, carrying
+    * (doc_id, text, n_tokens, quality). Shared by p_corpus_clean and the
+    * composed p_llm_prep oracle. */
+  private def keptSql: String = {
+    val enStops = langProfiles.find(_._1 == "en").get._2
+    val scoreCols = langProfiles.map { case (lang, words) =>
+      s"${stopwordCountDuck("toks", words)} AS s_$lang"
+    }
+    val scoreNames = langProfiles.map { case (lang, _) => s"s_$lang" }
+    s"""SELECT doc_id, text, n_tokens, quality FROM (
+       |  SELECT doc_id, text, n_tokens, quality,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM (
+       |    SELECT doc_id, text, n_tokens,
+       |      least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.4 + stop_ratio*0.3 +
+       |        (1.0 - punct_ratio)*0.2 + least(avg_token_len/10.0, 1.0)*0.1 AS quality,
+       |      ${langIdFromScoresDuck(scoreNames)} AS pred_lang
+       |    FROM (
+       |      SELECT doc_id, text, len(toks) AS n_tokens,
+       |        CASE WHEN length(text) > 0 THEN
+       |          CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+       |          ELSE 0.0 END AS punct_ratio,
+       |        CASE WHEN len(toks) > 0 THEN
+       |          CAST(${stopwordCountDuck("toks", enStops)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |          ELSE 0.0 END AS stop_ratio,
+       |        CASE WHEN len(toks) > 0 THEN
+       |          CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a,b) -> a+b) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |          ELSE 0.0 END AS avg_token_len,
+       |        ${scoreCols.mkString(", ")}
+       |      FROM (SELECT doc_id, text, $toks AS toks FROM documents)))
+       |  WHERE quality >= 0.4 AND pred_lang = 'en')
+       |WHERE rn = 1""".stripMargin
+  }
+
+  /** Spark twin of [[keptSql]]. */
+  private def keptDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import graft.operators.Relational
+    val base = Tables.documents(s, d).withColumn("__toks", tokens(col("text")))
+    val comps = qualityComponents(col("text"), col("__toks"))
+    val withComps = comps.foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+    val scored = langProfiles.foldLeft(withComps) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", stopwordCount(col("__toks"), words))
+    }
+      .withColumn("quality", qualityScore(col("n_tokens"), col("punct_ratio"),
+        col("stop_ratio"), col("avg_token_len")))
+      .withColumn("pred_lang",
+        langIdFromScores(langProfiles.map { case (l, _) => col(s"s_$l") }))
+    val kept = scored.filter(col("quality") >= 0.4 && col("pred_lang") === "en")
+    Relational.dedupKeepFirst(kept.withColumn("__h", md5(col("text"))),
+        Seq("__h"), Seq(col("doc_id")))
+      .select("doc_id", "text", "n_tokens", "quality")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // C1 — token count (whitespace+regex tokenizer) + char length.
@@ -83,50 +137,38 @@ object TextQueries {
     // quality score + language ID -> keep en docs above threshold ->
     // exact-dedup keep-first -> per-doc stats. One declarative plan, so
     // Catalyst fuses the whole chain over a single documents scan.
-    QueryDef.sql("p_corpus_clean", {
-      val enStops = langProfiles.find(_._1 == "en").get._2
-      val scoreCols = langProfiles.map { case (lang, words) =>
-        s"${stopwordCountDuck("toks", words)} AS s_$lang"
-      }
-      val scoreNames = langProfiles.map { case (lang, _) => s"s_$lang" }
-      s"""SELECT doc_id, n_tokens, quality FROM (
-         |  SELECT doc_id, n_tokens, quality,
-         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |  FROM (
-         |    SELECT doc_id, text, n_tokens,
-         |      least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.4 + stop_ratio*0.3 +
-         |        (1.0 - punct_ratio)*0.2 + least(avg_token_len/10.0, 1.0)*0.1 AS quality,
-         |      ${langIdFromScoresDuck(scoreNames)} AS pred_lang
-         |    FROM (
-         |      SELECT doc_id, text, len(toks) AS n_tokens,
-         |        CASE WHEN length(text) > 0 THEN
-         |          CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-         |          ELSE 0.0 END AS punct_ratio,
-         |        CASE WHEN len(toks) > 0 THEN
-         |          CAST(${stopwordCountDuck("toks", enStops)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-         |          ELSE 0.0 END AS stop_ratio,
-         |        CASE WHEN len(toks) > 0 THEN
-         |          CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a,b) -> a+b) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-         |          ELSE 0.0 END AS avg_token_len,
-         |        ${scoreCols.mkString(", ")}
-         |      FROM (SELECT doc_id, text, $toks AS toks FROM documents)))
-         |  WHERE quality >= 0.4 AND pred_lang = 'en')
-         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      import graft.operators.Relational
-      val base = Tables.documents(s, d).withColumn("__toks", tokens(col("text")))
-      val comps = qualityComponents(col("text"), col("__toks"))
-      val withComps = comps.foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
-      val scored = langProfiles.foldLeft(withComps) { case (df, (lang, words)) =>
-        df.withColumn(s"s_$lang", stopwordCount(col("__toks"), words))
-      }
-        .withColumn("quality", qualityScore(col("n_tokens"), col("punct_ratio"),
-          col("stop_ratio"), col("avg_token_len")))
-        .withColumn("pred_lang",
-          langIdFromScores(langProfiles.map { case (l, _) => col(s"s_$l") }))
-      val kept = scored.filter(col("quality") >= 0.4 && col("pred_lang") === "en")
-      Relational.dedupKeepFirst(kept.withColumn("__h", md5(col("text"))),
-          Seq("__h"), Seq(col("doc_id")))
+    QueryDef.sql("p_corpus_clean",
+      s"""SELECT doc_id, n_tokens, quality FROM ($keptSql)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      keptDf(s, d).select("doc_id", "n_tokens", "quality").orderBy("doc_id")
+    },
+
+    // C6 — the FULL LLM corpus-prep pipeline: the C5 cleaning chain, then
+    // MinHash+LSH near-dup removal over the survivors (keep the lower
+    // doc_id of every verified pair, jaccard ≥ 0.5). One composed plan:
+    // quality/langid/exact-dedup fuse over one documents scan, the
+    // near-dup stage reuses the per-doc shingle sets, and the final
+    // anti-join removes the near-dup losers. This is the end-to-end
+    // shape of a pre-training data pipeline; every stage is the same
+    // fragment already hash-verified standalone (C5, D3).
+    QueryDef.sql("p_llm_prep",
+      s"""WITH kept AS ($keptSql),
+         |${DedupQueries.idsCte(3, "kept")},
+         |${DedupQueries.minhashVerifyCte(0.5)}
+         |SELECT doc_id, n_tokens, quality FROM kept
+         |WHERE doc_id NOT IN (SELECT b FROM nd)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Dedup
+      val kept = keptDf(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept.count() // eager fill: cleaning chain feeds both branches below
+      val docSets = Dedup.hashedDocSets(kept.select("doc_id", "text"), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docSets.count()
+      val nd = Dedup.verifiedJaccard(
+          Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2)),
+          docSets)
+        .filter(col("jaccard") >= 0.5)
+      kept.join(nd.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     },
