@@ -89,7 +89,7 @@ object Similarity {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(VectorFunctions.cosine(v, typedlit(c)).as("cos"), lit(-i).as("negid"))
     }
-    val top = slice(sort_array(array(scored: _*), asc = false), 1, nProbe)
+    val top = slice(sort_array(array(scored.toIndexedSeq: _*), asc = false), 1, nProbe)
     transform(top, s => -s.getField("negid"))
   }
 

@@ -21,7 +21,7 @@ object Skew {
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)).cast("int"))
     val expandedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(expandedSmall, Seq(key, "__salt"), joinType).drop("__salt")
