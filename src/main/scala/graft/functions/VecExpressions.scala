@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expression for cosine similarity over `array<float>`
@@ -86,6 +86,69 @@ case class CosineF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane LSH bucket over `array<float>` (SURVEY §2 E2
+  * hot path): bit p of the result is the sign of Σᵢ w(p,i)·xᵢ, with the
+  * deterministic LCG weight w(p,i) = ((1103515245·(p·dims+i) + 12345)
+  * mod 2001) − 1000 — the exact arithmetic of the HOF form
+  * ([[VectorFunctions.lshBucketHof]]) and its DuckDB twin, computed in a
+  * tight codegen loop instead of per-element interpreted lambdas
+  * (the HOF form re-enters the lambda machinery nPlanes·dims times per
+  * row). Accumulation is left-to-right double, so all three agree
+  * bit-exactly. Children: (vector, dims, nPlanes). */
+case class LshBucketF32(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(v: Any, d: Any, p: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dims = d.asInstanceOf[Int]
+    val nPlanes = p.asInstanceOf[Int]
+    val n = x.numElements()
+    var bucket = 0L
+    var pl = 0
+    while (pl < nPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val w = ((1103515245L * (pl.toLong * dims + i) + 12345L) % 2001L) - 1000L
+        acc += w.toDouble * x.getFloat(i).toDouble
+        i += 1
+      }
+      if (acc > 0.0) bucket |= 1L << pl
+      pl += 1
+    }
+    bucket
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (va, da, pa) => {
+      val pl = ctx.freshName("pl")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val w = ctx.freshName("w")
+      val bkt = ctx.freshName("bkt")
+      s"""
+         |long $bkt = 0L;
+         |for (int $pl = 0; $pl < $pa; $pl++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $va.numElements(); $i++) {
+         |    long $w = ((1103515245L * ((long) $pl * $da + $i) + 12345L) % 2001L) - 1000L;
+         |    $acc += (double) $w * (double) $va.getFloat($i);
+         |  }
+         |  if ($acc > 0.0) $bkt |= 1L << $pl;
+         |}
+         |${ev.value} = $bkt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): LshBucketF32 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Session extension registering the engine's native functions in the
   * FunctionRegistry (`spark.sql.extensions=graft.functions.GraftExtensions`
   * — wired by GraftSession), so `graft_cosine(a, b)` is callable from SQL
@@ -100,5 +163,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "graft_shingles"),
       (children: Seq[Expression]) => WordShinglesExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketF32].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => LshBucketF32(children.head, children(1), children(2))))
   }
 }

@@ -69,11 +69,19 @@ object VectorFunctions {
   def planeWeightDuck(p: Int, dims: Int, i: String): String =
     s"((CAST(1103515245 AS BIGINT) * (${p.toLong * dims} + $i) + 12345) % 2001 - 1000)"
 
-  /** Sign-bit bucket over `nPlanes` hyperplanes → integer bucket id.
+  /** Sign-bit bucket over `nPlanes` hyperplanes → integer bucket id, via
+    * the native codegen expression ([[LshBucketF32]] — tight primitive
+    * loop). Bit-identical to [[lshBucketHof]]; spec'd in SimilaritySpec. */
+  def lshBucket(v: Column, dims: Int, nPlanes: Int): Column =
+    call_function("graft_lsh_bucket", v.cast("array<float>"), lit(dims), lit(nPlanes))
+
+  /** HOF formulation — kept as the cross-check twin of [[LshBucketF32]].
     * Single pass per plane: the indexed `transform` overload visits each
     * element once (the earlier `element_at(cast(v), i+1)` form re-cast the
-    * whole array per element — O(dims²) work per plane). */
-  def lshBucket(v: Column, dims: Int, nPlanes: Int): Column = {
+    * whole array per element — O(dims²) work per plane); but each visit
+    * still pays the interpreted lambda machinery, which is why the hot
+    * path is the native expression. */
+  def lshBucketHof(v: Column, dims: Int, nPlanes: Int): Column = {
     val planeDots = (0 until nPlanes).map { p =>
       foldSum(transform(toD(v), (x, i) => planeWeight(p, dims, i).cast("double") * x))
     }

@@ -385,6 +385,28 @@ object AnalyticsQueries {
         .orderBy("status", "priority")
     },
 
+    // B15x — explicit GROUPING SETS (the general form under B8's ROLLUP
+    // and B15's CUBE): per-status and per-priority marginals in one
+    // pass — Spark expands to a single Expand + one aggregation, not
+    // two scans.
+    QueryDef.sql("q_grouping_sets",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.createOrReplaceTempView("graft_gs_orders")
+      o.sparkSession.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(*) AS n_orders
+          |FROM graft_gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY status, priority""".stripMargin)
+    },
+
     // B16 — set operations: customers with orders but no high-priority
     // ones (EXCEPT), and with both statuses (INTERSECT).
     QueryDef.sql("q_set_ops",

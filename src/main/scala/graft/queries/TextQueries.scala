@@ -173,6 +173,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // C7 — corpus-wide token frequencies, top-20: explode the token
+    // arrays and partial-aggregate — the map-side combine absorbs the
+    // fan-out, the final top-k is TakeOrderedAndProject (no global
+    // sort). The vocabulary-statistics staple of corpus analysis.
+    QueryDef.sql("t_frequent_tokens",
+      s"""SELECT tok, n FROM (
+         |  SELECT tok, count(*) AS n
+         |  FROM (SELECT unnest($toks) AS tok FROM documents)
+         |  GROUP BY tok)
+         |ORDER BY n DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.operators.Relational
+      Relational.topKByAgg(
+        Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n")),
+        20, Seq(col("n").desc, col("tok")))
+    },
+
     // C4 — rolling-hash document fingerprint (char-stream polynomial fold;
     // production path is xxhash64 — see TextFunctions.xxFingerprint).
     QueryDef.sql("t_fingerprint",

@@ -39,6 +39,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("native LshBucketF32 is bit-identical to the HOF bucket formulation") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val diffs = emb.select(
+        VectorFunctions.lshBucket(col("embedding"), 64, 8).as("native"),
+        VectorFunctions.lshBucketHof(col("embedding"), 64, 8).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("brute-force top-k returns k ranked neighbors excluding self") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 5)
