@@ -96,6 +96,25 @@ object Relational {
   def topKByAgg(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** B10 scale path — top-k per group in TWO phases when the group count
+    * is small (each group's window otherwise becomes one straggler task
+    * at scale): phase 1 takes a per-(group, salt) top-k — `salts`-way
+    * parallel per group — leaving ≤ salts·k rows per group; phase 2 runs
+    * the exact window over that bounded survivor set. Top-k is mergeable,
+    * so the result is IDENTICAL to the single-window form (the driver
+    * oracle for q_topk_per_group_2phase is the plain-window SQL).
+    * `order` must be a total order (include a tiebreak key). */
+  def topKPerGroupTwoPhase(df: DataFrame, groupCol: String, k: Int,
+                           order: Seq[Column], salts: Int = 32): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col(groupCol), col("__salt")).orderBy(order: _*)
+    val survivors = salted.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k).drop("__rn", "__salt")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    survivors.withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
+  }
+
   /** B13 — range (interval) join: pairs every point row with the interval
     * rows of the same key whose [start, end] contains it (inclusive).
     *

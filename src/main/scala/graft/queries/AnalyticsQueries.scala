@@ -257,6 +257,26 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority", "rnk")
     },
 
+    // B10 scale path — the same top-3-per-group via the two-phase salted
+    // operator. SAME oracle SQL as q_topk_per_group: top-k is mergeable,
+    // so the two-phase plan must be row-identical to the single window —
+    // and the hash gate proves it.
+    QueryDef.sql("q_topk_per_group_2phase",
+      """SELECT o_orderpriority, rnk, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin) { (s, d) =>
+      Relational.topKPerGroupTwoPhase(Tables.orders(s, d), "o_orderpriority", 3,
+          Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("totalprice"))
+        .orderBy("o_orderpriority", "rnk")
+    },
+
     // B12 — as-of join: every event annotated with the user's most recent
     // purchase value at-or-before it. Oracle = DuckDB's native ASOF JOIN;
     // Spark side = Relational.asofJoin (union + window carry, one shuffle).
