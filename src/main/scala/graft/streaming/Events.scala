@@ -25,9 +25,22 @@ object Events {
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long)
 
-  /** Per-user session state: (startMillis, endMillis, eventCount). A plain
-    * tuple keeps the state encoder codegen-friendly. */
+  /** Per-user session state: (startMicros, endMicros, eventCount). A plain
+    * tuple keeps the state encoder codegen-friendly. MICROsecond
+    * precision: the batch twin (and its DuckDB oracle) carries parquet
+    * µs timestamps, and the streaming operator must agree exactly —
+    * `Timestamp.getTime` alone would truncate to ms and shift session
+    * boundaries/starts by up to 999 µs. */
   private type SessionState = (Long, Long, Long)
+
+  private def micros(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
 
   /** File-source stream over a directory of event parquet files. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
@@ -59,18 +72,18 @@ object Events {
           if (state.hasTimedOut) {
             val (start, end, n) = state.get
             state.remove()
-            Iterator.single(Session(userId, new Timestamp(start), new Timestamp(end), n))
+            Iterator.single(Session(userId, fromMicros(start), fromMicros(end), n))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some((start, end, n)) if t - end <= gapMillis =>
+                case Some((start, end, n)) if t - end <= gapMillis * 1000L =>
                   cur = Some((start, math.max(end, t), n + 1))
                 case Some((start, end, n)) =>
-                  closed ::= Session(userId, new Timestamp(start), new Timestamp(end), n)
+                  closed ::= Session(userId, fromMicros(start), fromMicros(end), n)
                   cur = Some((t, t, 1L))
                 case None =>
                   cur = Some((t, t, 1L))
@@ -78,7 +91,7 @@ object Events {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s._2 + gapMillis)
+              state.setTimeoutTimestamp(s._2 / 1000L + gapMillis)
             }
             closed.reverseIterator
           }

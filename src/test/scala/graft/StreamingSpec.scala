@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, min}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.Events
@@ -91,6 +92,50 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val out = spark.read.parquet(s"$dir/out")
       assert(out.count() == 1 && out.select("event_id").as[Long].head() == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize agrees with the oracled batch sessionizer on real events") {
+    import spark.implicits._
+    // Stream the sf0.001 events table through the stateful sessionizer
+    // and compare against the batch operator that q_sessionize's DuckDB
+    // oracle verifies. The stream only EMITS a session once the
+    // watermark passes its end+gap, so open tail sessions are expected
+    // to be absent — every emitted session must match a batch session
+    // exactly, and most batch sessions must have been emitted.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_eq").toString
+    val batchEvents = graft.sources.Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batchEvents.coalesce(1).write.parquet(s"$dir/events")
+    val gap = 1800000L
+    val batchSessions = graft.operators.Sessionize
+      .byGap(batchEvents.withColumn("props", lit("{}")), "user_id", "ts", "event_id", gap)
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val input = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Events.schema.filterNot(_.name == "props")))
+      .parquet(s"$dir/events")
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val q = Events.sessionize(input, gap)
+      .writeStream.format("memory").queryName("sess_eq_test")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("sess_eq_test")
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+      assert(streamed.nonEmpty, "stream emitted no closed sessions")
+      assert(streamed.subsetOf(batchSessions),
+        s"streamed sessions not in batch: ${(streamed -- batchSessions).take(3)}")
+      // the only batch sessions the stream may miss are unclosed tails:
+      // at most one per user
+      val users = batchSessions.map(_._1)
+      assert((batchSessions -- streamed).size <= users.size)
     } finally q.stop()
   }
 
