@@ -95,6 +95,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming tumbling agg agrees with the oracled batch query on real events") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tumb_eq").toString
+    val batchEvents = graft.sources.Tables.events(spark, TestSpark.sfDir)
+    batchEvents.coalesce(1).write.parquet(s"$dir/events")
+    val expected = SparkEntry.queries("q_events_tumbling")(spark, TestSpark.sfDir)
+      .as[(String, String, Long, Double)].collect().toSet
+    val counts = Events.tumblingCounts(
+      spark.readStream.schema(Events.schema).parquet(s"$dir/events"))
+    val q = counts.writeStream.format("memory").queryName("tumb_eq_test")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("tumb_eq_test")
+        .select(
+          org.apache.spark.sql.functions.date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with the oracled batch sessionizer on real events") {
     import spark.implicits._
     // Stream the sf0.001 events table through the stateful sessionizer
