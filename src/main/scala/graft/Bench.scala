@@ -29,8 +29,16 @@ object Bench {
       if (java.nio.file.Files.isDirectory(sib)) sib.toString else ""
     })
     if (warmDir.nonEmpty && warmDir != sfDir) {
+      // Only the heavy families warm up explicitly (dedup/similarity/
+      // pipeline/ml — the ones with big generated-code bodies where cold
+      // JIT costs 5-15 s); the sub-second queries get their steady-state
+      // sample from the second timed pass, and skipping them here keeps
+      // the bench wall-clock bounded.
+      def heavy(name: String): Boolean =
+        name.startsWith("d_") || name.startsWith("s_") || name.startsWith("p_") ||
+          name.startsWith("m_") || name == "q_pipeline_topk" || name == "q_surrogate_key"
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.isEmpty || only(name) }
+        .filter { case (name, _) => (only.isEmpty || only(name)) && heavy(name) }
         .foreach { case (_, fn) =>
           try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
           spark.catalog.clearCache()
