@@ -55,9 +55,20 @@ object TextFunctions {
   private def arrayLitDuck(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  /** Count of tokens that appear in `words`. */
+  /** Count of tokens that appear in `words` (HOF form — kept as the
+    * cross-check twin of the native path; spec asserts equality). */
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(arrayLit(words), t)))
+
+  /** ALL language-profile stopword counts in one native pass
+    * ([[StopwordScoresExpr]]): array slot i = `stopwordCount(toks,
+    * langProfiles(i)._2)`. The hot path for quality + language-ID. */
+  def stopwordScores(toks: Column): Column =
+    call_function("graft_stopword_scores", toks)
+
+  /** Slot index of a language in [[langProfiles]] (for `element_at`,
+    * which is 1-based: pass `langIndex(l) + 1`). */
+  def langIndex(lang: String): Int = langProfiles.indexWhere(_._1 == lang)
 
   def stopwordCountDuck(toksExpr: String, words: Seq[String]): String =
     s"len(list_filter($toksExpr, t -> list_contains(${arrayLitDuck(words)}, t)))"
@@ -96,13 +107,19 @@ object TextFunctions {
     qualityComponents(text, tokens(text))
 
   def qualityComponents(text: Column, toks: Column): Seq[(String, Column)] = {
+    val enStops = langProfiles.find(_._1 == "en").get._2
+    qualityComponents(text, toks, stopwordCount(toks, enStops))
+  }
+
+  /** Overload taking a pre-computed en-stopword count — hot paths hand in
+    * `element_at(stopwordScores(toks), langIndex("en") + 1)` so the whole
+    * quality+langid chain does ONE stopword pass. */
+  def qualityComponents(text: Column, toks: Column, nStop: Column): Seq[(String, Column)] = {
     val nTok = size(toks)
     val nChars = length(text)
     val stripped = length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
     val punct = nChars - stripped
     val sumTokLen = aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
-    val enStops = langProfiles.find(_._1 == "en").get._2
-    val nStop = stopwordCount(toks, enStops)
     Seq(
       "n_tokens" -> nTok,
       "punct_ratio" -> when(nChars > 0, punct.cast("double") / nChars.cast("double")).otherwise(lit(0.0)),

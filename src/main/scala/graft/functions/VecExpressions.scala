@@ -167,5 +167,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketF32].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => LshBucketF32(children.head, children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_stopword_scores"),
+      new ExpressionInfo(classOf[StopwordScoresExpr].getName, "graft_stopword_scores"),
+      (children: Seq[Expression]) => StopwordScoresExpr(children.head)))
   }
 }

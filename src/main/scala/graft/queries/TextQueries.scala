@@ -47,16 +47,23 @@ object TextQueries {
   /** Spark twin of [[keptSql]]. */
   private def keptDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     import graft.operators.Relational
-    val base = Tables.documents(s, d).withColumn("__toks", tokens(col("text")))
-    val comps = qualityComponents(col("text"), col("__toks"))
+    // Repartition the raw text BEFORE the expensive tokenize/score chain:
+    // a small-file corpus otherwise runs the whole regex pipeline on
+    // however few partitions the scan produced (measured: ONE 4 s task
+    // for all of sf0.1 — same pitfall Dedup.explodedShingles guards).
+    val spread = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val base = spread.withColumn("__toks", tokens(col("text")))
+      .withColumn("__scores", stopwordScores(col("__toks")))
+    val comps = qualityComponents(col("text"), col("__toks"),
+      element_at(col("__scores"), langIndex("en") + 1))
     val withComps = comps.foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
-    val scored = langProfiles.foldLeft(withComps) { case (df, (lang, words)) =>
-      df.withColumn(s"s_$lang", stopwordCount(col("__toks"), words))
-    }
+    val scored = withComps
       .withColumn("quality", qualityScore(col("n_tokens"), col("punct_ratio"),
         col("stop_ratio"), col("avg_token_len")))
-      .withColumn("pred_lang",
-        langIdFromScores(langProfiles.map { case (l, _) => col(s"s_$l") }))
+      .withColumn("pred_lang", langIdFromScores(langProfiles.zipWithIndex.map {
+        case (_, i) => element_at(col("__scores"), i + 1)
+      }))
     val kept = scored.filter(col("quality") >= 0.4 && col("pred_lang") === "en")
     Relational.dedupKeepFirst(kept.withColumn("__h", md5(col("text"))),
         Seq("__h"), Seq(col("doc_id")))
@@ -98,7 +105,9 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       val base = Tables.documents(s, d).withColumn("__toks", tokens(col("text")))
-      val comps = qualityComponents(col("text"), col("__toks"))
+        .withColumn("__scores", stopwordScores(col("__toks")))
+      val comps = qualityComponents(col("text"), col("__toks"),
+        element_at(col("__scores"), langIndex("en") + 1))
       val withComps = comps.foldLeft(base) {
         case (df, (name, c)) => df.withColumn(name, c)
       }
@@ -124,12 +133,12 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       val base = Tables.documents(s, d).withColumn("__toks", tokens(col("text")))
-      val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
-        df.withColumn(s"s_$lang", stopwordCount(col("__toks"), words))
-      }
-      scored.select(
+        .withColumn("__scores", stopwordScores(col("__toks")))
+      base.select(
           col("doc_id"), col("lang").as("actual_lang"),
-          langIdFromScores(langProfiles.map { case (l, _) => col(s"s_$l") }).as("pred_lang"))
+          langIdFromScores(langProfiles.zipWithIndex.map {
+            case (_, i) => element_at(col("__scores"), i + 1)
+          }).as("pred_lang"))
         .orderBy("doc_id")
     },
 

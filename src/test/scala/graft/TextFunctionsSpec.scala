@@ -35,6 +35,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(a != b)
   }
 
+  test("native stopwordScores equals the per-profile HOF stopwordCount on real docs") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .withColumn("__toks", TextFunctions.tokens(col("text")))
+      .withColumn("__scores", TextFunctions.stopwordScores(col("__toks")))
+    val mismatches = TextFunctions.langProfiles.zipWithIndex.map { case ((_, words), i) =>
+      docs.filter(element_at(col("__scores"), i + 1) =!=
+        TextFunctions.stopwordCount(col("__toks"), words)).count()
+    }.sum
+    assert(mismatches == 0)
+  }
+
   test("langId picks the profile with most stopword hits, ties alphabetical") {
     val df = Seq("the cat and the hat is back", "el que no la de y en un")
       .toDF("text").withColumn("__toks", TextFunctions.tokens(col("text")))
