@@ -96,6 +96,17 @@ object Relational {
   def topKByAgg(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** A16 — keyed upsert (incremental refresh): rows from `updates` win on
+    * key collision, unmatched `base` rows pass through, new keys insert.
+    * The reference reloads every table wholesale each week
+    * (airflow.py:463-521); this is the incremental form — one anti-join
+    * shuffle on the key + a union, no wholesale rewrite. Schemas must
+    * match (`unionByName`). At scale both sides shuffle once on the key;
+    * with `base` stored bucketed on the key ([[graft.sources.Tables
+    * .writeBucketed]]) only `updates` moves. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates, keys, "left_anti").unionByName(updates)
+
   /** B10 scale path — top-k per group in TWO phases when the group count
     * is small (each group's window otherwise becomes one straggler task
     * at scale): phase 1 takes a per-(group, salt) top-k — `salts`-way

@@ -185,6 +185,39 @@ object EtlQueries {
         .orderBy("o_orderkey")
     },
 
+    // A16 — keyed upsert: apply a deterministic "delta" to customer
+    // (every 7th key gets a balance bump; every 13th key re-inserts
+    // under a shifted key as a brand-new row) and merge. Updates win on
+    // collision, unmatched base rows survive, new keys insert — the
+    // incremental form of the reference's wholesale weekly reload.
+    QueryDef.sql("q_upsert",
+      """WITH updates AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey,
+        |         c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+        |FROM (
+        |  SELECT * FROM updates
+        |  UNION ALL
+        |  SELECT b.* FROM customer b
+        |  WHERE NOT EXISTS (SELECT 1 FROM updates u
+        |                    WHERE u.c_custkey = b.c_custkey))
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val base = Tables.customer(s, d)
+      val updates = base.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(base.filter(col("c_custkey") % 13 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      Relational.upsert(base, updates, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("acctbal"))
+        .orderBy("c_custkey")
+    },
+
     // A14 — deterministic hash sampling (reference: `import random  # data
     // quality testing`). RNG sampling isn't reproducible across engines or
     // re-runs; hashing the key IS: take rows whose md5(key) starts below a
