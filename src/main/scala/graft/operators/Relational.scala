@@ -107,6 +107,49 @@ object Relational {
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates, keys, "left_anti").unionByName(updates)
 
+  /** A17 — SCD type-2 apply: merge a point-in-time snapshot into a
+    * versioned history. Open rows (`validTo` null) compare against the
+    * snapshot per key: unchanged rows pass through; changed rows close
+    * at `asOf` and a new open version inserts; keys absent from the
+    * snapshot close (logical delete); new keys open at `asOf`. Closed
+    * history passes through untouched.
+    *
+    * ONE full-outer join on the key and ONE pass over it — each joined
+    * row emits its 1-2 output versions through a struct-array explode
+    * (no second scan, no per-case re-join). Validity bounds are
+    * `yyyy-MM-dd` strings (null = open) so cross-engine compare is
+    * textual. */
+  def scd2Apply(history: DataFrame, snapshot: DataFrame, keys: Seq[String],
+                attrs: Seq[String], asOf: String,
+                validFrom: String = "valid_from", validTo: String = "valid_to"): DataFrame = {
+    val nullV = lit(null).cast("string")
+    val open = history.filter(col(validTo).isNull)
+      .select(keys.map(col) ++ attrs.map(a => col(a).as(s"__o_$a")) :+
+        col(validFrom).as("__o_vf") :+ lit(1).as("__o"): _*)
+    val snap = snapshot.select(keys.map(col) ++ attrs.map(col) :+ lit(1).as("__s"): _*)
+    val j = open.join(snap, keys, "full_outer")
+    val changed = attrs.map(a => !(col(s"__o_$a") <=> col(a))).reduce(_ || _)
+    def ver(vf: Column, vt: Column, fromSnap: Boolean) =
+      struct(attrs.map(a => (if (fromSnap) col(a) else col(s"__o_$a")).as(a)) :+
+        vf.as(validFrom) :+ vt.as(validTo): _*)
+    val versions =
+      when(col("__o").isNotNull && col("__s").isNotNull && !changed,
+        array(ver(col("__o_vf"), nullV, fromSnap = false)))
+      .when(col("__o").isNotNull && col("__s").isNotNull,
+        array(ver(col("__o_vf"), lit(asOf), fromSnap = false),
+          ver(lit(asOf), nullV, fromSnap = true)))
+      .when(col("__o").isNotNull, // deleted: close the open version
+        array(ver(col("__o_vf"), lit(asOf), fromSnap = false)))
+      .otherwise( // brand-new key
+        array(ver(lit(asOf), nullV, fromSnap = true)))
+    val applied = j.select(keys.map(col) :+ explode(versions).as("__r"): _*)
+      .select(keys.map(col) ++ attrs.map(a => col(s"__r.$a")) :+
+        col(s"__r.$validFrom") :+ col(s"__r.$validTo"): _*)
+    applied.unionByName(
+      history.filter(col(validTo).isNotNull)
+        .select((keys ++ attrs :+ validFrom :+ validTo).map(col): _*))
+  }
+
   /** B10 scale path — top-k per group in TWO phases when the group count
     * is small (each group's window otherwise becomes one straggler task
     * at scale): phase 1 takes a per-(group, salt) top-k — `salts`-way

@@ -218,6 +218,77 @@ object EtlQueries {
         .orderBy("c_custkey")
     },
 
+    // A17 — SCD2 apply on a synthetic dimension history: customer as the
+    // open history (plus a pre-closed version for every 11th key),
+    // snapshot = delta (every 7th key's balance bumped = changed, every
+    // 13th key shifted = new, every 17th key absent = logical delete).
+    // Oracle reproduces the case analysis with explicit UNION ALL arms.
+    QueryDef.sql("q_scd2", {
+      val asOf = "2024-06-01"
+      """WITH hist AS (
+        |  SELECT c_custkey AS k, c_name, CAST(c_acctbal AS DOUBLE) AS bal,
+        |         '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, CAST(c_acctbal - 50.0 AS DOUBLE),
+        |         '2019-01-01', '2020-01-01'
+        |  FROM customer WHERE c_custkey % 11 = 0),
+        |snap AS (
+        |  SELECT c_custkey AS k, c_name,
+        |         CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, CAST(c_acctbal AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |open_h AS (SELECT * FROM hist WHERE valid_to IS NULL),
+        |closed_h AS (SELECT * FROM hist WHERE valid_to IS NOT NULL),
+        |matched AS (SELECT o.k, o.c_name AS o_name, o.bal AS o_bal,
+        |                   o.valid_from AS o_vf, s.c_name AS s_name, s.bal AS s_bal
+        |            FROM open_h o JOIN snap s ON o.k = s.k),
+        |out AS (
+        |  SELECT k, o_name AS c_name, o_bal AS bal, o_vf AS valid_from,
+        |         CAST(NULL AS VARCHAR) AS valid_to
+        |  FROM matched WHERE o_name = s_name AND o_bal = s_bal
+        |  UNION ALL
+        |  SELECT k, o_name, o_bal, o_vf, '@ASOF'
+        |  FROM matched WHERE NOT (o_name = s_name AND o_bal = s_bal)
+        |  UNION ALL
+        |  SELECT k, s_name, s_bal, '@ASOF', CAST(NULL AS VARCHAR)
+        |  FROM matched WHERE NOT (o_name = s_name AND o_bal = s_bal)
+        |  UNION ALL
+        |  SELECT o.k, o.c_name, o.bal, o.valid_from, '@ASOF'
+        |  FROM open_h o WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.k = o.k)
+        |  UNION ALL
+        |  SELECT s.k, s.c_name, s.bal, '@ASOF', CAST(NULL AS VARCHAR)
+        |  FROM snap s WHERE NOT EXISTS (SELECT 1 FROM open_h o WHERE o.k = s.k)
+        |  UNION ALL
+        |  SELECT k, c_name, bal, valid_from, valid_to FROM closed_h)
+        |SELECT k, c_name, bal, valid_from, valid_to FROM out
+        |ORDER BY k, valid_from, coalesce(valid_to, '9999-12-31')"""
+        .stripMargin.replace("@ASOF", asOf)
+    }) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val openH = cust.select(col("c_custkey").as("k"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"),
+        lit("2020-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"))
+      val closedH = cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey").as("k"), col("c_name"),
+          (col("c_acctbal") - 50.0).cast("double").as("bal"),
+          lit("2019-01-01").as("valid_from"), lit("2020-01-01").as("valid_to"))
+      val snapshot = cust.filter(col("c_custkey") % 17 =!= 0)
+        .select(col("c_custkey").as("k"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).cast("double").as("bal"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"), col("c_name"),
+            col("c_acctbal").cast("double").as("bal")))
+      Relational.scd2Apply(openH.unionByName(closedH), snapshot,
+          Seq("k"), Seq("c_name", "bal"), asOf = "2024-06-01")
+        .orderBy(col("k"), col("valid_from"),
+          coalesce(col("valid_to"), lit("9999-12-31")))
+    },
+
     // A14 — deterministic hash sampling (reference: `import random  # data
     // quality testing`). RNG sampling isn't reproducible across engines or
     // re-runs; hashing the key IS: take rows whose md5(key) starts below a

@@ -21,6 +21,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.select("id").distinct().count() == 1000)
   }
 
+  test("scd2Apply handles change, delete, insert, and no-op in one pass") {
+    val history = Seq(
+      (1L, "alice", "2020-01-01", null.asInstanceOf[String]), // will change
+      (2L, "bob", "2020-01-01", null.asInstanceOf[String]),   // unchanged
+      (3L, "carol", "2020-01-01", null.asInstanceOf[String]), // deleted
+      (1L, "old-alice", "2019-01-01", "2020-01-01"))          // closed: pass through
+      .toDF("k", "name", "valid_from", "valid_to")
+    val snapshot = Seq(
+      (1L, "alice2"), // changed
+      (2L, "bob"),    // same
+      (4L, "dave"))   // new
+      .toDF("k", "name")
+    val out = Relational.scd2Apply(history, snapshot, Seq("k"), Seq("name"), "2024-06-01")
+      .select("k", "name", "valid_from", "valid_to")
+      .as[(Long, String, String, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, "alice", "2020-01-01", Some("2024-06-01")),  // closed old version
+      (1L, "alice2", "2024-06-01", None),               // new open version
+      (2L, "bob", "2020-01-01", None),                  // untouched
+      (3L, "carol", "2020-01-01", Some("2024-06-01")),  // logical delete
+      (4L, "dave", "2024-06-01", None),                 // insert
+      (1L, "old-alice", "2019-01-01", Some("2020-01-01")))) // closed history
+  }
+
   test("repeatRows duplicates every row n times") {
     val df = Seq(1, 2).toDF("v")
     assert(Relational.repeatRows(df, 3).count() == 6)
