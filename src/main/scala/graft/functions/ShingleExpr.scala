@@ -58,6 +58,10 @@ object WordShinglesExpr {
     * n-gram as a fresh UTF8String (lowercasing on emit — the source
     * buffer may alias the row and is never mutated). */
   def compute(text: UTF8String, n: Int): ArrayData = {
+    // n <= 0 is ill-formed (a "0-gram" has no tokens); the function is
+    // SQL-registered, so return the empty array rather than letting the
+    // size computation below throw NegativeArraySizeException at a caller.
+    if (n <= 0) return EMPTY
     val src = text.getBytes // read-only: may alias the underlying buffer
     val len = src.length
     var cap = 16

@@ -38,6 +38,11 @@ case class StopwordScoresExpr(child: Expression) extends UnaryExpression {
 object StopwordScoresExpr {
 
   private val nProfiles = TextFunctions.langProfiles.size
+  // The word→profile map packs profile membership into an Int bitmask;
+  // past 32 profiles `1 << p` would wrap mod 32 and silently credit
+  // counts to the wrong language slot.
+  require(nProfiles <= 32,
+    s"StopwordScoresExpr supports at most 32 language profiles (got $nProfiles); widen masks to Long")
 
   /** word → bitmask of profiles containing it (a word may appear in
     * several languages' lists — e.g. "de"/"la" across Romance profiles). */

@@ -81,9 +81,10 @@ object Dedup {
 
   /** ORACLE-mode shingle id: the top 60 bits of md5(shingle) as a long.
     * md5 is computable bit-identically in DuckDB ([[hashedGidDuck]]), so
-    * parity holds with no vocabulary build — a pure projection. A
-    * collision merges two shingles in BOTH engines identically, so set
-    * comparisons still agree exactly. */
+    * parity holds with no vocabulary build — a pure projection. Both
+    * sides use SET-OF-GID semantics (Spark: `collect_set(gid)`; oracle:
+    * `SELECT DISTINCT doc, gid`), so two shingles colliding to one gid
+    * merge identically in both engines. */
   def hashedGid(g: Column): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("long")
 

@@ -32,10 +32,24 @@ object Relational {
     val n = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
     // monotonically_increasing_id is nondeterministic, so Catalyst never
     // reorders it across the sort below — assignment follows sorted order.
+    //
+    // `mids` is consumed by TWO subtrees (the offsets aggregate and the
+    // id-assignment join). Left lazy, consistency would silently depend on
+    // exchange reuse: if the branches planned as separate range Exchanges
+    // (exchange.reuse=false, canonicalization drift), RangePartitioner's
+    // per-RDD sampling could pick different boundaries per branch and the
+    // broadcast offsets would disagree with the actual __mid assignment —
+    // duplicated/skipped ids with no error. The eager persist pins ONE
+    // materialization that both branches provably read. Cost: one cached
+    // copy of the input — same order as the range-exchange shuffle this
+    // operator already pays; on a cluster where executor loss matters,
+    // a reliable `checkpoint()` is the resilient variant.
     val mids = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
+      .persist()
+    mids.count()
     // The offsets table is one row per partition (n rows total) — a
     // single-partition window over it is the POINT, not a hazard. The
     // partition key must be non-foldable (pmod(__pid, 1) ≡ 0) or

@@ -30,7 +30,7 @@ object DedupQueries {
     s"""t AS (SELECT doc_id, $toks AS toks FROM $from),
        |sh0 AS (SELECT doc_id AS doc, $gram AS g FROM t WHERE len(toks) >= $n),
        |sh AS (SELECT DISTINCT doc, g FROM sh0),
-       |ids AS (SELECT doc, ${graft.operators.Dedup.hashedGidDuck("g")} AS gid FROM sh)""".stripMargin
+       |ids AS (SELECT DISTINCT doc, ${graft.operators.Dedup.hashedGidDuck("g")} AS gid FROM sh)""".stripMargin
   }
 
   /** MinHash(8)+LSH(4×2)+verify oracle fragment over the `ids`/`sizes`

@@ -247,15 +247,21 @@ object EtlQueries {
         |                   o.valid_from AS o_vf, s.c_name AS s_name, s.bal AS s_bal
         |            FROM open_h o JOIN snap s ON o.k = s.k),
         |out AS (
+        |  -- "unchanged" must mirror the operator's null-safe <=> compare
+        |  -- (IS NOT DISTINCT FROM): with plain =, a NULL attribute would
+        |  -- satisfy NEITHER arm and the matched row would vanish.
         |  SELECT k, o_name AS c_name, o_bal AS bal, o_vf AS valid_from,
         |         CAST(NULL AS VARCHAR) AS valid_to
-        |  FROM matched WHERE o_name = s_name AND o_bal = s_bal
+        |  FROM matched WHERE o_name IS NOT DISTINCT FROM s_name
+        |                 AND o_bal IS NOT DISTINCT FROM s_bal
         |  UNION ALL
         |  SELECT k, o_name, o_bal, o_vf, '@ASOF'
-        |  FROM matched WHERE NOT (o_name = s_name AND o_bal = s_bal)
+        |  FROM matched WHERE NOT (o_name IS NOT DISTINCT FROM s_name
+        |                      AND o_bal IS NOT DISTINCT FROM s_bal)
         |  UNION ALL
         |  SELECT k, s_name, s_bal, '@ASOF', CAST(NULL AS VARCHAR)
-        |  FROM matched WHERE NOT (o_name = s_name AND o_bal = s_bal)
+        |  FROM matched WHERE NOT (o_name IS NOT DISTINCT FROM s_name
+        |                      AND o_bal IS NOT DISTINCT FROM s_bal)
         |  UNION ALL
         |  SELECT o.k, o.c_name, o.bal, o.valid_from, '@ASOF'
         |  FROM open_h o WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.k = o.k)
