@@ -171,5 +171,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_stopword_scores"),
       new ExpressionInfo(classOf[StopwordScoresExpr].getName, "graft_stopword_scores"),
       (children: Seq[Expression]) => StopwordScoresExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gid_set"),
+      new ExpressionInfo(classOf[GidSetMd5Expr].getName, "graft_gid_set"),
+      (children: Seq[Expression]) => GidSetMd5Expr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gid_set_xx"),
+      new ExpressionInfo(classOf[GidSetXxExpr].getName, "graft_gid_set_xx"),
+      (children: Seq[Expression]) => GidSetXxExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAffineExpr].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashAffineExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_xx"),
+      new ExpressionInfo(classOf[MinHashXxExpr].getName, "graft_minhash_xx"),
+      (children: Seq[Expression]) => MinHashXxExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashExpr(children.head, children(1))))
   }
 }

@@ -10,12 +10,16 @@ import graft.functions.TextFunctions
   * ones the semantics force (group-by-key, candidate equi-joins).
   *
   * The corpus is tokenized/hashed exactly ONCE into per-document shingle
-  * sets ([[hashedDocSets]]): one groupBy(doc) shuffle producing
-  * `(doc, gs: array<long>)`. Everything downstream — signatures, sizes,
-  * verification — derives from that table without rescanning text:
-  * signatures re-explode it (Generate preserves the hash partitioning, so
-  * the min/sum aggregates run exchange-free) and candidate verification is
-  * two slim joins + `array_intersect`, never a per-shingle fan-out join.
+  * sets ([[hashedDocSets]]) — and since a shingle-id set is a pure
+  * function of one document's text, that pass is a PROJECTION (native
+  * `graft_shingles` → `graft_gid_set`), not an aggregate: no explode, no
+  * collect_set buffers, no wide exchange beyond the parallelism
+  * repartition. Signatures likewise ([[minHashSignature]]/[[simHash]] are
+  * single compiled passes over the id array via `graft_minhash`/
+  * `graft_simhash`). Downstream, candidate generation shuffles only
+  * signature-sized rows and verification is two slim joins +
+  * `array_intersect` — never a per-shingle fan-out join, and the text
+  * never moves after the first pass.
   *
   * Two hashing modes:
   *  - ORACLE mode: shingle ids are the top 60 bits of md5(shingle) and
@@ -23,10 +27,14 @@ import graft.functions.TextFunctions
   *    the DuckDB oracle reproduces term by term.
   *  - PRODUCTION mode (the *Xx functions): `xxhash64` throughout — cheaper
   *    hashing, not DuckDB-expressible; this is the 100 TB path.
+  *
+  * The distributive explode+aggregate formulations are kept as `*ViaAgg`
+  * — the reference semantics the sketch expressions are spec'd
+  * bit-identical to (SketchExprSpec).
   */
 object Dedup {
 
-  val P: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+  val P: Long = graft.functions.SketchExprs.P // 2^31 − 1 (Mersenne prime)
 
   /** Partition count for fan-out self-joins. AQE coalesces exchanges by
     * their INPUT bytes; a candidate self-join has tiny inputs (signatures)
@@ -37,9 +45,9 @@ object Dedup {
   private def fanout(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
-  /** Affine permutation coefficients, deterministic closed form. */
-  def perms(k: Int): Seq[(Long, Long)] =
-    (0 until k).map(j => (((2L * j + 1) * 1103515245L) % P, ((j + 1) * 12345679L) % P))
+  /** Affine permutation coefficients, deterministic closed form
+    * (delegates to the expression layer — single source of truth). */
+  def perms(k: Int): Seq[(Long, Long)] = graft.functions.SketchExprs.perms(k)
 
   /** D1 — exact dedup by content hash: one shuffle on md5(text). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -91,16 +99,37 @@ object Dedup {
   def hashedGidDuck(g: String): String =
     s"CAST('0x' || substr(md5($g), 1, 15) AS BIGINT)"
 
-  /** The corpus reduced to per-doc shingle-id sets: `(doc, gs)`. ONE
-    * shuffle (the groupBy; collect_set dedups map-side), after which the
-    * text is never touched again. Docs with fewer than n tokens vanish
-    * (no shingles), matching the oracle's `len(toks) >= n` filter. */
+  /** The corpus reduced to per-doc shingle-id sets: `(doc, gs)` — a pure
+    * PROJECTION (shingle → hash → distinct, one compiled pass per doc via
+    * `graft_gid_set`), so no aggregate and no wide shuffle: the only
+    * exchange is the parallelism repartition on doc, which doubles as the
+    * partitioning every downstream doc-keyed aggregate/join wants. Docs
+    * with fewer than n tokens are dropped (no shingles), matching the
+    * oracle's `len(toks) >= n` filter. */
   def hashedDocSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    explodedShingles(df, idCol, textCol, n)
-      .groupBy("doc").agg(collect_set(hashedGid(col("g"))).as("gs"))
+    df.repartition(fanout(df), col(idCol))
+      .select(col(idCol).as("doc"),
+        call_function("graft_gid_set",
+          call_function("graft_shingles", col(textCol), lit(n))).as("gs"))
+      .filter(size(col("gs")) > 0)
 
   /** PRODUCTION doc sets: xxhash64 ids, no md5/hex decode. */
   def hashedDocSetsXx(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.repartition(fanout(df), col(idCol))
+      .select(col(idCol).as("doc"),
+        call_function("graft_gid_set_xx",
+          call_function("graft_shingles", col(textCol), lit(n))).as("gs"))
+      .filter(size(col("gs")) > 0)
+
+  /** Reference (distributive) formulation of [[hashedDocSets]]: explode +
+    * groupBy + collect_set. Spec'd set-identical to the projection form. */
+  private[graft] def hashedDocSetsViaAgg(df: DataFrame, idCol: String, textCol: String,
+                                         n: Int): DataFrame =
+    explodedShingles(df, idCol, textCol, n)
+      .groupBy("doc").agg(collect_set(hashedGid(col("g"))).as("gs"))
+
+  private[graft] def hashedDocSetsXxViaAgg(df: DataFrame, idCol: String, textCol: String,
+                                           n: Int): DataFrame =
     explodedShingles(df, idCol, textCol, n)
       .groupBy("doc").agg(collect_set(xxhash64(col("g"))).as("gs"))
 
@@ -110,20 +139,36 @@ object Dedup {
   def docIds(docSets: DataFrame): DataFrame =
     docSets.select(col("doc"), explode(col("gs")).as("gid"))
 
-  /** MinHash signature: k affine permutations, one exchange-free min-agg
-    * pass over [[docIds]]. gid is reduced mod P before the multiply so
-    * a·gid never overflows a long (a < P < 2^31 and gid%P < 2^31 keep the
-    * product under 2^62). */
-  def minHashSignature(docSets: DataFrame, k: Int): DataFrame = {
+  /** MinHash signature: k affine permutations computed in ONE compiled
+    * pass over each doc's id array (`graft_minhash`) — a projection, no
+    * explode/aggregate. gid is reduced mod P before the multiply so a·gid
+    * never overflows a long (a < P < 2^31 and gid%P < 2^31 keep the
+    * product under 2^62). Output schema (doc, m0..m{k-1}) unchanged. */
+  def minHashSignature(docSets: DataFrame, k: Int): DataFrame =
+    docSets.select(col("doc"),
+        call_function("graft_minhash", col("gs"), lit(k)).as("__ms"))
+      .select(col("doc") +:
+        (0 until k).map(j => element_at(col("__ms"), j + 1).as(s"m$j")): _*)
+
+  /** PRODUCTION signature: permutation j re-hashes the shingle id with
+    * seed j via xxhash64 — full-range, no modular arithmetic; one
+    * compiled pass per doc (`graft_minhash_xx`). */
+  def minHashSignatureXx(docSets: DataFrame, k: Int): DataFrame =
+    docSets.select(col("doc"),
+        call_function("graft_minhash_xx", col("gs"), lit(k)).as("__ms"))
+      .select(col("doc") +:
+        (0 until k).map(j => element_at(col("__ms"), j + 1).as(s"m$j")): _*)
+
+  /** Reference (distributive) signature formulations — the explode +
+    * k-min aggregate shape; spec'd bit-identical to the expression form. */
+  private[graft] def minHashSignatureViaAgg(docSets: DataFrame, k: Int): DataFrame = {
     val aggs = perms(k).zipWithIndex.map { case ((a, b), j) =>
       min(pmod(lit(a) * pmod(col("gid"), lit(P)) + lit(b), lit(P))).as(s"m$j")
     }
     docIds(docSets).groupBy("doc").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** PRODUCTION signature: permutation j re-hashes the shingle id with
-    * seed j via xxhash64 — full-range, no modular arithmetic. */
-  def minHashSignatureXx(docSets: DataFrame, k: Int): DataFrame =
+  private[graft] def minHashSignatureXxViaAgg(docSets: DataFrame, k: Int): DataFrame =
     docIds(docSets).groupBy("doc")
       .agg(min(xxhash64(lit(0), col("gid"))).as("m0"),
         (1 until k).map(j => min(xxhash64(lit(j), col("gid"))).as(s"m$j")): _*)
@@ -238,15 +283,20 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** SimHash bit coefficients. */
+  /** SimHash bit coefficients (closed form; expression-layer source). */
   def simPerms(bits: Int): Seq[(Long, Long)] =
-    (0 until bits).map(j => (((3L * j + 7) * 2654435761L) % P, ((j + 1) * 97003L) % P))
+    graft.functions.SketchExprs.simPerms(bits)
 
-  /** D4 — b-bit SimHash over the distinct-token set: bit j of token id t is
-    * ((c·t+d) mod P) mod 2; the signature bit is the sign of the ±1 vote
-    * sum. One exchange-free group-by pass over [[docIds]] computes all
-    * bits. */
-  def simHash(docSets: DataFrame, bits: Int): DataFrame = {
+  /** D4 — b-bit SimHash over the distinct-token set: bit j of token id t
+    * is ((c·t+d) mod P) mod 2; the signature bit is the sign of the ±1
+    * vote sum. All `bits` votes in one compiled pass per doc
+    * (`graft_simhash`) — a projection, no explode/aggregate. */
+  def simHash(docSets: DataFrame, bits: Int): DataFrame =
+    docSets.select(col("doc"),
+      call_function("graft_simhash", col("gs"), lit(bits)).as("sim"))
+
+  /** Reference (distributive) SimHash — explode + b-vote aggregate. */
+  private[graft] def simHashViaAgg(docSets: DataFrame, bits: Int): DataFrame = {
     val votes = simPerms(bits).zipWithIndex.map { case ((c, dd), j) =>
       sum(pmod(pmod(lit(c) * pmod(col("gid"), lit(P)) + lit(dd), lit(P)), lit(2L)) * 2L - 1L).as(s"v$j")
     }

@@ -114,10 +114,11 @@ object DedupQueries {
       s"""WITH ${idsCte(3)},
          |${minhashVerifyCte(0.5)}
          |SELECT a, b, jaccard FROM nd ORDER BY a, b""".stripMargin) { (s, d) =>
-      // The corpus is hashed ONCE into per-doc shingle-id sets; the
-      // signature, banding, and verification all reuse that one table
-      // (signature agg is exchange-free on its partitioning; verification
-      // is array_intersect per candidate — no per-shingle fan-out join).
+      // The corpus is hashed ONCE into per-doc shingle-id sets (a pure
+      // projection — graft_shingles → graft_gid_set, no explode/agg); the
+      // signature (one-pass graft_minhash), banding, and verification all
+      // reuse that one table (verification is array_intersect per
+      // candidate — no per-shingle fan-out join).
       val docSets = Dedup.hashedDocSets(Tables.documents(s, d), "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Eager fill: the candidate chain and the two verification joins all
