@@ -27,6 +27,13 @@ object TextFunctions {
   /** C1 — token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** C9 — PII patterns, written in the dialect common to java.util.regex
+    * (Spark) and RE2 (DuckDB oracle): character classes + bounded
+    * repetition only — no lookarounds, no backrefs (RE2 has neither). */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiUrl   = "https?://[A-Za-z0-9._/-]+"
+  val piiPhone = "\\+[0-9][0-9 ]{6,}[0-9]"
+
   /** C4 — rolling polynomial fingerprint over the character stream:
     * h = (h*31 + ascii(c)) mod 1e9+7, left fold. Deterministic integer
     * arithmetic — the oracle computes the identical fold. */

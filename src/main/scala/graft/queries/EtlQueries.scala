@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.Relational
+import graft.operators.{Profiling, Relational}
 import graft.sources.Tables
 
 /** SURVEY §2 group A — the reference's ETL transforms re-expressed
@@ -309,6 +309,47 @@ object EtlQueries {
         .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "04")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
+    },
+
+    // A18 — column profiling: the whole table audited in ONE scan (melt +
+    // per-column aggregate; see operators.Profiling). The oracle is the
+    // obvious per-column UNION ALL — DuckDB may scan k times, Spark must
+    // not. Numeric/timestamp min-max stay numeric (epoch millis for
+    // timestamps); double→string formatting is never compared.
+    QueryDef.sql("q_profile", {
+      def num(c: String, v: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($v) AS DOUBLE) AS min_num, CAST(max($v) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey", "o_orderkey"), num("o_custkey", "o_custkey"),
+        str("o_orderstatus"), num("o_totalprice", "o_totalprice"),
+        num("o_orderdate", "epoch_ms(o_orderdate)"), str("o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, d) =>
+      Profiling.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")
+    },
+
+    // A18 scale path — HLL distinct counts: no multi-distinct Expand, no
+    // distinct-value shuffle, one partial-agg pass (estimator ⇒ rows-only;
+    // agreement with the exact profile is spec'd in ProfilingSpec).
+    QueryDef.rowsOnly("q_profile_approx") { (s, d) =>
+      Profiling.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"), approx = true)
+        .orderBy("col_name")
     }
   )
 }

@@ -208,6 +208,102 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), charFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // C8 — per-document top-3 terms by tf-idf. The idf is the LINEAR form
+    // score = tf·N/df: exact integer arithmetic + ONE double division, so
+    // both engines rank identically (ln-damped idf is a monotone transform
+    // of N/df — same plan shape — but libm ln is not bit-reproducible
+    // across engines, and a 1-ulp drift at a rank boundary would flip the
+    // hash; SURVEY §4 rule 2). Shape: tf agg on (doc,tok), df agg derived
+    // FROM tf (already distinct doc-tok pairs — no second corpus pass),
+    // scalar N crossJoined as a broadcast 1-row aggregate, per-doc top-k
+    // window bounded by doc vocabulary.
+    QueryDef.sql("t_tfidf",
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |         CAST(tf * n_docs AS DOUBLE) / df AS score
+         |  FROM tf JOIN dfx USING (tok) CROSS JOIN nd),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+         |      FROM scored)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, score
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nd = docs.select(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tf.join(dfx, "tok").crossJoin(broadcast(nd))
+        .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rnk")
+    },
+
+    // C9 — PII scrub: redact emails/URLs/phone numbers before a corpus
+    // ships to training, reporting per-doc match counts and the scrubbed
+    // text's hash (compact proof the redacted bytes agree). The synthetic
+    // corpus carries no PII, so both sides enrich it with DETERMINISTIC
+    // planted PII (keyed on doc_id) first — the scrubber is then verified
+    // against known-positive and known-negative docs alike. Patterns stay
+    // in the RE2 ∩ java.util.regex common dialect.
+    QueryDef.sql("t_pii_scrub", {
+      s"""WITH enriched AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN ' contact user' || doc_id || '@example.com for details' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ' see https://site' || doc_id || '.example.org/docs' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    AS t FROM documents),
+         |scrubbed AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '$piiEmail')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(t, '$piiUrl')) AS BIGINT) AS n_url,
+         |    CAST(len(regexp_extract_all(t, '$piiPhone')) AS BIGINT) AS n_phone,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$piiEmail', '<EMAIL>', 'g'), '$piiUrl', '<URL>', 'g'),
+         |      '$piiPhone', '<PHONE>', 'g') AS clean
+         |  FROM enriched)
+         |SELECT doc_id, n_email, n_url, n_phone,
+         |       CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_sig
+         |FROM scrubbed ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val t = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com for details"))).otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" see https://site"), col("doc_id").cast("string"),
+            lit(".example.org/docs"))).otherwise(""),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +1415555"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""))
+      val clean = regexp_replace(regexp_replace(regexp_replace(col("t"),
+        lit(piiEmail), lit("<EMAIL>")), lit(piiUrl), lit("<URL>")),
+        lit(piiPhone), lit("<PHONE>"))
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(piiEmail), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(piiUrl), lit(0))).cast("long").as("n_url"),
+          size(regexp_extract_all(col("t"), lit(piiPhone), lit(0))).cast("long").as("n_phone"),
+          clean.as("clean"))
+        .select(col("doc_id"), col("n_email"), col("n_url"), col("n_phone"),
+          length(col("clean")).cast("long").as("clean_len"),
+          md5(col("clean")).as("clean_sig"))
+        .orderBy("doc_id")
     }
   )
 }
