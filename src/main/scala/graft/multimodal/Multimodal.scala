@@ -58,4 +58,32 @@ object Multimodal {
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
       .toDF()
   }
+
+  /** Frame sampling over a fixed-frame binary payload (the video analog):
+    * slice the blob into `frameBytes`-sized frames and keep every
+    * `everyK`-th — the standard decimation step before a video corpus is
+    * feature-extracted. Unlike codec decode (which needs `mapPartitions`
+    * batching, see [[decodeStub]]), fixed-size slicing is pure offset
+    * arithmetic, so it stays DECLARATIVE: `sequence` of sampled frame
+    * indices → `substring` slices inside a `transform` → `posexplode` —
+    * whole-stage codegen end to end, narrow (no shuffle), and the
+    * per-row output is bounded by payload size / (frameBytes·everyK).
+    * Trailing partial frames are dropped (floor semantics). */
+  def frameSample(docs: DataFrame, idCol: String, payloadCol: String,
+                  frameBytes: Int, everyK: Int): DataFrame = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).cast("binary").as("__p"),
+        floor(length(col(payloadCol).cast("binary")) / frameBytes).as("__nf"))
+      .filter(col("__nf") > 0)
+      .select(col("doc_id"), expr(
+        s"""posexplode(transform(sequence(0L, __nf - 1, ${everyK}L),
+           |  i -> substring(__p, CAST(i * $frameBytes + 1 AS INT), $frameBytes)))"""
+          .stripMargin).as(Seq("__s", "frame")))
+      .select(col("doc_id"),
+        (col("__s") * everyK).cast("long").as("frame_no"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_sig"))
+  }
 }

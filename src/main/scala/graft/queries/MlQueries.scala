@@ -74,6 +74,24 @@ object MlQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Multimodal.decodeStub(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // F4b — frame sampling over the binary payload (video decimation):
+    // every 4th 16-byte frame, sliced declaratively (offset arithmetic
+    // needs no codec, so no mapPartitions — pure codegen, narrow). The
+    // oracle re-slices the same bytes with range+substring; frame hashes
+    // prove byte-exact agreement. ASCII corpus ⇒ char offsets = byte
+    // offsets on both sides.
+    QueryDef.sql("mm_frame_sample",
+      """SELECT doc_id, i AS frame_no, CAST(16 AS BIGINT) AS frame_len,
+        |       md5(substring(text, CAST(i * 16 + 1 AS INT), 16)) AS frame_sig
+        |FROM (
+        |  SELECT doc_id, text, unnest(range(0, CAST(floor(length(text) / 16) AS BIGINT), 4)) AS i
+        |  FROM documents WHERE length(text) >= 16)
+        |ORDER BY doc_id, frame_no""".stripMargin) { (s, d) =>
+      Multimodal.frameSample(Tables.documents(s, d), "doc_id", "text",
+          frameBytes = 16, everyK = 4)
+        .orderBy("doc_id", "frame_no")
     }
   )
 }

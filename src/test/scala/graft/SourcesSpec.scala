@@ -104,6 +104,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.orderBy("doc_id").select("n_bytes", "format").collect().length == 2)
   }
 
+  test("frame sampling slices every k-th full frame, drops partials (F4b)") {
+    // 26 bytes @ frameBytes=8 → 3 full frames (partial tail dropped);
+    // everyK=2 keeps frames 0 and 2. 7-byte doc yields nothing.
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz"), (2L, "short12".substring(0, 7)))
+      .toDF("doc_id", "text")
+    val fs = graft.multimodal.Multimodal
+      .frameSample(docs, "doc_id", "text", frameBytes = 8, everyK = 2)
+    val out = fs.orderBy("doc_id", "frame_no")
+    val rows = out.select("doc_id", "frame_no", "frame_len").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(rows == Seq((1L, 0L, 8L), (1L, 2L, 8L)))
+    val sigs = out.select("frame_sig").as[String].collect()
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("abcdefgh".getBytes).map("%02x".format(_)).mkString
+    assert(sigs.head == exp)
+    // narrow: no exchange anywhere in the slicing plan itself
+    val p = fs.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle in frame sampling:\n$p")
+  }
+
   test("streaming file source feeds the tumbling aggregation (G6/F1)") {
     val inDir = Files.createTempDirectory("graft_stream_in").toString + "/events"
     val batch = Seq(
