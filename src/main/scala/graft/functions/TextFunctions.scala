@@ -27,6 +27,15 @@ object TextFunctions {
   /** C1 — token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** C1x — GPT-2-style pretokenizer: contraction suffixes, then
+    * space-prefixed letter / digit / punctuation runs, then residual
+    * whitespace. Both regex dialects (java.util.regex, RE2) use
+    * leftmost-first alternation, so match COUNTS agree exactly. */
+  val bpePattern = "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  /** Same pattern with the leading apostrophe doubled for a DuckDB
+    * single-quoted literal (RE2 sees the identical pattern). */
+  val bpeDuckPattern = "''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
   /** C9 — PII patterns, written in the dialect common to java.util.regex
     * (Spark) and RE2 (DuckDB oracle): character classes + bounded
     * repetition only — no lookarounds, no backrefs (RE2 has neither). */

@@ -83,6 +83,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // C1x — BPE-style token counting: the GPT-2 pretokenizer regex
+    // (contraction suffixes, space-prefixed letter/digit/punct runs,
+    // residual whitespace) — the unit a training-data pipeline actually
+    // budgets by, vs C1's whitespace words. Pure regex count per row
+    // (narrow, codegen); the pattern stays in the java.regex ∩ RE2
+    // common dialect, and both engines use leftmost-first alternation,
+    // so the counts agree exactly.
+    QueryDef.sql("t_token_bpe",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$bpeDuckPattern')) AS BIGINT) AS n_bpe,
+         |  CAST(len($toks) AS BIGINT) AS n_words
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+            .cast("long").as("n_bpe"),
+          tokenCount(col("text")).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    },
+
     // C2 — quality scoring from length/punctuation/stopword/word-length
     // heuristics; components exposed so the blend is auditable.
     QueryDef.sql("t_quality_score", {

@@ -43,6 +43,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("REPARTITION_BY_NUM"), s"expected pinned repartition in:\n$p")
   }
 
+  test("per-group top-k gets WindowGroupLimit pushdown, partial before the shuffle") {
+    // Spark's WindowGroupLimit turns row_number()<=k filters into a
+    // per-group limit — the Partial phase prunes to k rows per group
+    // MAP-SIDE, so the shuffle moves k·groups rows, not the table. If a
+    // query-shape change (non-rank window function, missing filter) ever
+    // breaks the rewrite, the window degenerates to a full sort+rank —
+    // catch it here, not at 100 TB.
+    val p = plan("q_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
+    assert(p.contains("Partial"), s"expected map-side partial group limit in:\n$p")
+  }
+
   test("hash sampling pushes nothing but still prunes to the 3 output columns") {
     val p = plan("q_hash_sample")
     assert(p.contains("ReadSchema"))
