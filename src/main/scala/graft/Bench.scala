@@ -29,16 +29,16 @@ object Bench {
       if (java.nio.file.Files.isDirectory(sib)) sib.toString else ""
     })
     if (warmDir.nonEmpty && warmDir != sfDir) {
-      // Only the heavy families warm up explicitly (dedup/similarity/
-      // pipeline/ml — the ones with big generated-code bodies where cold
-      // JIT costs 5-15 s); the sub-second queries get their steady-state
-      // sample from the second timed pass, and skipping them here keeps
-      // the bench wall-clock bounded.
-      def heavy(name: String): Boolean =
-        name.startsWith("d_") || name.startsWith("s_") || name.startsWith("p_") ||
-          name.startsWith("m_") || name == "q_pipeline_topk" || name == "q_surrogate_key"
+      // EVERY query warms up, not a name-based "heavy" subset: the r3
+      // bench showed the cost of guessing — a new t_* query with a
+      // cold-compile convoy in its window stage paid ~12 s in BOTH timed
+      // passes because the warm-up list assumed the t_ family was
+      // sub-second. Warming the full surface at the 10×-smaller sibling
+      // costs ~20-30 s of bench wall-clock and makes the timed passes
+      // measure steady state for whatever queries exist, present and
+      // future.
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => (only.isEmpty || only(name)) && heavy(name) }
+        .filter { case (name, _) => only.isEmpty || only(name) }
         .foreach { case (_, fn) =>
           try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
           spark.catalog.clearCache()

@@ -40,6 +40,15 @@ object GraftSession {
       // cluster, so keys-per-partition stays bounded at 100 TB too.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // Generated-class cache (static conf, default 100 entries): a
+      // session cycling through the full query surface generates more
+      // distinct code bodies than that, so steady-state runs kept
+      // re-Janino-compiling evicted classes — and a recompile in an
+      // operator that resolves its projections lazily PER TASK (WindowExec)
+      // convoys all task threads behind one compile lock (measured: 32
+      // tasks, 771 s cumulative run-time vs 72 s CPU — blocked, not
+      // computing). Bytecode is tiny; keep every class of a working set.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)

@@ -104,16 +104,21 @@ object SketchExprs {
     var k = 0
     var i = 0
     while (i < n) {
-      val id = hash(arr.getUTF8String(i))
-      var slot = (java.lang.Long.hashCode(id) & (cap - 1))
-      var dup = false
-      while (used(slot) && !dup) {
-        if (table(slot) == id) dup = true
-        else slot = (slot + 1) & (cap - 1)
-      }
-      if (!dup) {
-        used(slot) = true; table(slot) = id
-        out(k) = id; k += 1
+      // Internal producers (graft_shingles) emit containsNull=false, but
+      // the functions are SQL-registered — a user array CAN carry nulls.
+      // Null elements contribute nothing to a set of shingle ids.
+      if (!arr.isNullAt(i)) {
+        val id = hash(arr.getUTF8String(i))
+        var slot = (java.lang.Long.hashCode(id) & (cap - 1))
+        var dup = false
+        while (used(slot) && !dup) {
+          if (table(slot) == id) dup = true
+          else slot = (slot + 1) & (cap - 1)
+        }
+        if (!dup) {
+          used(slot) = true; table(slot) = id
+          out(k) = id; k += 1
+        }
       }
       i += 1
     }
@@ -167,8 +172,13 @@ object SketchExprs {
   }
 
   /** All `bits` SimHash votes in one pass; bit j of the result is the
-    * sign of the ±1 vote sum for bit function j. Empty input → 0L. */
+    * sign of the ±1 vote sum for bit function j. Empty input → 0L.
+    * `bits` is SQL-reachable (`graft_simhash(gs, b)`), so it gets the
+    * same input guard as `computeMinHash`'s k: 1..64 only (a 65th bit
+    * position would silently wrap `1L << j`). */
   def computeSimHash(gs: ArrayData, bits: Int): Long = {
+    require(bits > 0 && bits <= 64,
+      s"graft_simhash: bits must be in 1..64, got $bits")
     val n = gs.numElements()
     val (cs, ds) = simPermArrays(bits)
     val votes = new Array[Long](bits)

@@ -39,17 +39,18 @@ object Relational {
     // (exchange.reuse=false, canonicalization drift), RangePartitioner's
     // per-RDD sampling could pick different boundaries per branch and the
     // broadcast offsets would disagree with the actual __mid assignment —
-    // duplicated/skipped ids with no error. The eager persist pins ONE
-    // materialization that both branches provably read. Cost: one cached
-    // copy of the input — same order as the range-exchange shuffle this
-    // operator already pays; on a cluster where executor loss matters,
-    // a reliable `checkpoint()` is the resilient variant.
+    // duplicated/skipped ids with no error. The eager localCheckpoint pins
+    // ONE materialization that both branches provably read, truncates the
+    // lineage, and — unlike persist(), which a library operator has no
+    // safe point to unpersist — is freed by GC once the returned plan is
+    // no longer referenced (no cached copy accumulates across repeated
+    // calls in a long-lived session). On a cluster where executor loss
+    // matters, a reliable `checkpoint()` is the resilient variant.
     val mids = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33))
-      .persist()
-    mids.count()
+      .localCheckpoint(true)
     // The offsets table is one row per partition (n rows total) — a
     // single-partition window over it is the POINT, not a hazard. The
     // partition key must be non-foldable (pmod(__pid, 1) ≡ 0) or

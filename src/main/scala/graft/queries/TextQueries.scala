@@ -256,9 +256,19 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // `tf` is read by BOTH the scoring branch and the df aggregation.
+      // Left lazy, Catalyst plans the tokenize→explode→aggregate subtree
+      // TWICE (exchange reuse doesn't apply — the consumers sit in
+      // different stages), and the corpus is tokenized twice. Persist the
+      // aggregate (vocab-per-doc rows, orders of magnitude smaller than
+      // the text) so the corpus pass happens exactly once.
       val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .persist()
+      // Document frequency is a vocabulary-sized table (distinct tokens) —
+      // broadcast it so the tf⋈df join needs no shuffle and `tf`'s
+      // doc_id partitioning flows through to the rank window below.
+      val dfx = broadcast(tf.groupBy("tok").agg(count(lit(1)).as("df")))
       val nd = docs.select(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
       tf.join(dfx, "tok").crossJoin(broadcast(nd))
