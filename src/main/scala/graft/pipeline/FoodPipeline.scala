@@ -22,10 +22,15 @@ import graft.sources.Tables
 object FoodPipeline {
 
   /** Transform stage: all normalized outputs, keyed by table name. */
-  def build(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
-    val orders = Tables.orders(spark, sfDir)
-    val customer = Tables.customer(spark, sfDir)
-    val nation = Tables.nation(spark, sfDir)
+  def build(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    buildFrom(Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir))
+
+  /** Transform stage over already-extracted inputs — the same normalization
+    * whether the feeds arrived as parquet tables or through the paged-JSON
+    * extract ([[graft.sources.RestExtract]]). */
+  def buildFrom(orders: DataFrame, customer: DataFrame,
+                nation: DataFrame): Map[String, DataFrame] = {
 
     // schedule feed with surrogate key (airflow.py:161).
     val schedule = Relational.surrogateKey(orders, "schedule_id", Seq(col("o_orderkey")))
@@ -98,16 +103,33 @@ object FoodPipeline {
     * matplotlib-to-S3 stage; the Hadoop FS writer takes `s3a://` paths
     * unchanged). Returns per-task status. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          retries: Int = 2): Map[String, Orchestrator.Status] = {
+          retries: Int = 2,
+          scheduleFeed: Option[graft.sources.RestExtract.PageFetcher] = None,
+          pageLimit: Int = 1000): Map[String, Orchestrator.Status] = {
     var tables: Map[String, DataFrame] = Map.empty
+    var orders: DataFrame = null
     Orchestrator.run(Seq(
       Orchestrator.Task("extract", Nil, retries) { () =>
-        // The reference's Extract pulls the feeds; here the feeds are the
-        // input tables — fail fast (and retryably) if any is unreadable.
-        Seq("orders", "customer", "nation").foreach(Tables.load(spark, sfDir, _).schema)
+        // The reference's Extract pages the schedule feed from the Socrata
+        // API (airflow.py:71-85); here the feed arrives through the paged
+        // ingestion path when a fetcher is supplied — landed raw under
+        // outDir, then schema-enforced (FAILFAST) into the orders table.
+        // Without a fetcher the feed is the pre-landed parquet table.
+        // Either way a malformed/empty feed fails HERE, retryably, not
+        // downstream.
+        orders = scheduleFeed match {
+          case Some(f) =>
+            val landed = graft.sources.RestExtract.extract(spark, f,
+              s"$outDir/landing/schedule", Tables.schemas("orders"), pageLimit)
+            require(landed.count() > 0, "schedule feed landed zero rows")
+            landed
+          case None => Tables.orders(spark, sfDir)
+        }
+        Seq("customer", "nation").foreach(Tables.load(spark, sfDir, _).schema)
       },
       Orchestrator.Task("transform", Seq("extract"), retries) { () =>
-        tables = build(spark, sfDir)
+        tables = buildFrom(orders, Tables.customer(spark, sfDir),
+          Tables.nation(spark, sfDir))
       },
       Orchestrator.Task("load", Seq("transform"), retries) { () =>
         tables.foreach { case (name, df) => Tables.writeParquet(df, s"$outDir/$name") }

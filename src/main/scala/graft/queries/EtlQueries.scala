@@ -350,6 +350,34 @@ object EtlQueries {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"), approx = true)
         .orderBy("col_name")
+    },
+
+    // G10 — paged-REST extract (airflow.py:71-85 Socrata `$limit`/`$offset`
+    // loop): a deterministic 2000-row slice of `orders` plays the external
+    // API (rendered to JSON driver-side — that half SIMULATES the remote
+    // service, it is not engine work), is paged through the fetcher, landed
+    // as raw page files, schema-read back FAILFAST, and aggregated. The
+    // oracle computes the same aggregate over the parquet rows directly, so
+    // the hash gate proves the land→parse path is a faithful round-trip
+    // (types included: decimal-exact money sum, timestamp max). One double
+    // cast at the end per SURVEY §4.
+    QueryDef.sql("q_rest_extract",
+      """WITH feed AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 2000)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       max(o_orderdate) AS max_date
+        |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.sources.RestExtract
+      val feedRows = Tables.orders(s, d).orderBy("o_orderkey").limit(2000)
+        .toJSON.collect().toIndexedSeq
+      val landing = s"${System.getProperty("java.io.tmpdir")}/graft_rest_landing"
+      val landed = RestExtract.extract(s, RestExtract.RowsFetcher(feedRows),
+        landing, Tables.schemas("orders"), limit = 256)
+      landed.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          max(col("o_orderdate")).as("max_date"))
+        .orderBy("o_orderstatus")
     }
   )
 }

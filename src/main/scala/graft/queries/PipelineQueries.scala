@@ -28,6 +28,47 @@ object PipelineQueries {
         |GROUP BY applicant
         |ORDER BY schedule_count DESC, applicant LIMIT 5""".stripMargin) { (s, d) =>
       FoodPipeline.topBusinesses(FoodPipeline.build(s, d))
+    },
+
+    // A19 — FK-integrity check on load (reference DDL PK/FK graph,
+    // airflow.py:263-460): every snowflake edge of the analog schema, plus
+    // one edge checked against a TRUNCATED parent (suppliers in the lower
+    // half of the key range — both sides apply the same truncation), which
+    // models the partial-dim-load failure this check exists to catch and
+    // proves nonzero orphan counting against the oracle.
+    QueryDef.sql("q_fk_check", {
+      def edge(c: String, fk: String, p: String, pk: String, pSql: String) =
+        s"""SELECT '$c' AS child_table, '$fk' AS fk_col,
+           |  '$p' AS parent_table, '$pk' AS pk_col,
+           |  CAST(count(*) AS BIGINT) AS n_child,
+           |  CAST(count(*) - count(pr.__pk) AS BIGINT) AS n_orphans
+           |FROM (SELECT $fk AS __k FROM $c WHERE $fk IS NOT NULL) ch
+           |LEFT JOIN (SELECT DISTINCT $pk AS __pk FROM $pSql) pr ON ch.__k = pr.__pk""".stripMargin
+      Seq(
+        edge("orders", "o_custkey", "customer", "c_custkey", "customer"),
+        edge("customer", "c_nationkey", "nation", "n_nationkey", "nation"),
+        edge("nation", "n_regionkey", "region", "r_regionkey", "region"),
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey", "orders"),
+        edge("lineitem", "l_suppkey", "supplier_half", "s_suppkey",
+          "(SELECT * FROM supplier WHERE s_suppkey <= (SELECT max(s_suppkey) / 2 FROM supplier)) t"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_col")
+    }) { (s, d) =>
+      import graft.operators.Integrity, Integrity.FkEdge
+      import graft.sources.Tables
+      val supplier = Tables.supplier(s, d)
+      val half = supplier.agg(max("s_suppkey")).head().getLong(0) / 2
+      val tables = Map(
+        "orders" -> Tables.orders(s, d), "customer" -> Tables.customer(s, d),
+        "nation" -> Tables.nation(s, d), "region" -> Tables.region(s, d),
+        "lineitem" -> Tables.lineitem(s, d),
+        "supplier_half" -> supplier.filter(col("s_suppkey") <= half))
+      Integrity.checkFk(tables, Seq(
+          FkEdge("orders", "o_custkey", "customer", "c_custkey"),
+          FkEdge("customer", "c_nationkey", "nation", "n_nationkey"),
+          FkEdge("nation", "n_regionkey", "region", "r_regionkey"),
+          FkEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          FkEdge("lineitem", "l_suppkey", "supplier_half", "s_suppkey")))
+        .orderBy("child_table", "fk_col")
     }
   )
 }

@@ -39,4 +39,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(svg.startsWith("<svg") && svg.contains("</svg>"))
     assert(svg.contains("Top 5 businesses"))
   }
+
+  test("FK check counts planted orphans and ignores null keys (A19)") {
+    import spark.implicits._
+    import graft.operators.Integrity, Integrity.FkEdge
+    val child = Seq(Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk") // 9 is the planted orphan; the null is FK-legal
+    val parent = Seq(1L, 2L, 2L, 3L).toDF("pk") // duplicate pk must not fan out
+    val rep = Integrity.checkFk(Map("c" -> child, "p" -> parent),
+      Seq(FkEdge("c", "fk", "p", "pk"))).head()
+    assert(rep.getAs[Long]("n_child") == 3L)
+    assert(rep.getAs[Long]("n_orphans") == 1L)
+    // a clean edge reports zero
+    val clean = Integrity.checkFk(Map("c" -> child, "p" -> parent ,
+        "p2" -> Seq(1L, 2L, 9L).toDF("pk")),
+      Seq(FkEdge("c", "fk", "p2", "pk"))).head()
+    assert(clean.getAs[Long]("n_orphans") == 0L)
+  }
+
+  test("run() extracts the schedule feed through the paged-JSON path (G10)") {
+    import graft.sources.RestExtract
+    val out = Files.createTempDirectory("graft_pipe_feed").toString
+    // the feed serves the same rows the parquet table holds — the DAG's
+    // outputs must be identical whichever path the feed arrives through
+    val feedRows = graft.sources.Tables.orders(spark, d)
+      .orderBy("o_orderkey").toJSON.collect().toIndexedSeq
+    val status = FoodPipeline.run(spark, d, out,
+      scheduleFeed = Some(RestExtract.RowsFetcher(feedRows)), pageLimit = 300)
+    assert(status.values.forall(_.isInstanceOf[graft.pipeline.Orchestrator.Succeeded]),
+      status.toString)
+    // raw pages landed under outDir (offsets step by pageLimit)
+    assert(new java.io.File(s"$out/landing/schedule/page-0.json").isFile)
+    assert(new java.io.File(s"$out/landing/schedule/page-300.json").isFile)
+    // normalized output matches the parquet-path run row-for-row
+    val viaFeed = spark.read.parquet(s"$out/premitted_biz_details").count()
+    val viaParquet = FoodPipeline.build(spark, d)("premitted_biz_details").count()
+    assert(viaFeed == viaParquet)
+  }
 }

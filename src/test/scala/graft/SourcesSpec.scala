@@ -124,6 +124,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle in frame sampling:\n$p")
   }
 
+  test("paged-REST extract lands every page and reads typed rows (G10)") {
+    import graft.sources.RestExtract
+    val rows = (0 until 700).map(i => s"""{"id":$i,"name":"biz_$i"}""")
+    val landing = Files.createTempDirectory("graft_rest").toString + "/landing"
+    // 700 rows at limit=256 → pages at offsets 0/256/512, then exhaustion
+    val pages = RestExtract.land(spark, RestExtract.RowsFetcher(rows), landing, limit = 256)
+    assert(pages == 3)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val back = RestExtract.read(spark, landing, schema)
+    assert(back.count() == 700)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until 700).sum)
+    // re-landing is idempotent (crashed-run replay): same page set, no dupes
+    RestExtract.land(spark, RestExtract.RowsFetcher(rows), landing, limit = 256)
+    assert(RestExtract.read(spark, landing, schema).count() == 700)
+  }
+
+  test("paged-REST extract enforces the schema contract FAILFAST (G10)") {
+    import graft.sources.RestExtract
+    val rows = IndexedSeq("""{"id":1,"name":"ok"}""", """{"id":"not-a-number","name":"bad"}""")
+    val landing = Files.createTempDirectory("graft_rest_bad").toString + "/landing"
+    RestExtract.land(spark, RestExtract.RowsFetcher(rows), landing, limit = 10)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    intercept[Exception] {
+      // the action must read the drifted column — a bare count() prunes
+      // every field and the parser never attempts the long conversion
+      RestExtract.read(spark, landing, schema).agg(sum("id")).collect()
+    }
+    // permissive mode reads through, null-filling the drifted field
+    val loose = RestExtract.read(spark, landing, schema, failFast = false)
+    assert(loose.count() == 2 && loose.filter(col("id").isNull).count() == 1)
+  }
+
   test("streaming file source feeds the tumbling aggregation (G6/F1)") {
     val inDir = Files.createTempDirectory("graft_stream_in").toString + "/events"
     val batch = Seq(
