@@ -237,6 +237,58 @@ object Dedup {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
 
+  /** D6 — connected components over a near-dup pair list: every doc in any
+    * pair labeled with the MINIMUM doc id reachable through the pair graph.
+    * Pairs are what D2-D5 emit, but deduplication needs CLUSTERS — "keep
+    * one doc per component" is ill-posed on pairs alone (a~b, b~c must
+    * collapse to ONE survivor even when a~c was never emitted).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Labels start
+    * at min(self, neighbors); each round takes (a) the min over
+    * neighbors' labels — one edge⋈label join + min-aggregate — and (b) a
+    * label-of-label jump (l(v) ← min(l(v), l(l(v))) — labels⋈labels),
+    * which doubles how far a min has travelled and makes even a pure
+    * path graph converge in O(log n) rounds instead of O(diameter).
+    * Every round is `localCheckpoint`ed so the plan stays one round deep
+    * (lineage would otherwise grow exponentially and re-execute every
+    * prior round per action). The driver loop only coordinates rounds
+    * and reads a has-anything-changed flag — all data work is
+    * distributed, the standard Spark shape for iterative graph
+    * algorithms. */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+                 maxIter: Int = 25): DataFrame = {
+    val und = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val edges = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.groupBy("u").agg(least(min(col("v")), col("u")).as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges
+        .join(labels.select(col("u").as("__n"), col("comp").as("__ncomp")),
+          col("v") === col("__n"))
+        .groupBy("u").agg(min(col("__ncomp")).as("__pcomp"))
+      val stepped = labels.join(prop, Seq("u"), "left")
+        .select(col("u"),
+          least(col("comp"), coalesce(col("__pcomp"), col("comp"))).as("comp"))
+      // pointer jump: follow the label's own label (comp is always a node
+      // of the symmetric edge list, so it has a labels row)
+      val next = stepped.as("x")
+        .join(stepped.select(col("u").as("__ju"), col("comp").as("__jc")),
+          col("x.comp") === col("__ju"), "left")
+        .select(col("x.u").as("u"),
+          least(col("x.comp"), coalesce(col("__jc"), col("x.comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.select(col("u"), col("comp").as("__new"))
+        .join(labels, "u")
+        .filter(col("__new") < col("comp")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("u").as("doc"), col("comp").as("component"))
+  }
+
   /** D2 — all near-dup pairs by n-gram Jaccard ≥ threshold, candidates
     * blocked on sharing ≥1 shingle (the per-shingle bucket IS the
     * blocking).

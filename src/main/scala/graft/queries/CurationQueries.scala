@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import graft.sources.Tables
+
+/** SURVEY §2 group H — corpus-curation selectors over `documents`. All
+  * hash-deterministic (md5-derived, SURVEY §4 rule 6): the same rows fall
+  * out on any engine, partitioning, or re-run — RNG sampling reproduces on
+  * neither.
+  */
+object CurationQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // H1 — balanced per-source sample: 10 docs per source, chosen by
+    // md5(doc_id) order. Rank-limit window ⇒ WindowGroupLimit (running
+    // top-n per partition), never a whole stratum in memory.
+    QueryDef.sql("q_stratified_sample",
+      """SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 10)
+        .orderBy("source", "doc_id")
+    },
+
+    // H2 — weighted source mixing (pre-training data-mix step): src0 kept
+    // whole, src1 at 50%, src2 at 25%, everything else at 10%. A narrow
+    // hash filter — zero shuffle at any scale — and the kept set only
+    // shrinks when a rate is lowered (reproducible mix ablations).
+    QueryDef.sql("p_corpus_mix", {
+      val u = Curation.uniformDuck("doc_id")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE $u < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+         |                        WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Curation.weightedMix(Tables.documents(s, d), "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // H3 — benchmark decontamination: training docs sharing any word
+    // trigram with the held-out set (docs with doc_id % 97 = 0 play the
+    // benchmark; real pipelines use 8-13-grams — the operator takes any n,
+    // trigrams make the check exercisable on the synthetic corpus). The
+    // benchmark side broadcasts — it is the fixed-size side at any corpus
+    // scale.
+    QueryDef.sql("d_decontaminate",
+      s"""WITH ${DedupQueries.idsCte(3)},
+         |ev AS (SELECT doc, gid FROM ids WHERE doc % 97 = 0),
+         |tr AS (SELECT doc, gid FROM ids WHERE doc % 97 <> 0)
+         |SELECT tr.doc AS doc,
+         |  CAST(count(DISTINCT tr.gid) AS BIGINT) AS n_shared_grams,
+         |  CAST(count(DISTINCT ev.doc) AS BIGINT) AS n_eval_docs
+         |FROM tr JOIN ev ON tr.gid = ev.gid
+         |GROUP BY 1 ORDER BY doc""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 3)
+        .orderBy("doc")
+    }
+  )
+}

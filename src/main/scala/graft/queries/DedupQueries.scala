@@ -132,6 +132,34 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // D6 — near-dup pairs → clusters: connected components over the
+    // verified MinHash pairs (same chain as D3), labeling each clustered
+    // doc with the min reachable doc id. The oracle replays the D3 pair
+    // SQL and closes it transitively with a recursive CTE — a DuckDB
+    // recursion vs Spark's iterative label propagation, agreeing row-for-
+    // row on clusters, canonicals included.
+    QueryDef.sql("d_components",
+      s"""WITH RECURSIVE ${idsCte(3)},
+         |${minhashVerifyCte(0.5)},
+         |edges AS (SELECT a AS u, b AS v FROM nd UNION SELECT b, a FROM nd),
+         |walk AS (
+         |  SELECT u AS node, u AS reach FROM edges
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u)
+         |SELECT min(reach) AS cluster_id, node AS doc,
+         |       CAST(node = min(reach) AS BIGINT) AS is_canonical
+         |FROM walk GROUP BY node ORDER BY cluster_id, doc""".stripMargin) { (s, d) =>
+      val docSets = Dedup.hashedDocSets(Tables.documents(s, d), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docSets.count()
+      val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2))
+      val pairs = Dedup.verifiedJaccard(cand, docSets).filter(col("jaccard") >= 0.5)
+      Dedup.components(pairs, "a", "b")
+        .select(col("component").as("cluster_id"), col("doc"),
+          (col("doc") === col("component")).cast("long").as("is_canonical"))
+        .orderBy("cluster_id", "doc")
+    },
+
     // D4 — 32-bit SimHash over the distinct-token set; pairs with Hamming
     // distance ≤ 3, candidate join blocked by 8-bit chunks (pigeonhole:
     // 3 differing bits over 4 chunks leave ≥1 chunk identical; 256-value

@@ -80,4 +80,21 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.size.toDouble / exact.size >= 0.9,
       s"recall ${capped.size}/${exact.size} below 0.9")
   }
+
+  test("connected components labels transitive clusters by min id (D6)") {
+    // two components: {1,2,3,9} via chain 1-2, 2-3, 3-9 (1~9 never paired)
+    // and {5,6}; the chain forces >1 propagation round
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("a", "b")
+    val comp = Dedup.components(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("components converges on a long chain within maxIter (D6)") {
+    // a 24-node path is the propagation worst case: min label must walk
+    // the whole diameter
+    val chain = (0L until 23L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.components(chain, "a", "b").as[(Long, Long)].collect().toMap
+    assert(comp.size == 24 && comp.values.forall(_ == 0L))
+  }
 }
