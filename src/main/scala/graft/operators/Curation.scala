@@ -55,6 +55,34 @@ object Curation {
     df.filter(uniform(col(keyCol)) < rate)
   }
 
+  /** H4 — sequence packing (chunked-concat): the layout step between a
+    * curated corpus and a trainer — documents are concatenated in a
+    * deterministic hash order and the token stream is chunked into
+    * fixed-`budget` training sequences; each document is labeled with the
+    * sequence its first token lands in and its offset in the stream.
+    * Hash-bucketing first (`nBuckets`) bounds every window partition at
+    * ~1/nBuckets of the corpus — the cumsum never runs over one global
+    * partition — and each bucket packs independently (embarrassingly
+    * parallel; nBuckets scales with the cluster). One scan, one window.
+    * `nTok` is any token-count column expression (C1's `tokenCount`, or a
+    * precomputed column). */
+  def packSequences(df: DataFrame, keyCol: String, nTok: Column,
+                    budget: Int, nBuckets: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(nBuckets > 0, s"bucket count must be positive, got $nBuckets")
+    val h = md5(col(keyCol).cast("string"))
+    val bucket = (conv(substring(h, 16, 4), 16, 10).cast("long") % nBuckets).as("bucket")
+    val w = Window.partitionBy("bucket").orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), nTok.cast("long").as("n_tokens"), h.as("__h"), bucket)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col("bucket"),
+        floor((col("__cum") - col("n_tokens")) / budget).cast("long").as("pack"),
+        col(keyCol),
+        (col("__cum") - col("n_tokens")).as("tok_offset"),
+        col("n_tokens"))
+  }
+
   /** H3 — n-gram decontamination: flag training documents that share any
     * word n-gram with an eval/benchmark set (the train-test-overlap check
     * every LLM data pipeline runs before training; n=8..13 in practice —

@@ -49,6 +49,31 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // H4 — sequence packing: docs concatenated in md5 order within 8 hash
+    // buckets, token stream chunked into 512-token training sequences;
+    // output = where every doc landed (bucket, pack, offset). Token counts
+    // are C1's oracle-proven tokenizer; ordering, bucketing, and chunk
+    // arithmetic are all integer-deterministic.
+    QueryDef.sql("p_pack_sequences", {
+      val toks = graft.functions.TextFunctions.tokensDuck("text")
+      s"""WITH t AS (
+         |  SELECT doc_id, len($toks) AS n_tokens,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 4) AS BIGINT) % 8 AS BIGINT) AS bucket,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+         |                                    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT bucket, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack,
+         |       doc_id, CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM c ORDER BY bucket, tok_offset, doc_id""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextFunctions
+      Curation.packSequences(Tables.documents(s, d), "doc_id",
+          TextFunctions.tokenCount(col("text")), budget = 512, nBuckets = 8)
+        .orderBy("bucket", "tok_offset", "doc_id")
+    },
+
     // H3 — benchmark decontamination: training docs sharing any word
     // trigram with the held-out set (docs with doc_id % 97 = 0 play the
     // benchmark; real pipelines use 8-13-grams — the operator takes any n,

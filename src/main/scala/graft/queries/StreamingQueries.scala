@@ -27,8 +27,12 @@ object StreamingQueries {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
-      Tables.events(s, d).write.parquet(s"$dir/events")
+      // the staged µs copy of an immutable input dir is itself immutable —
+      // key it by sfDir and stage once per JVM lifetime, not per run
+      val key = Integer.toHexString(d.hashCode)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_$key"
+      if (!new java.io.File(s"$dir/events/_SUCCESS").isFile)
+        Tables.events(s, d).write.mode("overwrite").parquet(s"$dir/events")
       val counts = Events.tumblingCounts(Events.readEventStream(s, s"$dir/events"))
       val sink = "f_stream_tumbling_sink"
       val q = counts.writeStream.format("memory").queryName(sink)

@@ -30,6 +30,25 @@ class PropertySpec extends AnyFunSuite {
       assert(blocked == brute)
     }
 
+    test(s"components == union-find on random graphs (seed $seed)") {
+      val rnd = new Random(2000 + seed)
+      val n = 40
+      val edges = (0 until 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val out = Dedup.components(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find over the collected edge list
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = nodes.map { v =>
+        val root = find(v.toInt)
+        v -> nodes.filter(u => find(u.toInt) == root).min
+      }.toMap
+      assert(out == expected)
+    }
+
     test(s"asofJoin == naive latest-at-or-before definition (seed $seed)") {
       val rnd = new Random(1000 + seed)
       val left = (0 until 80).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(50)))
