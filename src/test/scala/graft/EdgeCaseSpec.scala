@@ -57,6 +57,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.pipeline.Orchestrator.run(Nil).isEmpty)
   }
 
+  test("components on empty pairs / self-pairs degrades cleanly") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    assert(Dedup.components(empty, "a", "b").isEmpty)
+    // a self-pair is a 1-node component labeled by itself
+    val selfy = Seq((7L, 7L)).toDF("a", "b")
+    assert(Dedup.components(selfy, "a", "b").as[(Long, Long)].collect().toSeq ==
+      Seq((7L, 7L)))
+  }
+
+  test("curation guards reject nonsense parameters") {
+    val docs = Seq((1L, "x", "s")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.stratifiedSample(docs, "source", "doc_id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.weightedMix(docs, "source", "doc_id", Map("s" -> 1.5), 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.packSequences(docs, "doc_id", lit(1), budget = 0, nBuckets = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Integrity.checkFk(Map.empty, Nil)
+    }
+  }
+
   test("pieSvg with no positive values renders the no-data placeholder") {
     val svg = graft.viz.Charts.pieSvg(Seq(("a", 0.0), ("b", -1.0)), "T")
     assert(svg.contains("no data") && svg.contains("</svg>"))
