@@ -74,6 +74,68 @@ object CurationQueries {
         .orderBy("bucket", "tok_offset", "doc_id")
     },
 
+    // H5 — THE end-to-end corpus-prep showcase: every stage of a
+    // pre-training data pipeline composed into one verified plan —
+    // clean (C5: quality ∧ lang ∧ exact-dedup) → MinHash near-dup removal
+    // (D3) → benchmark decontamination (H3: docs with doc_id%97=0 play the
+    // held-out suite; they and any trigram-overlapping doc leave the
+    // training set) → weighted source mixing (H2) → sequence packing
+    // (H4). Every fragment is hash-verified standalone; this proves the
+    // COMPOSITION. Spark shape: the cleaning chain and the shingle sets
+    // each materialize once (persist) and every later stage reuses them;
+    // the benchmark gid set broadcasts; packing windows stay
+    // hash-bucketed.
+    QueryDef.sql("p_llm_prep_pack", {
+      val u = Curation.uniformDuck("doc_id")
+      s"""WITH kept AS (${TextQueries.keptSql}),
+         |${DedupQueries.idsCte(3, "kept")},
+         |${DedupQueries.minhashVerifyCte(0.5)},
+         |surv AS (SELECT doc_id, source, n_tokens FROM kept
+         |         WHERE doc_id NOT IN (SELECT b FROM nd)),
+         |evg AS (SELECT DISTINCT gid FROM ids WHERE doc % 97 = 0),
+         |contam AS (SELECT DISTINCT doc FROM ids
+         |           WHERE doc % 97 <> 0 AND gid IN (SELECT gid FROM evg)),
+         |train AS (SELECT * FROM surv WHERE doc_id % 97 <> 0
+         |          AND doc_id NOT IN (SELECT doc FROM contam)),
+         |mixed AS (SELECT * FROM train
+         |          WHERE $u < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+         |                                  WHEN 'src2' THEN 0.25 ELSE 0.1 END)),
+         |pt AS (SELECT doc_id, n_tokens,
+         |        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 4) AS BIGINT) % 8 AS BIGINT) AS bucket,
+         |        md5(CAST(doc_id AS VARCHAR)) AS h
+         |      FROM mixed),
+         |pc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+         |                                     ROWS UNBOUNDED PRECEDING) AS cum FROM pt)
+         |SELECT bucket, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack,
+         |       doc_id, CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+         |       CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM pc ORDER BY bucket, tok_offset, doc_id""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.Dedup
+      val kept = TextQueries.keptDf(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept.count() // the cleaning chain feeds dedup, decon, and the output
+      val docSets = Dedup.hashedDocSets(kept.select("doc_id", "text"), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docSets.count()
+      val nd = Dedup.verifiedJaccard(
+          Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2)),
+          docSets)
+        .filter(col("jaccard") >= 0.5)
+      val surv = kept.join(nd.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val ids = Dedup.docIds(docSets)
+      val evg = ids.filter(col("doc") % 97 === 0).select("gid").distinct()
+      val contam = ids.filter(col("doc") % 97 =!= 0)
+        .join(broadcast(evg), "gid")
+        .select(col("doc").as("doc_id")).distinct()
+      val train = surv.filter(col("doc_id") % 97 =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+      val mixed = Curation.weightedMix(train, "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+      Curation.packSequences(mixed, "doc_id", col("n_tokens"), budget = 512, nBuckets = 8)
+        .orderBy("bucket", "tok_offset", "doc_id")
+    },
+
     // H3 — benchmark decontamination: training docs sharing any word
     // trigram with the held-out set (docs with doc_id % 97 = 0 play the
     // benchmark; real pipelines use 8-13-grams — the operator takes any n,

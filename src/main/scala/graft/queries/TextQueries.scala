@@ -11,24 +11,24 @@ object TextQueries {
 
   /** The cleaning chain's survivors as a reusable SQL fragment:
     * quality ≥ 0.4 ∧ predicted-en ∧ exact-dedup-keep-first, carrying
-    * (doc_id, text, n_tokens, quality). Shared by p_corpus_clean and the
-    * composed p_llm_prep oracle. */
-  private def keptSql: String = {
+    * (doc_id, text, source, n_tokens, quality). Shared by p_corpus_clean
+    * and the composed p_llm_prep / p_llm_prep_pack oracles. */
+  private[queries] def keptSql: String = {
     val enStops = langProfiles.find(_._1 == "en").get._2
     val scoreCols = langProfiles.map { case (lang, words) =>
       s"${stopwordCountDuck("toks", words)} AS s_$lang"
     }
     val scoreNames = langProfiles.map { case (lang, _) => s"s_$lang" }
-    s"""SELECT doc_id, text, n_tokens, quality FROM (
-       |  SELECT doc_id, text, n_tokens, quality,
+    s"""SELECT doc_id, text, source, n_tokens, quality FROM (
+       |  SELECT doc_id, text, source, n_tokens, quality,
        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
        |  FROM (
-       |    SELECT doc_id, text, n_tokens,
+       |    SELECT doc_id, text, source, n_tokens,
        |      least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.4 + stop_ratio*0.3 +
        |        (1.0 - punct_ratio)*0.2 + least(avg_token_len/10.0, 1.0)*0.1 AS quality,
        |      ${langIdFromScoresDuck(scoreNames)} AS pred_lang
        |    FROM (
-       |      SELECT doc_id, text, len(toks) AS n_tokens,
+       |      SELECT doc_id, text, source, len(toks) AS n_tokens,
        |        CASE WHEN length(text) > 0 THEN
        |          CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
        |          ELSE 0.0 END AS punct_ratio,
@@ -39,13 +39,13 @@ object TextQueries {
        |          CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a,b) -> a+b) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
        |          ELSE 0.0 END AS avg_token_len,
        |        ${scoreCols.mkString(", ")}
-       |      FROM (SELECT doc_id, text, $toks AS toks FROM documents)))
+       |      FROM (SELECT doc_id, text, source, $toks AS toks FROM documents)))
        |  WHERE quality >= 0.4 AND pred_lang = 'en')
        |WHERE rn = 1""".stripMargin
   }
 
   /** Spark twin of [[keptSql]]. */
-  private def keptDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[queries] def keptDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     import graft.operators.Relational
     // Repartition the raw text BEFORE the expensive tokenize/score chain:
     // a small-file corpus otherwise runs the whole regex pipeline on
@@ -67,7 +67,7 @@ object TextQueries {
     val kept = scored.filter(col("quality") >= 0.4 && col("pred_lang") === "en")
     Relational.dedupKeepFirst(kept.withColumn("__h", md5(col("text"))),
         Seq("__h"), Seq(col("doc_id")))
-      .select("doc_id", "text", "n_tokens", "quality")
+      .select("doc_id", "text", "source", "n_tokens", "quality")
   }
 
   val all: Seq[QueryDef] = Seq(
