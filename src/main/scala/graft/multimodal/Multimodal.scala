@@ -59,6 +59,40 @@ object Multimodal {
       .toDF()
   }
 
+  /** Typed resize output: payload re-encoded at target dims (stub), with
+    * before/after sizes for the shrink-audit downstream. */
+  final case class Resized(doc_id: Long, width: Int, height: Int,
+                           n_bytes_in: Int, n_bytes_out: Int, payload: Array[Byte])
+
+  /** STUB resize: scales the payload length by the dim ratio (area-
+    * proportional truncation) — a real deployment swaps `resizeBatch` for
+    * the codec's scaler; the batching, schema, and partition-local shape
+    * are the deliverable. Deterministic: output bytes are a prefix. */
+  private def resizeBatch(targetW: Int, targetH: Int)(
+      batch: Seq[(Long, Array[Byte])]): Seq[Resized] =
+    batch.map { case (id, bytes) =>
+      val meta = decodeBatch(Seq((id, bytes))).head
+      val ratio = math.min(1.0,
+        (targetW.toDouble * targetH) / math.max(1, meta.width * meta.height))
+      val outLen = math.max(1, math.min(bytes.length, (bytes.length * ratio).toInt))
+      Resized(id, targetW, targetH, bytes.length, outLen,
+        java.util.Arrays.copyOf(bytes, outLen))
+    }
+
+  /** Batched resize over a binary column — same typed-`mapPartitions`
+    * plumbing as [[decodeStub]] (codec batching is the one legitimate
+    * mapPartitions use; everything else here stays declarative). */
+  def resizeStub(docs: DataFrame, idCol: String, payloadCol: String,
+                 targetW: Int, targetH: Int, batchSize: Int = 64): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(resizeBatch(targetW, targetH)))
+      .toDF()
+  }
+
   /** Frame sampling over a fixed-frame binary payload (the video analog):
     * slice the blob into `frameBytes`-sized frames and keep every
     * `everyK`-th — the standard decimation step before a video corpus is

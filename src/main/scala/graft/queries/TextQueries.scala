@@ -220,6 +220,35 @@ object TextQueries {
         20, Seq(col("n").desc, col("tok")))
     },
 
+    // C10 — character-distribution entropy per doc: the classic
+    // gibberish/binary-in-text detector (low entropy = repetitive junk,
+    // near-log2(alphabet) = random noise), plus distinct-char count.
+    // One partitioned pass: char histogram, per-doc total via window
+    // (NOT a self-join — the t_tfidf lesson), entropy aggregate.
+    // Determinism note: log2 is the one transcendental in the oracle
+    // surface — libm vs JVM can drift 1 ulp, which the driver's
+    // 9-significant-digit float compare absorbs (values, not ranks,
+    // so SURVEY §4 rule 2 doesn't apply).
+    QueryDef.sql("t_char_entropy",
+      """WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |w AS (SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n FROM cnt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  -sum((CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)) AS entropy
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+      val p = (col("k").cast("double") / col("n"))
+      cnt.withColumn("n", sum("k").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_distinct_chars"),
+          (-sum(p * log2(p))).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // C4 — rolling-hash document fingerprint (char-stream polynomial fold;
     // production path is xxhash64 — see TextFunctions.xxFingerprint).
     QueryDef.sql("t_fingerprint",

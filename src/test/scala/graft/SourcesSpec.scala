@@ -104,6 +104,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.orderBy("doc_id").select("n_bytes", "format").collect().length == 2)
   }
 
+  test("multimodal resize shrinks payloads area-proportionally (F4c)") {
+    val docs = Seq((1L, "a" * 100), (2L, "b")).toDF("doc_id", "text")
+    val out = graft.multimodal.Multimodal.resizeStub(docs, "doc_id", "text", 8, 8)
+      .orderBy("doc_id")
+      .select("doc_id", "width", "n_bytes_in", "n_bytes_out")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(out.map(_._2).forall(_ == 8))
+    out.foreach { case (_, _, nIn, nOut) =>
+      assert(nOut >= 1 && nOut <= nIn, s"resize must shrink-or-keep: $nIn -> $nOut")
+    }
+    // deterministic: same input, same bytes
+    val again = graft.multimodal.Multimodal.resizeStub(docs, "doc_id", "text", 8, 8)
+      .orderBy("doc_id").select("n_bytes_out").as[Int].collect().toSeq
+    assert(again == out.map(_._4))
+  }
+
   test("frame sampling slices every k-th full frame, drops partials (F4b)") {
     // 26 bytes @ frameBytes=8 → 3 full frames (partial tail dropped);
     // everyK=2 keeps frames 0 and 2. 7-byte doc yields nothing.
