@@ -388,6 +388,88 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // B18 — equal-width histogram (20 bins over [min, max]) of order
+    // value: the distribution-audit staple next to A18's profile. Bin
+    // edges come from a broadcast 1-row min/max aggregate; the bin index
+    // is floor((v-mn)·20/(mx-mn)) with the max clamped into the last bin
+    // — identical double arithmetic both engines, so bin boundaries can't
+    // drift.
+    QueryDef.sql("q_histogram",
+      """SELECT CAST(least(floor((o_totalprice - mn) * 20.0 / (mx - mn)), 19) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS hi
+        |FROM orders CROSS JOIN
+        |  (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders) b
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val b = orders.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      orders.crossJoin(broadcast(b))
+        .select(least(floor((col("o_totalprice") - col("mn")) * 20.0 / (col("mx") - col("mn"))),
+          lit(19)).cast("long").as("bin"), col("o_totalprice"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").cast("double").as("lo"),
+          max("o_totalprice").cast("double").as("hi"))
+        .orderBy("bin")
+    },
+
+    // B19 — Pearson correlation per group, computed from EXACT decimal
+    // co-moment sums (order-independent) with the double arithmetic
+    // confined to the final closed form — both engines then execute the
+    // IDENTICAL IEEE expression on identical operands, so the result is
+    // bit-equal despite the cancellation in n·Σxy − Σx·Σy. (The built-in
+    // corr() is NOT used: its streaming co-moment update is
+    // order-dependent and algorithm-specific per engine.)
+    QueryDef.sql("q_corr",
+      """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))).as("corr"))
+        .orderBy("l_returnflag")
+    },
+
+    // B20 — per-group min-max feature scaling (the ML-prep normalizer):
+    // every order's value mapped to [0,1] within its priority group.
+    // Scale shape: the 5-row stats aggregate BROADCASTS back onto the
+    // fact table — NOT a per-group window, which would funnel each group
+    // through one partition at 100 TB (the same trap q_percentiles'
+    // scale twin documents).
+    QueryDef.sql("q_minmax_scale",
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST((o_totalprice - mn) / (mx - mn) AS DOUBLE) AS scaled
+        |FROM orders JOIN (
+        |  SELECT o_orderpriority, min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders GROUP BY 1) s USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val stats = orders.groupBy("o_orderpriority")
+        .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      orders.join(broadcast(stats), "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ((col("o_totalprice") - col("mn")) / (col("mx") - col("mn")))
+            .cast("double").as("scaled"))
+        .orderBy("o_orderkey")
+    },
+
     // B15 — CUBE: all grouping-set combinations (B8's rollup sibling).
     QueryDef.sql("q_cube",
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
