@@ -352,6 +352,24 @@ object EtlQueries {
         .orderBy("col_name")
     },
 
+    // A20 — unpivot/melt (B7 pivot's inverse; wide metrics → long
+    // (key, metric, value) — the Profiling melt as a first-class op,
+    // here via Spark's native unpivot which compiles to one Expand over
+    // one scan; the oracle's UNION ALL form may scan k times — Spark
+    // must not).
+    QueryDef.sql("q_unpivot",
+      """SELECT o_orderkey, metric, value FROM (
+        |  SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_totalprice', CAST(o_totalprice AS DOUBLE) FROM orders)
+        |ORDER BY o_orderkey, metric""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_custkey").cast("double"), col("o_totalprice").cast("double")),
+          "metric", "value")
+        .orderBy("o_orderkey", "metric")
+    },
+
     // G10 — paged-REST extract (airflow.py:71-85 Socrata `$limit`/`$offset`
     // loop): a deterministic 2000-row slice of `orders` plays the external
     // API (rendered to JSON driver-side — that half SIMULATES the remote
