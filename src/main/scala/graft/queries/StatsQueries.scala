@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY §2 group B (stats rows) — feature-engineering / data-diagnostic
+  * statistics: per-group z-score standardization, IQR outlier fences,
+  * quartile binning, and a key-skew report (the diagnostic that decides
+  * when `operators.Skew.saltedJoin` is worth its replication cost).
+  *
+  * Determinism (SURVEY §4): moments come from exact DECIMAL sums; each
+  * derived statistic is one fixed IEEE expression over those sums (sqrt is
+  * correctly rounded, so the whole closed form is bit-stable); quartiles
+  * are exact ranked data values (ceil-rank, no interpolation); every
+  * ratio is a single double division.
+  */
+object StatsQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // B25 — per-segment z-score of account balance. Stats are a 5-row
+    // broadcast (sum/sum-of-squares/count per segment — partial-agg,
+    // mergeable); the standardization itself is a narrow map over the
+    // fact table. Never a per-group window at scale.
+    QueryDef.sql("q_zscore",
+      """WITH st AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s1,
+        |    sum(CAST(c_acctbal*c_acctbal AS DECIMAL(28,4))) AS s2
+        |  FROM customer GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment,
+        |  CAST((c_acctbal - CAST(s1 AS DOUBLE)/n)
+        |    / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) AS DOUBLE) AS z
+        |FROM customer JOIN st USING (c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val st = cust.groupBy("c_mktsegment").agg(
+        count(lit(1)).as("n"),
+        expr("sum(CAST(c_acctbal AS DECIMAL(18,2)))").as("s1"),
+        expr("sum(CAST(c_acctbal*c_acctbal AS DECIMAL(28,4)))").as("s2"))
+      cust.join(broadcast(st), "c_mktsegment")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr("""CAST((c_acctbal - CAST(s1 AS DOUBLE)/n)
+                 |  / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) AS DOUBLE)""".stripMargin).as("z"))
+        .orderBy("c_custkey")
+    },
+
+    // B26 — IQR outlier fences per segment: exact discrete quartiles
+    // (ceil-rank data values, q_percentiles' idiom), Tukey 1.5×IQR fences,
+    // outlier counts. The rank window is the exact path; at 100 TB the
+    // same fences come from B14x's mergeable quantile sketch instead.
+    QueryDef.sql("q_outlier_iqr",
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS val,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer),
+        |q AS (SELECT c_mktsegment,
+        |    max(CASE WHEN rn = (cnt+3)//4 THEN val END) AS q1,
+        |    max(CASE WHEN rn = (3*cnt+3)//4 THEN val END) AS q3
+        |  FROM ranked GROUP BY 1)
+        |SELECT c.c_mktsegment, max(q.q1) AS q1, max(q.q3) AS q3,
+        |  count(CASE WHEN c.c_acctbal < q.q1 - 1.5*(q.q3-q.q1)
+        |              OR c.c_acctbal > q.q3 + 1.5*(q.q3-q.q1) THEN 1 END) AS n_outliers,
+        |  count(*) AS n
+        |FROM customer c JOIN q USING (c_mktsegment)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      val ranked = cust.select(col("c_mktsegment"), col("c_acctbal").cast("double").as("val"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("c_mktsegment")).as("cnt"))
+      val q = ranked.groupBy("c_mktsegment").agg(
+        max(when(col("rn") === expr("(cnt+3) div 4"), col("val"))).as("q1"),
+        max(when(col("rn") === expr("(3*cnt+3) div 4"), col("val"))).as("q3"))
+      cust.join(broadcast(q), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(max("q1").as("q1"), max("q3").as("q3"),
+          count(when(col("c_acctbal") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+                     col("c_acctbal") > col("q3") + lit(1.5) * (col("q3") - col("q1")), 1)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // B27 — quartile binning (feature bucketing): ntile(4) per segment
+    // under a TOTAL order (balance, key) so tie placement is identical in
+    // both engines; per-bin count and exact-decimal mean.
+    QueryDef.sql("q_ntile_bin",
+      """SELECT c_mktsegment, bin, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_bal
+        |FROM (SELECT c_mktsegment, c_acctbal,
+        |   CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS BIGINT) AS bin
+        | FROM customer) t
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("bin"))
+        .groupBy("c_mktsegment", "bin")
+        .agg(count(lit(1)).as("n"),
+          (expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)") / count(lit(1))).as("avg_bal"))
+        .orderBy("c_mktsegment", "bin")
+    },
+
+    // B28 — key-skew report: the 10 heaviest join keys and their share of
+    // the fact table — the measurement that justifies (or rules out)
+    // salting/skew-join handling for a key (pairs with A15). One
+    // partial-agg groupBy + a single-row broadcast total + top-k.
+    QueryDef.sql("q_skew_report",
+      """WITH k AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM orders)
+        |SELECT o_custkey, n, CAST(n AS DOUBLE)/total AS share
+        |FROM k, t ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin) { (s, d) =>
+      val ord = Tables.orders(s, d)
+      val k = ord.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val t = ord.agg(count(lit(1)).cast("double").as("total"))
+      graft.operators.Relational.topKByAgg(
+        k.crossJoin(broadcast(t))
+          .select(col("o_custkey"), col("n"),
+            (col("n").cast("double") / col("total")).as("share")),
+        10, Seq(col("n").desc, col("o_custkey")))
+    }
+  )
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+import graft.sources.Tables
+
+/** SURVEY §2 group B (time-series rows) — calendar-aware analytics over the
+  * `events` stream: date-spine gap-fill, windowed funnel conversion, cohort
+  * retention, and a gap-robust trailing moving average.
+  *
+  * Scale shape shared by all four (SURVEY §5): the raw stream reduces to a
+  * DIMENSION-sized frame first (days × types, funnel stages, cohort weeks)
+  * via ordinary partial-agg groupBys; windows/joins only ever run over
+  * those post-agg frames. Determinism (SURVEY §4): day arithmetic is
+  * integer, value sums go through DECIMAL, each ratio is one double
+  * division, temporal outputs are formatted strings.
+  */
+object TimeSeriesQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // B21 — date-spine gap-fill: a sparse daily series (big-ticket
+    // purchases) joined onto the full activity-day spine; missing days get
+    // count 0 and carry the last seen daily total forward. The spine is
+    // GENERATED (sequence+explode over one min/max row), never stored; the
+    // forward-fill window runs over the spine (30 rows here, ~36k for a
+    // century) — days, not data.
+    QueryDef.sql("q_date_spine_fill",
+      """WITH bounds AS (SELECT CAST(min(ts) AS DATE) mn, CAST(max(ts) AS DATE) mx FROM events),
+        |spine AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |  FROM events WHERE event_type = 'purchase' AND value > 195 GROUP BY 1)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  coalesce(last_value(d.day_value IGNORE NULLS)
+        |    OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS day_value
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .filter(col("event_type") === "purchase" && col("value") > 195)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("day_value"))
+      val spine = TimeSeries.dateSpine(ev, to_date(col("ts")))
+      TimeSeries.gapFill(spine, daily, "n_events", "day_value")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_events"), col("day_value"))
+        .orderBy("day")
+    },
+
+    // B22 — windowed funnel: view → click (≤12 h after first view) →
+    // purchase (≤12 h after that click). Each stage is one user-keyed
+    // groupBy + one same-key join; the reached set only shrinks stage
+    // over stage, so the heaviest shuffle is the first.
+    QueryDef.sql("q_funnel",
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type='view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 ON e.user_id=s0.user_id
+        |       AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 12 HOUR
+        |       WHERE e.event_type='click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id=s1.user_id
+        |       AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 12 HOUR
+        |       WHERE e.event_type='purchase' GROUP BY 1)
+        |SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx, count(*) AS users FROM s0
+        |UNION ALL SELECT 'click', CAST(1 AS BIGINT), count(*) FROM s1
+        |UNION ALL SELECT 'purchase', CAST(2 AS BIGINT), count(*) FROM s2
+        |ORDER BY stage_idx""".stripMargin) { (s, d) =>
+      TimeSeries.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinHours = 12)
+        .orderBy("stage_idx")
+    },
+
+    // B23 — cohort retention: users bucketed by the Monday week of their
+    // first event; per (cohort, week offset) the distinct active users and
+    // their share of the cohort. Monday truncation and day/7 offsets are
+    // integer-deterministic in both engines.
+    QueryDef.sql("q_retention",
+      """WITH fs AS (SELECT user_id, CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE) AS cohort
+        |            FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk FROM events),
+        |cs AS (SELECT cohort, count(*) AS cohort_users FROM fs GROUP BY 1)
+        |SELECT cohort_week, week_n, count(*) AS active_users,
+        |  CAST(count(*) AS DOUBLE)/any_value(cohort_users) AS retention FROM (
+        |  SELECT act.user_id, strftime(fs.cohort,'%Y-%m-%d') AS cohort_week,
+        |     CAST(datediff('day', fs.cohort, act.wk) // 7 AS BIGINT) AS week_n, cs.cohort_users
+        |  FROM act JOIN fs USING(user_id) JOIN cs ON fs.cohort=cs.cohort) t
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin) { (s, d) =>
+      TimeSeries.retention(Tables.events(s, d), "user_id", "ts")
+    },
+
+    // B24 — 7-day trailing moving average of daily value per event type.
+    // RANGE frame over the integer day index, so calendar gaps shrink the
+    // frame instead of silently stretching it (the ROWS-frame bug). The
+    // window runs over the daily aggregate (days × types — bounded), and
+    // the frame sum stays DECIMAL until the single closing division.
+    QueryDef.sql("q_moving_avg",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events GROUP BY 1,2,3)
+        |SELECT event_type, strftime(day,'%Y-%m-%d') AS day,
+        |  CAST(CAST(sum(total) OVER w AS DOUBLE) / count(*) OVER w AS DOUBLE) AS ma7,
+        |  CAST(total AS DOUBLE) AS day_total
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("sum(CAST(value AS DECIMAL(18,2)))").as("total"))
+        .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy("event_type").orderBy("day_idx").rangeBetween(-6, 0)
+      daily.select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          (sum("total").over(w).cast("double") / count(lit(1)).over(w))
+            .cast("double").as("ma7"),
+          col("total").cast("double").as("day_total"))
+        .orderBy("event_type", "day")
+    }
+  )
+}
