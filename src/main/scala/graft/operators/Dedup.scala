@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFunctions
@@ -402,5 +403,39 @@ object Dedup {
       .select(col("a"), col("y.doc").as("b"),
         expr("bit_count(sa ^ y.sim)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** D7 — edit-distance near-dup pairs, prefix-blocked: candidates share
+    * their first `blockPrefix` characters, and pairs whose first
+    * `levPrefix` characters are within `maxLev` edits survive. Spark's
+    * `levenshtein` is codegen'd; bounding its input to a fixed prefix
+    * bounds the O(n·m) cost per pair.
+    *
+    * Scale shape: only `(id, prefix)` projections move — never full text —
+    * and blocks hotter than `maxBlock` docs are dropped before the
+    * self-join (identical boilerplate prefixes on a web corpus would
+    * otherwise make one block quadratic; the same cap D2x applies to
+    * shingle blocking). The join itself is an equi-join on the block key.
+    * Prefix blocking trades recall for that bound: a pair that diverges
+    * inside the first `blockPrefix` chars is unseen (MinHash/SimHash are
+    * the order-insensitive complements in this family). */
+  def levenshteinPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockPrefix: Int = 24, levPrefix: Int = 200,
+                       maxLev: Int = 20, maxBlock: Int = 64): DataFrame = {
+    require(blockPrefix > 0 && levPrefix >= blockPrefix,
+      "need 0 < blockPrefix <= levPrefix")
+    val p = docs.select(col(idCol).as("doc"),
+      substring(col(textCol), 1, blockPrefix).as("blk"),
+      substring(col(textCol), 1, levPrefix).as("p"))
+    val capped = p
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("blk")))
+      .filter(col("bn") <= maxBlock)
+    val a = capped.select(col("doc").as("doc_a"), col("blk"), col("p").as("pa"))
+    val b = capped.select(col("doc").as("doc_b"), col("blk"), col("p").as("pb"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("lev"))
+      .filter(col("lev") <= maxLev)
   }
 }

@@ -218,6 +218,23 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // D7 — edit-distance near-dup pairs: 24-char prefix blocking (capped
+    // at 64 docs per block), levenshtein over the 200-char prefixes ≤ 20.
+    // Character-level edits complement the token-level MinHash/Jaccard
+    // detectors (a doc_a/doc_b typo-dup has high edit similarity even when
+    // word shingles shift); integer distance ⇒ exact oracle parity.
+    QueryDef.sql("d_fuzzy_levenshtein",
+      """WITH p AS (SELECT doc_id, substr(text,1,24) AS blk, substr(text,1,200) AS p200 FROM documents),
+        |c AS (SELECT * FROM (SELECT p.*, count(*) OVER (PARTITION BY blk) AS bn FROM p) t WHERE bn <= 64)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, levenshtein(a.p200, b.p200) AS lev
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p200, b.p200) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      Dedup.levenshteinPairs(Tables.documents(s, d), "doc_id", "text",
+          blockPrefix = 24, levPrefix = 200, maxLev = 20, maxBlock = 64)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // D5 — embedding-cosine near-dup pairs ≥ 0.4, blocked by cluster label.
     QueryDef.sql("d_embed_neardup", {
       val cos = graft.functions.VectorFunctions.cosineDuck("x.embedding", "y.embedding")

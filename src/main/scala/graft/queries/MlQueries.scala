@@ -92,6 +92,74 @@ object MlQueries {
       Multimodal.frameSample(Tables.documents(s, d), "doc_id", "text",
           frameBytes = 16, everyK = 4)
         .orderBy("doc_id", "frame_no")
+    },
+
+    // F5 — deterministic train/val/test split (80/10/10): the split is a
+    // pure hash of the row key (Curation's md5-fraction trick), so it is
+    // reproducible on any engine/partitioning/re-run and rows never leak
+    // between splits as data grows. Output = split × label counts — the
+    // leakage/imbalance audit a training run starts with. Zero shuffle
+    // for the split itself; one partial-agg groupBy for the report.
+    QueryDef.sql("m_train_test_split", {
+      val u = graft.operators.Curation.uniformDuck("vec_id")
+      s"""WITH s AS (SELECT label,
+         |  CASE WHEN $u < 0.8 THEN 'train'
+         |       WHEN $u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM embeddings)
+         |SELECT split, label, count(*) AS n FROM s GROUP BY 1,2
+         |ORDER BY 1,2""".stripMargin
+    }) { (s, d) =>
+      val u = graft.operators.Curation.uniform(col("vec_id"))
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+        .groupBy("split", "label").agg(count(lit(1)).as("n"))
+        .orderBy("split", "label")
+    },
+
+    // F6 — inverse-frequency class weights (total / (k·n_class)): the
+    // class-balance correction for a skewed label column. A k-row
+    // aggregate joined against one scalar row — everything broadcast,
+    // one double division per class.
+    QueryDef.sql("m_class_weights",
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total,
+        |             CAST(count(DISTINCT label) AS DOUBLE) AS k FROM embeddings)
+        |SELECT label, n, CAST(total / (k * n) AS DOUBLE) AS weight
+        |FROM c, t ORDER BY label""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val c = emb.groupBy("label").agg(count(lit(1)).as("n"))
+      val t = emb.agg(count(lit(1)).cast("double").as("total"),
+        count_distinct(col("label")).cast("double").as("k"))
+      c.crossJoin(broadcast(t))
+        .select(col("label"), col("n"),
+          (col("total") / (col("k") * col("n"))).cast("double").as("weight"))
+        .orderBy("label")
+    },
+
+    // F7 — feature hashing (the hashing trick): tokens land in 64 buckets
+    // by md5-derived id, reported as the global bucket histogram (load
+    // check for a hashed feature space). The doc→bucket path is a
+    // projection (explode + hash mod); the histogram is one bounded-key
+    // partial agg. Same md5-60-bit ids as the dedup family (SURVEY §4
+    // rule 6), so parity needs no vocabulary build.
+    QueryDef.sql("m_feature_hash", {
+      val toks = graft.functions.TextFunctions.tokensDuck("text")
+      val gid = graft.operators.Dedup.hashedGidDuck("tok")
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents)
+         |SELECT $gid % 64 AS bucket,
+         |  count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+         |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (graft.operators.Dedup.hashedGid(col("tok")) % 64).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"), count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy("bucket")
     }
   )
 }

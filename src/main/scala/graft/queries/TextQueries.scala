@@ -363,6 +363,41 @@ object TextQueries {
           length(col("clean")).cast("long").as("clean_len"),
           md5(col("clean")).as("clean_sig"))
         .orderBy("doc_id")
+    },
+
+    // C11 — inverted index (token → document-frequency + capped posting
+    // list): the retrieval-side artifact of a corpus. One explode →
+    // distinct (doc,tok) → per-token rank window; postings are capped at
+    // the 20 lowest doc_ids (a web-scale index caps or tiers hot terms the
+    // same way) and emitted as a comma string in numeric doc order so both
+    // engines serialize the list identically. df ≥ 5 prunes the hapax
+    // tail, which is most of the vocabulary.
+    QueryDef.sql("t_inverted_index", {
+      val toks = tokensDuck("text")
+      s"""WITH dt AS (SELECT DISTINCT doc_id, unnest($toks) AS tok FROM documents),
+         |f AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+         |top AS (SELECT tok, doc_id, row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM dt)
+         |SELECT t.tok, max(f.df) AS df,
+         |  string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
+         |FROM top t JOIN f USING (tok)
+         |WHERE t.rn <= 20 AND f.df >= 5
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dt = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val w = Window.partitionBy("tok").orderBy("doc_id")
+      dt.select(col("tok"), col("doc_id"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("tok")).as("df"))
+        .filter(col("df") >= 5)
+        .groupBy("tok")
+        .agg(max("df").as("df"),
+          array_join(
+            transform(sort_array(collect_list(when(col("rn") <= 20, col("doc_id")))),
+              x => x.cast("string")), ",").as("postings"))
+        .orderBy("tok")
     }
   )
 }

@@ -65,4 +65,23 @@ class CurationSpec extends AnyFunSuite {
     // "quick brown fox" is the one shared trigram for docs 1 and 3
     assert(hits == Map(1L -> 1L, 3L -> 1L))
   }
+
+  test("hash split is a partition: every key in exactly one split, stable") {
+    val keys = spark.range(2000).toDF("vec_id")
+    val u = Curation.uniform(col("vec_id"))
+    val split = keys.select(col("vec_id"),
+      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+    // exactly one split per key (when-chain is exhaustive and disjoint)
+    assert(split.groupBy("vec_id").count().filter(col("count") =!= 1).count() == 0)
+    // deterministic: a re-computation assigns identical splits
+    val again = keys.select(col("vec_id"),
+      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split2"))
+    assert(split.join(again, "vec_id")
+      .filter(col("split") =!= col("split2")).count() == 0)
+    // rates land near 80/10/10 (md5 is uniform; 2000 keys ⇒ ±3σ ≈ ±2.7%)
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 1600L) < 60)
+    assert(math.abs(counts("val") - 200L) < 40)
+    assert(math.abs(counts("test") - 200L) < 40)
+  }
 }

@@ -15,6 +15,32 @@ class DedupSpec extends AnyFunSuite {
     (3L, "completely different words about spark engines here"))
     .toDF("doc_id", "text")
 
+  test("levenshteinPairs finds typo-dups inside a shared prefix block") {
+    val out = Dedup.levenshteinPairs(corpus, "doc_id", "text",
+        blockPrefix = 10, levPrefix = 100, maxLev = 5, maxBlock = 64)
+      .select("doc_a", "doc_b", "lev").as[(Long, Long, Long)].collect().toSet
+    // 0≡2 (lev 0) and 0~1 / 1~2 (dog→cat, lev 3); 3 shares no prefix.
+    assert(out == Set((0L, 1L, 3L), (0L, 2L, 0L), (1L, 2L, 3L)))
+  }
+
+  test("levenshteinPairs drops blocks hotter than maxBlock") {
+    val hot = (0L until 10L).map(i => (i, s"same prefix here unique tail $i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.levenshteinPairs(hot, "doc_id", "text",
+      blockPrefix = 10, levPrefix = 100, maxLev = 100, maxBlock = 5)
+    assert(capped.count() == 0) // one 10-doc block, cap 5 ⇒ no candidates
+    val uncapped = Dedup.levenshteinPairs(hot, "doc_id", "text",
+      blockPrefix = 10, levPrefix = 100, maxLev = 100, maxBlock = 64)
+    assert(uncapped.count() == 45) // all 10·9/2 pairs survive a loose cap
+  }
+
+  test("levenshteinPairs rejects a block prefix longer than the lev prefix") {
+    intercept[IllegalArgumentException] {
+      Dedup.levenshteinPairs(corpus, "doc_id", "text",
+        blockPrefix = 50, levPrefix = 20)
+    }
+  }
+
   test("exactDedup collapses identical texts and keeps the min id") {
     val out = Dedup.exactDedup(corpus, "text", "doc_id")
       .orderBy("keep_id").select("keep_id", "n_copies").as[(Long, Long)].collect()
