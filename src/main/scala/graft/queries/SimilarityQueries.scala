@@ -61,6 +61,44 @@ object SimilarityQueries {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, 3,
           centroidsFor(emb, d), nProbe = 2)
         .orderBy("q", "rank")
+    },
+
+    // E4 — k-NN classification (the similarity search applied): the F5
+    // hash split holds out ~10% of rows, each classified by majority
+    // label of its 5 nearest train neighbors (exact cosine; ties break
+    // count-desc then label-asc — fully deterministic). Output is the
+    // confusion matrix. The neighbor search is E1's brute force here;
+    // at scale the identical vote/argmax tail runs over E2/E3 candidate
+    // lists instead (swap the first stage, keep the rest).
+    QueryDef.sql("s_knn_classify", {
+      val u = graft.operators.Curation.uniformDuck("vec_id")
+      val cos = VectorFunctions.cosineDuck("p.embedding", "c.embedding")
+      s"""WITH te AS (SELECT * FROM embeddings WHERE $u < 0.1),
+         |tr AS (SELECT * FROM embeddings WHERE $u >= 0.1),
+         |nb AS (SELECT q, qlabel, nlabel, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank FROM (
+         |  SELECT p.vec_id AS q, p.label AS qlabel, c.vec_id AS n, c.label AS nlabel, $cos AS cos
+         |  FROM te p CROSS JOIN tr c) t0),
+         |vote AS (SELECT q, qlabel, nlabel, count(*) AS c FROM nb WHERE rank <= 5 GROUP BY 1,2,3),
+         |pred AS (SELECT q, qlabel, nlabel AS plabel,
+         |   row_number() OVER (PARTITION BY q ORDER BY c DESC, nlabel) AS rn FROM vote)
+         |SELECT qlabel AS true_label, plabel AS pred_label, count(*) AS n
+         |FROM pred WHERE rn = 1 GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = graft.operators.Curation.uniform(col("vec_id"))
+      val emb = Tables.embeddings(s, d)
+      val te = emb.filter(u < 0.1)
+      val tr = emb.filter(u >= 0.1)
+      val nb = Similarity.bruteForceTopK(te, tr, 5)
+        .join(te.select(col("vec_id").as("q"), col("label").as("qlabel")), "q")
+        .join(tr.select(col("vec_id").as("n"), col("label").as("nlabel")), "n")
+      val vote = nb.groupBy("q", "qlabel", "nlabel").agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy("q").orderBy(col("c").desc, col("nlabel"))
+      vote.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .groupBy(col("qlabel").as("true_label"), col("nlabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
     }
   )
 

@@ -398,6 +398,49 @@ object TextQueries {
             transform(sort_array(collect_list(when(col("rn") <= 20, col("doc_id")))),
               x => x.cast("string")), ",").as("postings"))
         .orderBy("tok")
+    },
+
+    // C12 — token co-occurrence PMI: pointwise mutual information of
+    // mid-frequency token pairs sharing a document. The df band
+    // (50..400) is the hot-key guard — stopword-frequency tokens would
+    // co-occur with everything and make the per-doc pair explosion
+    // quadratic in the worst tokens; banding bounds pairs per doc by the
+    // banded vocabulary. PMI = ln(n_ab·N / (df_a·df_b)) over exact
+    // integer counts — ln is the one transcendental (C10's precedent:
+    // values not ranks, 9-sig-digit compare absorbs libm ulp drift).
+    QueryDef.sql("t_cooccur_pmi", {
+      val toks = tokensDuck("text")
+      s"""WITH dt AS (SELECT DISTINCT doc_id, unnest($toks) AS tok FROM documents),
+         |f AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+         |mid AS (SELECT tok, df FROM f WHERE df BETWEEN 50 AND 400),
+         |dtm AS (SELECT dt.doc_id, dt.tok FROM dt JOIN mid USING (tok)),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+         |pair AS (SELECT a.tok AS ta, b.tok AS tb, count(*) AS n_ab
+         |  FROM dtm a JOIN dtm b ON a.doc_id=b.doc_id AND a.tok < b.tok GROUP BY 1,2)
+         |SELECT ta, tb, n_ab,
+         |  CAST(ln(CAST(n_ab AS DOUBLE) * nd.n / (CAST(fa.df AS DOUBLE) * fb.df)) AS DOUBLE) AS pmi
+         |FROM pair JOIN mid fa ON pair.ta=fa.tok JOIN mid fb ON pair.tb=fb.tok, nd
+         |WHERE n_ab >= 10 ORDER BY ta, tb""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dt = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
+      val f = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      val mid = f.filter(col("df").between(50, 400))
+      val dtm = dt.join(broadcast(mid.select("tok")), "tok")
+      val nd = docs.agg(count_distinct(col("doc_id")).cast("double").as("n"))
+      val pair = dtm.select(col("doc_id"), col("tok").as("ta"))
+        .join(dtm.select(col("doc_id"), col("tok").as("tb")), "doc_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 10)
+      pair
+        .join(broadcast(mid.select(col("tok").as("ta"), col("df").as("dfa"))), "ta")
+        .join(broadcast(mid.select(col("tok").as("tb"), col("df").as("dfb"))), "tb")
+        .crossJoin(broadcast(nd))
+        .select(col("ta"), col("tb"), col("n_ab"),
+          log(col("n_ab").cast("double") * col("n") / (col("dfa").cast("double") * col("dfb")))
+            .cast("double").as("pmi"))
+        .orderBy("ta", "tb")
     }
   )
 }

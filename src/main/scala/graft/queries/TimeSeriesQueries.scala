@@ -119,6 +119,54 @@ object TimeSeriesQueries {
             .cast("double").as("ma7"),
           col("total").cast("double").as("day_total"))
         .orderBy("event_type", "day")
+    },
+
+    // B29 — Markov transition matrix of the event stream: P(next type |
+    // type) per user-ordered step. The lag/lead window is partitioned by
+    // user (bounded per-partition state at any scale — same shape as
+    // B4/B6); the matrix itself is a k²-row aggregate. Row-normalizing
+    // totals derive FROM the pair counts (no second pass over events).
+    QueryDef.sql("q_transition_matrix",
+      """WITH seq AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events),
+        |p AS (SELECT event_type AS src, next_type AS dst, count(*) AS n FROM seq
+        |      WHERE next_type IS NOT NULL GROUP BY 1,2),
+        |t AS (SELECT src, sum(n) AS tot FROM p GROUP BY 1)
+        |SELECT p.src, p.dst, p.n, CAST(p.n AS DOUBLE)/t.tot AS prob
+        |FROM p JOIN t USING (src) ORDER BY src, dst""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val p = Tables.events(s, d)
+        .select(col("event_type").as("src"), lead("event_type", 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      val t = p.groupBy("src").agg(sum("n").as("tot"))
+      p.join(broadcast(t), "src")
+        .select(col("src"), col("dst"), col("n"),
+          (col("n").cast("double") / col("tot")).as("prob"))
+        .orderBy("src", "dst")
+    },
+
+    // B30 — top event paths: the 10 most frequent 3-step event-type
+    // sequences (path analysis / session n-grams). Two leads over the
+    // same user-partitioned window (ONE window spec ⇒ one sort), then a
+    // bounded k³-key aggregate and a deterministic top-k.
+    QueryDef.sql("q_top_paths",
+      """WITH seq AS (SELECT event_type AS e1,
+        |  lead(event_type,1) OVER w AS e2, lead(event_type,2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n FROM seq
+        |WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      graft.operators.Relational.topKByAgg(
+        Tables.events(s, d)
+          .select(col("event_type").as("e1"),
+            lead("event_type", 1).over(w).as("e2"),
+            lead("event_type", 2).over(w).as("e3"))
+          .filter(col("e3").isNotNull)
+          .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n")),
+        10, Seq(col("n").desc, col("path")))
     }
   )
 }

@@ -127,4 +127,19 @@ class SimilaritySpec extends AnyFunSuite {
       .select("a", "b").as[(Long, Long)].collect()
     assert(pairs.forall { case (a, b) => labels(a) == labels(b) })
   }
+
+  test("knn classification covers every held-out row exactly once") {
+    val out = SparkEntry.queries("s_knn_classify")(spark, TestSpark.sfDir)
+      .as[(Int, Int, Long)].collect()
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val u = graft.operators.Curation.uniform(col("vec_id"))
+    val nTest = emb.filter(u < 0.1).count()
+    assert(nTest > 0)
+    // confusion-matrix mass = held-out rows: nobody dropped or counted twice
+    assert(out.map(_._3).sum == nTest)
+    // predicted labels come from the train label alphabet
+    val trainLabels = emb.filter(u >= 0.1).select("label").distinct()
+      .as[Int].collect().toSet
+    assert(out.forall { case (_, p, _) => trainLabels.contains(p) })
+  }
 }

@@ -91,6 +91,20 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-01-08", 0L, 1L, 1.0)))
   }
 
+  test("transition matrix rows are proper distributions") {
+    // Per source event type, outgoing probabilities must sum to 1 and
+    // pair counts must equal the row total used for normalization.
+    val out = SparkEntry.queries("q_transition_matrix")(spark, TestSpark.sfDir)
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val rows = out.groupBy("src")
+      .agg(fsum("prob").as("p"), fsum("n").as("n"))
+      .as[(String, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, p, _) =>
+      assert(math.abs(p - 1.0) < 1e-9, s"row $src sums to $p")
+    }
+  }
+
   test("funnel rejects an empty stage list and bad window") {
     val ev = Seq((1L, "view", ts("2024-01-01 00:00:00"))).toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException] {
