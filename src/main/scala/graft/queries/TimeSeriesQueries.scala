@@ -121,6 +121,55 @@ object TimeSeriesQueries {
         .orderBy("event_type", "day")
     },
 
+    // B31 — trailing 7-day active users (WAU) per day: each distinct
+    // (user, day) credits the 7 target days it stays "active" for —
+    // explode-and-count replaces a sliding DISTINCT window (which Spark
+    // can't express and nobody can merge). The explode is a narrow ×7 on
+    // id-sized rows; the count_distinct shuffles (day, user) pairs once.
+    // At 100 TB the same query with approx_count_distinct is the
+    // mergeable-sketch scale path (the A13/A18x ladder).
+    QueryDef.sql("q_rolling_wau",
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT max(day) AS mx FROM ud),
+        |x AS (SELECT user_id, CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS tday FROM ud)
+        |SELECT strftime(tday, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS wau
+        |FROM x, mx WHERE tday <= mx GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val mx = ud.agg(max("day").as("mx"))
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("tday"))
+        .crossJoin(broadcast(mx))
+        .filter(col("tday") <= col("mx"))
+        .groupBy(date_format(col("tday"), "yyyy-MM-dd").as("day"))
+        .agg(count_distinct(col("user_id")).as("wau"))
+        .orderBy("day")
+    },
+
+    // B32 — last-touch attribution: each purchase is credited to the
+    // user's most recent preceding non-purchase event type. One carry
+    // window per user (the B6 sessionize shape — bounded per-partition
+    // state), then a k-key aggregate; purchases with no prior touch
+    // report as 'none' instead of silently dropping.
+    QueryDef.sql("q_attribution",
+      """WITH s AS (SELECT user_id, ts, event_type,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM events)
+        |SELECT coalesce(channel, 'none') AS channel, count(*) AS purchases FROM s
+        |WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w).as("channel"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("purchases"))
+        .orderBy("channel")
+    },
+
     // B29 — Markov transition matrix of the event stream: P(next type |
     // type) per user-ordered step. The lag/lead window is partitioned by
     // user (bounded per-partition state at any scale — same shape as

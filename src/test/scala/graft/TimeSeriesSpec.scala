@@ -91,6 +91,48 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-01-08", 0L, 1L, 1.0)))
   }
 
+  test("rolling WAU credits a user for exactly 7 trailing days") {
+    // One user active on Jan 1 only; another on Jan 10 keeps the range
+    // open through Jan 10. User 1 must count toward Jan 1-7 and no later.
+    val ev = Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-10 10:00:00"))
+      .toDF("user_id", "t").select(col("user_id"), col("t").cast("timestamp").as("ts"))
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val mx = ud.agg(max("day").as("mx"))
+    val wau = ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("tday"))
+      .crossJoin(broadcast(mx)).filter(col("tday") <= col("mx"))
+      .groupBy(date_format(col("tday"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .as[(String, Long)].collect().toMap
+    (1 to 7).foreach(i => assert(wau(f"2024-01-$i%02d") == 1L, s"day $i"))
+    assert(!wau.contains("2024-01-08")) // nobody active, day absent
+    assert(wau("2024-01-10") == 1L)
+  }
+
+  test("attribution credits the nearest preceding non-purchase touch") {
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:00"),
+      (1L, 2L, "purchase", "2024-01-01 01:00:00"),  // → view
+      (1L, 3L, "purchase", "2024-01-01 02:00:00"),  // still → view
+      (2L, 4L, "purchase", "2024-01-01 00:00:00"),  // no touch → none
+      (2L, 5L, "click", "2024-01-01 01:00:00"),
+      (2L, 6L, "purchase", "2024-01-01 02:00:00"))  // → click
+      .toDF("user_id", "event_id", "event_type", "t")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("t").cast("timestamp").as("ts"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = ev.select(col("event_type"),
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w).as("channel"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("purchases"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("view" -> 2L, "none" -> 1L, "click" -> 1L))
+  }
+
   test("transition matrix rows are proper distributions") {
     // Per source event type, outgoing probabilities must sum to 1 and
     // pair counts must equal the row total used for normalization.
