@@ -191,5 +191,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        // The sketch argument must be a compile-time literal (lit(bytes)
+        // from Prune, or a binary literal in SQL) — the filter is one
+        // object per plan, not a per-row value.
+        require(children(1).foldable,
+          "graft_bloom_contains: the serialized bloom filter must be a literal")
+        BloomContainsExpr(children.head,
+          children(1).eval(null).asInstanceOf[Array[Byte]])
+      }))
   }
 }

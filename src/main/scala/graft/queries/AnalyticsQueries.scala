@@ -554,6 +554,30 @@ object AnalyticsQueries {
       semi.unionAll(anti).orderBy("op", "c_custkey")
     },
 
+    // B18 — Bloom-pruned semi-join: lineitem ⋉ urgent orders, with the
+    // fact scan pre-filtered by a Bloom of the selective key side so the
+    // fact-side Exchange carries ~matches instead of ~everything (the
+    // 100 TB shape — see operators.Prune). Bloom filters admit false
+    // positives only and the trailing exact join removes them, so the
+    // result — and therefore the oracle — is the PLAIN semi-join's.
+    QueryDef.sql("q_bloom_prune",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey
+        |                AND o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import graft.operators.Prune
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Prune.bloomPrunedSemiJoin(Tables.lineitem(s, d), "l_orderkey",
+          urgent, "o_orderkey", expectedKeys = 1000000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum("l_quantity", 18, 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // B9 — JSON property extraction from the event payload column.
     QueryDef.sql("q_json_extract",
       """SELECT event_type, count(*) AS n,
