@@ -249,6 +249,97 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // C11 — repetition filters (the Gopher-rules family): fraction of
+    // duplicate tokens and the most-frequent-bigram share, the two
+    // signals that catch boilerplate/keyword-stuffed/looping docs that
+    // length and punctuation ratios miss. One pass: tokenize once,
+    // distinct-count via array_distinct in the same projection, bigram
+    // mode via a per-(doc,bigram) count — both aggregates run WITHOUT an
+    // exchange (the doc_id repartition satisfies clustering for the
+    // (doc_id, bg) group-by, and Generate preserves it). All-integer
+    // arithmetic plus one final division per ratio, so both engines agree
+    // bit-for-bit.
+    QueryDef.sql("t_repetition",
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |b0 AS (SELECT doc_id, len(toks) AS n_tokens,
+         |         len(list_distinct(toks)) AS n_distinct,
+         |         CASE WHEN len(toks) >= 2 THEN
+         |           list_transform(range(0, len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2])
+         |           ELSE [] END AS bgs
+         |       FROM t),
+         |bc AS (SELECT doc_id, g, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(bgs) AS g FROM b0) GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, max(c) AS top_n, sum(c) AS nb FROM bc GROUP BY 1)
+         |SELECT b0.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CASE WHEN n_tokens > 0
+         |    THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END AS dup_token_frac,
+         |  CAST(coalesce(top_n, 0) AS BIGINT) AS top_bigram_n,
+         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN coalesce(nb, 0) > 0
+         |    THEN CAST(top_n AS DOUBLE) / nb ELSE 0.0 END AS top_bigram_frac
+         |FROM b0 LEFT JOIN ba USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Dedup
+      val base = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).as("n_tokens"),
+          size(array_distinct(col("__toks"))).as("n_distinct"),
+          explode_outer(Dedup.wordNgrams(col("__toks"), 2)).as("bg"))
+      base.groupBy("doc_id", "n_tokens", "n_distinct", "bg")
+        .agg(count(col("bg")).as("c"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(max(when(col("bg").isNotNull, col("c"))).as("top_n"),
+          sum(when(col("bg").isNotNull, col("c"))).as("nb"))
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          when(col("n_tokens") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+            .otherwise(0.0).as("dup_token_frac"),
+          coalesce(col("top_n"), lit(0L)).cast("long").as("top_bigram_n"),
+          coalesce(col("nb"), lit(0L)).cast("long").as("n_bigrams"),
+          when(coalesce(col("nb"), lit(0L)) > 0,
+            col("top_n").cast("double") / col("nb"))
+            .otherwise(0.0).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // C12 — overlapping token chunking (RAG / context-window prep): split
+    // each document into windows of 64 tokens advancing by 48 (16-token
+    // overlap), emitting per chunk its start offset, length, and an md5
+    // signature of the joined tokens (compact cross-engine proof the
+    // chunk CONTENT agrees, not just its bounds). The whole thing is one
+    // narrow codegen'd projection — sequence → posexplode → slice — no
+    // aggregate, no exchange: exactly the shape that streams a 100 TB
+    // corpus through chunking at scan speed. Empty docs produce no
+    // chunks (a window over nothing is nothing).
+    QueryDef.sql("t_chunk_overlap",
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st
+         |      FROM t WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id, st,
+         |         list_slice(toks, st + 1, least(st + 64, len(toks))) AS chunk
+         |       FROM c)
+         |SELECT doc_id, CAST(st / 48 AS BIGINT) AS chunk_idx,
+         |  CAST(st AS BIGINT) AS start_tok,
+         |  CAST(len(chunk) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(chunk, ' ')) AS sig
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id"), col("__toks"),
+          posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(48))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").cast("long").as("start_tok"),
+          slice(col("__toks"), col("col") + 1, lit(64)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          md5(concat_ws(" ", col("chunk"))).as("sig"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // C4 — rolling-hash document fingerprint (char-stream polynomial fold;
     // production path is xxhash64 — see TextFunctions.xxFingerprint).
     QueryDef.sql("t_fingerprint",
