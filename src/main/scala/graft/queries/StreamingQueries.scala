@@ -14,6 +14,24 @@ import graft.streaming.Events
   */
 object StreamingQueries {
 
+  /** Stage the events table as a µs-precision parquet dir for file-source
+    * streaming (parquet NANOS can't stream through a TimestampType
+    * schema). The staged copy of an immutable input dir is itself
+    * immutable — keyed by sfDir, staged once per JVM. `doubled = true`
+    * writes every event twice (two identical files) — the planted-
+    * duplicate input for the streaming dedup query. */
+  private def stagedEvents(s: org.apache.spark.sql.SparkSession, d: String,
+                           doubled: Boolean = false): String = {
+    val key = Integer.toHexString(d.hashCode) + (if (doubled) "x2" else "")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_$key"
+    if (!new java.io.File(s"$dir/events/_SUCCESS").isFile) {
+      val ev = Tables.events(s, d)
+      if (doubled) ev.unionAll(ev).write.mode("overwrite").parquet(s"$dir/events")
+      else ev.write.mode("overwrite").parquet(s"$dir/events")
+    }
+    s"$dir/events"
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // F1a as a driver-visible query: the events table is staged to a
@@ -29,11 +47,7 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       // the staged µs copy of an immutable input dir is itself immutable —
       // key it by sfDir and stage once per JVM lifetime, not per run
-      val key = Integer.toHexString(d.hashCode)
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_$key"
-      if (!new java.io.File(s"$dir/events/_SUCCESS").isFile)
-        Tables.events(s, d).write.mode("overwrite").parquet(s"$dir/events")
-      val counts = Events.tumblingCounts(Events.readEventStream(s, s"$dir/events"))
+      val counts = Events.tumblingCounts(Events.readEventStream(s, stagedEvents(s, d)))
       val sink = "f_stream_tumbling_sink"
       val q = counts.writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Complete())
@@ -45,6 +59,59 @@ object StreamingQueries {
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n_events"), col("total_value"))
         .orderBy("day", "event_type")
+    },
+
+    // F1d as a driver-visible query: streaming exact dedup at the ingest
+    // door. The staged input carries every event TWICE (planted
+    // duplicates); `dropDuplicatesWithinWatermark` on event_id must emit
+    // each exactly once, so the oracle is simply the original events
+    // table. Exactness holds because Trigger.AvailableNow with a
+    // file-source lands both copies in ONE microbatch (well under the
+    // 1000-files-per-trigger default), where dedup state covers the whole
+    // input — the watermark only starts evicting BETWEEN batches. On a
+    // live unbounded feed the same operator keeps only watermark-deep
+    // state; that bounded-state behavior is what StreamingSpec pins.
+    QueryDef.sql("f_stream_dedup",
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val doubled = Events.readEventStream(s, stagedEvents(s, d, doubled = true))
+      val sink = "f_stream_dedup_sink"
+      val q = Events.dedupStream(doubled, Seq("event_id"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table(sink).orderBy("event_id")
+    },
+
+    // F1c as a driver-visible query: stream-stream interval join — each
+    // click matched to the same user's purchases in the preceding hour,
+    // both sides watermarked. Same one-microbatch argument as
+    // f_stream_dedup: nothing is late relative to the initial watermark,
+    // so the streaming join emits exactly the batch interval-join rows
+    // and shares its SQL oracle.
+    QueryDef.sql("f_stream_join",
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |  p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts
+        |ORDER BY click_id, purchase_ts""".stripMargin) { (s, d) =>
+      val ev = Events.readEventStream(s, stagedEvents(s, d))
+      val sink = "f_stream_join_sink"
+      val q = Events.clicksAfterPurchases(ev)
+        .select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      s.table(sink).orderBy("click_id", "purchase_ts")
     }
   )
 }
