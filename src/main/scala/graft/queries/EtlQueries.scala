@@ -396,6 +396,34 @@ object EtlQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           max(col("o_orderdate")).as("max_date"))
         .orderBy("o_orderstatus")
+    },
+
+    // A20 — incremental aggregate maintenance (materialized-view refresh,
+    // operators.Incremental): the per-customer order stats are "stored"
+    // as the aggregate of the first half of history (simulating the MV
+    // from prior runs — at scale the half the engine must NOT rescan),
+    // the second half is the new-arrivals delta; the refresh aggregates
+    // ONLY the delta and merges two agg-sized relations. The oracle is
+    // the full-history aggregate — the merge must be indistinguishable
+    // from a rebuild.
+    QueryDef.sql("q_incremental_agg",
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      import graft.operators.Incremental
+      val orders = Tables.orders(s, d)
+      val split = lit("1995-01-01 00:00:00").cast("timestamp")
+      def agg(part: org.apache.spark.sql.DataFrame) = part
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+      val stored = agg(orders.filter(col("o_orderdate") < split))
+      val delta = agg(orders.filter(col("o_orderdate") >= split))
+      Incremental.mergeAdditive(stored, delta,
+          Seq("o_custkey"), Seq("n_orders", "sum_price"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("o_custkey")
     }
   )
 }

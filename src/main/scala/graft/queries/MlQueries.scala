@@ -62,6 +62,33 @@ object MlQueries {
         .toDF("coef_quantity", "coef_discount", "intercept")
     },
 
+    // F6 — k-means clustering surfaced as a first-class query: spherical
+    // k-means over the embeddings (the IVF coarse quantizer's trainer,
+    // fixed seed), reported as per-cluster size + mean cosine distance to
+    // the owning centroid — the cluster-quality report a corpus
+    // partitioning run ends with. Estimator output ⇒ rows-only driver
+    // check; the training/assignment consistency is spec-bound in
+    // SimilaritySpec (same trainer, same assignment rule as E3). The
+    // assignment is a codegen'd argmax over LITERAL centroids — scoring
+    // 100 TB of vectors is a narrow projection, no join, no broadcast
+    // variable; ties break to the lower cluster id.
+    QueryDef.rowsOnly("m_kmeans") { (s, d) =>
+      import graft.operators.Similarity
+      import graft.functions.VectorFunctions
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainIvfCentroids(emb, "embedding", 8)
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorFunctions.cosine(col("embedding"), typedlit(c)).as("cos"),
+          lit(-i).as("negid"))
+      }
+      emb.select(array_max(array(scored.toIndexedSeq: _*)).as("best"))
+        .select((-col("best.negid")).cast("int").as("cluster"),
+          (lit(1.0) - col("best.cos")).as("dist"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), avg("dist").as("mean_cos_dist"))
+        .orderBy("cluster")
+    },
+
     // F4 — multimodal binary metadata via the batched mapPartitions decode
     // stub (UTF-8 text bytes stand in for the image payload).
     QueryDef.sql("mm_binary_meta",

@@ -88,6 +88,15 @@ object Tables {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC read/write (G11) — the second columnar interchange format; same
+    * pushdown/pruning behavior as parquet under Spark's vectorized ORC
+    * reader, for warehouses whose existing lake is ORC (Hive lineage). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Partitioned parquet writer — the reference's S3 export (airflow.py:718)
     * done columnar + partitioned so downstream scans partition-prune. */
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {

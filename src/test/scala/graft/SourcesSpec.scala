@@ -26,6 +26,17 @@ class SourcesSpec extends AnyFunSuite {
       Seq((1L, "a", 1.5), (2L, "b", -0.25)))
   }
 
+  test("orc round-trips and pushes filters to the scan (G11)") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/out"
+    val df = spark.range(100).select(col("id"), (col("id") % 7).as("m"))
+    Tables.writeOrc(df, dir)
+    val back = Tables.readOrc(spark, dir).filter(col("id") > 90)
+    assert(back.count() == 9)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"ORC scan should push the filter:\n$plan")
+  }
+
   test("json reads nested payloads with explicit schema (G3)") {
     val dir = Files.createTempDirectory("graft_json").toString + "/in"
     Seq("""{"id":1,"loc":{"lat":37.7,"lon":-122.4},"tags":["x","y"]}""",
