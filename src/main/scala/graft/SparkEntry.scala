@@ -11,7 +11,8 @@ object SparkEntry {
     EtlQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MlQueries.all ++
       PipelineQueries.all ++ StreamingQueries.all ++ CurationQueries.all ++
-      TimeSeriesQueries.all ++ StatsQueries.all ++ GraphQueries.all
+      TimeSeriesQueries.all ++ StatsQueries.all ++ GraphQueries.all ++
+      GeoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is the reference's query1 (airflow.py:655-662) analog. */
