@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Incremental aggregate maintenance (SURVEY §2 A20) — the
+/** Incremental aggregate maintenance (SURVEY §2 A21) — the
   * materialized-view refresh pattern.
   *
   * Reference analog: the warehouse tables the reference rebuilds per DAG

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.BloomExprs
 
-/** Pre-shuffle join pruning (SURVEY §2 B18).
+/** Pre-shuffle join pruning (SURVEY §2 B33).
   *
   * Reference analog: the warehouse queries join the fact schedule against
   * filtered dimension slices (airflow.py:655-662 joins facilities to the

@@ -554,7 +554,7 @@ object AnalyticsQueries {
       semi.unionAll(anti).orderBy("op", "c_custkey")
     },
 
-    // B18 — Bloom-pruned semi-join: lineitem ⋉ urgent orders, with the
+    // B33 — Bloom-pruned semi-join: lineitem ⋉ urgent orders, with the
     // fact scan pre-filtered by a Bloom of the selective key side so the
     // fact-side Exchange carries ~matches instead of ~everything (the
     // 100 TB shape — see operators.Prune). Bloom filters admit false

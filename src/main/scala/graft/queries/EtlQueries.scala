@@ -398,7 +398,7 @@ object EtlQueries {
         .orderBy("o_orderstatus")
     },
 
-    // A20 — incremental aggregate maintenance (materialized-view refresh,
+    // A21 — incremental aggregate maintenance (materialized-view refresh,
     // operators.Incremental): the per-customer order stats are "stored"
     // as the aggregate of the first half of history (simulating the MV
     // from prior runs — at scale the half the engine must NOT rescan),

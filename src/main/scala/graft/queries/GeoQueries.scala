@@ -57,7 +57,7 @@ object GeoQueries {
 
   val all: Seq[QueryDef] = Seq(
 
-    // B32 — spatial distance join: per customer, the suppliers within
+    // B35 — spatial distance join: per customer, the suppliers within
     // 5 km of its planted location — reported as (count, nearest, km).
     // The oracle brute-forces the cross join (fine at oracle scale);
     // the Spark side runs the bucketed candidate join that survives

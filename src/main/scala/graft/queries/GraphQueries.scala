@@ -22,7 +22,7 @@ object GraphQueries {
 
   val all: Seq[QueryDef] = Seq(
 
-    // B31 — PageRank over the event-type transition graph: nodes are
+    // B34 — PageRank over the event-type transition graph: nodes are
     // event types, edge weights are observed transition counts per user
     // session stream (same windowed extraction as q_transition_matrix),
     // damping 0.85, 10 fixed iterations from a uniform start. Every node

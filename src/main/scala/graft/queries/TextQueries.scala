@@ -249,7 +249,7 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // C11 — repetition filters (the Gopher-rules family): fraction of
+    // C13 — repetition filters (the Gopher-rules family): fraction of
     // duplicate tokens and the most-frequent-bigram share, the two
     // signals that catch boilerplate/keyword-stuffed/looping docs that
     // length and punctuation ratios miss. One pass: tokenize once,
@@ -304,7 +304,7 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // C12 — overlapping token chunking (RAG / context-window prep): split
+    // C14 — overlapping token chunking (RAG / context-window prep): split
     // each document into windows of 64 tokens advancing by 48 (16-token
     // overlap), emitting per chunk its start offset, length, and an md5
     // signature of the joined tokens (compact cross-engine proof the
