@@ -51,6 +51,13 @@ object GraftSession {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Fork-free local FS: without the native Hadoop lib, every local
+      // mkdir/create shells out to `chmod`, and child-process spawn from
+      // a large-heap JVM costs tens of seconds on sandboxed hosts —
+      // measured as idle-CPU "blocked, not computing" driver time under
+      // every parquet write. See sources.NioLocalFs.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.NioLocalFileSystem].getName)
       .config("spark.sql.extensions", classOf[graft.functions.GraftExtensions].getName)
     master.fold(b)(b.master)
   }

@@ -58,6 +58,16 @@ object TextFunctions {
     * has no xxhash64), hence the separate deterministic fold above. */
   def xxFingerprint(text: Column): Column = xxhash64(text)
 
+  /** C15 — Unicode NFC normalization via the native codegen expression
+    * ([[NfcNormalizeExpr]]; Spark has no built-in). DuckDB twin:
+    * `nfc_normalize`. */
+  def nfcNormalize(text: Column): Column = call_function("graft_nfc", text)
+
+  /** C15 — accent stripping (NFD → drop combining marks → NFC) via
+    * [[StripAccentsExpr]]. DuckDB twin: `strip_accents`. */
+  def stripAccents(text: Column): Column =
+    call_function("graft_strip_accents", text)
+
   /** Language profiles for the stopword-overlap language-ID heuristic.
     * Alphabetical key order is also the tie-break order. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

@@ -203,5 +203,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomContainsExpr(children.head,
           children(1).eval(null).asInstanceOf[Array[Byte]])
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalizeExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "graft_strip_accents"),
+      (children: Seq[Expression]) => StripAccentsExpr(children.head)))
   }
 }

@@ -424,6 +424,95 @@ object EtlQueries {
         .select(col("o_custkey"), col("n_orders"),
           col("sum_price").cast("double").as("sum_price"))
         .orderBy("o_custkey")
+    },
+
+    // A22 — snapshot diff / CDC (operators.Diff): two keyed snapshots of
+    // orders are derived deterministically — "last week" is history
+    // before 1995-07-01; "this week" extends to 1996-01-01 (inserts),
+    // drops every 13th key (deletes), and doubles the price of every 7th
+    // (updates; doubling a double is exact in FP). The diff must emit
+    // exactly the planted change set: one full-outer key join, null-safe
+    // compare, change-sized output.
+    QueryDef.sql("q_snapshot_diff",
+      """WITH oldv AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'),
+        |newv AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderkey % 13 <> 0)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  o.o_totalprice AS old_o_totalprice,
+        |  n.o_totalprice AS new_o_totalprice,
+        |  o.o_orderstatus AS old_o_orderstatus,
+        |  n.o_orderstatus AS new_o_orderstatus
+        |FROM oldv o FULL JOIN newv n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.operators.Diff
+      val orders = Tables.orders(s, d)
+      val oldSnap = orders
+        .filter(col("o_orderdate") < lit("1995-07-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val newSnap = orders
+        .filter(col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+        .filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+      Diff.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+
+    // A23 — data-quality expectations (operators.Expectations): seven
+    // named rules over orders — six row-level predicates + key
+    // uniqueness — evaluated in ONE aggregate scan (k rules ≠ k passes;
+    // Profiling's melt discipline applied to validation). The price cap
+    // is set low enough to plant real violations, so nonzero counting is
+    // oracle-proven, not vacuous.
+    QueryDef.sql("q_expectations",
+      """WITH a AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v_custkey_not_null,
+        |  sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+        |            AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |           THEN 0 ELSE 1 END) AS v_date_in_range,
+        |  sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_price_positive,
+        |  sum(CASE WHEN o_totalprice <= 300000 THEN 0 ELSE 1 END) AS v_price_below_cap,
+        |  sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS v_status_in_domain,
+        |  sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS v_priority_format,
+        |  count(*) - count(DISTINCT o_orderkey) AS v_unique_o_orderkey
+        |FROM orders)
+        |SELECT rule, n_rows, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'custkey_not_null' AS rule, n AS n_rows, CAST(v_custkey_not_null AS BIGINT) AS n_violations FROM a
+        |  UNION ALL SELECT 'date_in_range', n, CAST(v_date_in_range AS BIGINT) FROM a
+        |  UNION ALL SELECT 'price_positive', n, CAST(v_price_positive AS BIGINT) FROM a
+        |  UNION ALL SELECT 'price_below_cap', n, CAST(v_price_below_cap AS BIGINT) FROM a
+        |  UNION ALL SELECT 'status_in_domain', n, CAST(v_status_in_domain AS BIGINT) FROM a
+        |  UNION ALL SELECT 'priority_format', n, CAST(v_priority_format AS BIGINT) FROM a
+        |  UNION ALL SELECT 'unique_o_orderkey', n, CAST(v_unique_o_orderkey AS BIGINT) FROM a)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      import graft.operators.Expectations
+      Expectations.check(Tables.orders(s, d), Seq(
+        "custkey_not_null" -> col("o_custkey").isNotNull,
+        "date_in_range" ->
+          (col("o_orderdate") >= lit("1992-01-01 00:00:00").cast("timestamp") &&
+           col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp")),
+        "price_positive" -> (col("o_totalprice") > 0),
+        "price_below_cap" -> (col("o_totalprice") <= 300000),
+        "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "priority_format" -> col("o_orderpriority").rlike("^[1-5]-")),
+        uniqueKeys = Seq("o_orderkey"))
     }
   )
 }

@@ -187,6 +187,41 @@ object MlQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_tokens"), count_distinct(col("doc_id")).as("n_docs"))
         .orderBy("bucket")
+    },
+
+    // F9 — exact ROC-AUC (Mann-Whitney U form) of `value` as a score for
+    // predicting purchase events. Ranks come from the A1 surrogate-key
+    // machinery (range-partition + per-partition row_number + offsets) —
+    // NEVER a single-partition global rank window; ties collapse to the
+    // per-score average rank via a (min_rank, count) aggregate, so the
+    // tie-handling is the textbook averaged-rank U. Rank sums are exact
+    // (.5 increments in double, far below 2^53). The oracle computes the
+    // identical statistic through DuckDB's rank() window.
+    QueryDef.sql("m_auc",
+      """WITH s AS (SELECT value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |r AS (SELECT y, rank() OVER (ORDER BY score) AS rk,
+        |    count(*) OVER (PARTITION BY score) AS nt FROM s),
+        |a AS (SELECT sum(CASE WHEN y = 1 THEN rk + (nt-1)/2.0 END) AS rpos,
+        |    CAST(sum(y) AS BIGINT) AS npos, count(*) AS n FROM r)
+        |SELECT npos, n - npos AS nneg,
+        |  (rpos - npos*(npos+1)/2.0) / (npos * (n - npos)) AS auc
+        |FROM a""".stripMargin) { (s, d) =>
+      import graft.operators.Relational
+      val sc = Tables.events(s, d).select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      // dense 0-based ids ordered by score ⇒ rank = rid + 1
+      val ranked = Relational.surrogateKey(sc, "rid", Seq(col("score")))
+      val perScore = ranked.groupBy("score")
+        .agg((min(col("rid")) + 1L).as("minrk"), count(lit(1)).as("nt"),
+          sum(col("y")).as("npos_s"))
+      perScore.agg(
+          sum(col("npos_s") * (col("minrk") + (col("nt") - 1L) / lit(2.0))).as("rpos"),
+          sum("npos_s").as("npos"), sum("nt").as("n"))
+        .select(col("npos"), (col("n") - col("npos")).as("nneg"),
+          ((col("rpos") - col("npos") * (col("npos") + 1L) / lit(2.0)) /
+            (col("npos") * (col("n") - col("npos")))).as("auc"))
     }
   )
 }

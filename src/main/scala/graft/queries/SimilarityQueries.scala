@@ -99,6 +99,47 @@ object SimilarityQueries {
         .groupBy(col("qlabel").as("true_label"), col("nlabel").as("pred_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy("true_label", "pred_label")
+    },
+
+    // E5 — int8 scalar quantization of the embedding store (the 4×
+    // memory/IO shrink an ANN serving tier runs on): per-dimension
+    // min/max (a dim-sized broadcast), q = round((v-min)·255/(max-min)),
+    // reported per dim as integer-exact sum_q plus max reconstruction
+    // error (max over doubles is order-free, so no decimal laundering is
+    // needed — SURVEY §4). Two passes by construction (stats, then
+    // apply) — the classic quantizer shape; at 100 TB each pass is a
+    // narrow projection + partial agg, and the apply pass is where the
+    // quantized vectors would be written out.
+    QueryDef.sql("s_quantize_int8",
+      """WITH e0 AS (SELECT vec_id, embedding,
+        |         unnest(range(0, len(embedding))) AS dim FROM embeddings),
+        |ex AS (SELECT vec_id, CAST(dim AS INT) AS dim,
+        |         CAST(embedding[dim+1] AS DOUBLE) AS v FROM e0),
+        |st AS (SELECT dim, min(v) AS vmin, max(v) AS vmax FROM ex GROUP BY 1),
+        |qz AS (SELECT ex.dim, v, vmin, vmax,
+        |         CASE WHEN vmax = vmin THEN 0
+        |              ELSE CAST(round((v - vmin) * 255.0 / (vmax - vmin)) AS BIGINT)
+        |         END AS q
+        |       FROM ex JOIN st USING (dim))
+        |SELECT dim, count(*) AS n, max(vmin) AS vmin, max(vmax) AS vmax,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  max(abs(v - (vmin + q * (vmax - vmin) / 255.0))) AS max_abs_err
+        |FROM qz GROUP BY dim ORDER BY dim""".stripMargin) { (s, d) =>
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .select(col("vec_id"), col("dim"), col("vf").cast("double").as("v"))
+      val st = ex.groupBy("dim").agg(min("v").as("vmin"), max("v").as("vmax"))
+      ex.join(broadcast(st), "dim")
+        .withColumn("q",
+          when(col("vmax") === col("vmin"), 0L)
+            .otherwise(round((col("v") - col("vmin")) * 255.0 /
+              (col("vmax") - col("vmin"))).cast("long")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), max("vmin").as("vmin"), max("vmax").as("vmax"),
+          sum("q").as("sum_q"),
+          max(abs(col("v") - (col("vmin") + col("q") * (col("vmax") - col("vmin")) / 255.0)))
+            .as("max_abs_err"))
+        .orderBy("dim")
     }
   )
 

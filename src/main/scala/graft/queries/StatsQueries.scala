@@ -120,6 +120,30 @@ object StatsQueries {
           .select(col("o_custkey"), col("n"),
             (col("n").cast("double") / col("total")).as("share")),
         10, Seq(col("n").desc, col("o_custkey")))
+    },
+
+    // A13x — pre-aggregated mergeable HLL sketches (DataSketches
+    // hll_sketch_agg/hll_union_agg): per-DAY sketches of active users are
+    // the stored rollup; weekly distincts come from UNIONING the daily
+    // sketches — no second pass over events, the rollup pattern exact
+    // distinct counts structurally cannot support (A21's lesson:
+    // distincts don't merge; sketches do). At 100 TB the daily sketch
+    // table is date-dimension-sized and answers any ad-hoc date-range
+    // distinct query by sketch union alone. Estimator ⇒ rows-only;
+    // agreement with exact weekly distincts is spec'd (HllRollupSpec).
+    QueryDef.rowsOnly("q_hll_presketch") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+      daily
+        .withColumn("week", date_format(date_trunc("week", col("day")), "yyyy-MM-dd"))
+        .groupBy("week")
+        .agg(sum("n_events").as("n_events"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy("week")
     }
   )
 }

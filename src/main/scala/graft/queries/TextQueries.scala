@@ -532,6 +532,69 @@ object TextQueries {
           log(col("n_ab").cast("double") * col("n") / (col("dfa").cast("double") * col("dfb")))
             .cast("double").as("pmi"))
         .orderBy("ta", "tb")
+    },
+
+    // C16 — unigram-LM cross-entropy per doc (the CCNet-style perplexity
+    // quality filter, with the corpus itself as the LM): ce =
+    // ln(N) − Σ k·ln(n_tok) / n_tokens. Reuses t_tfidf's fixed shape —
+    // the per-(doc,token) aggregate persists so the corpus tokenizes
+    // ONCE, the vocabulary-sized frequency table broadcasts, and the
+    // per-doc reduce inherits the doc_id partitioning. ln is C10's
+    // transcendental precedent (values not ranks; 9-sig-digit compare).
+    QueryDef.sql("t_unigram_ce",
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |tfd AS (SELECT doc_id, tok, count(*) AS k FROM t GROUP BY 1, 2),
+         |freq AS (SELECT tok, sum(k) AS n FROM tfd GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM freq)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |  ln(max(nn)) - sum(k * ln(CAST(n AS DOUBLE))) / sum(k) AS ce
+         |FROM tfd JOIN freq USING (tok) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val tfd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+        .persist()
+      val freq = broadcast(tfd.groupBy("tok").agg(sum("k").as("n")))
+      val tot = broadcast(freq.agg(sum("n").cast("double").as("nn")))
+      tfd.join(freq, "tok").crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(sum("k").cast("long").as("n_tokens"),
+          (log(max(col("nn"))) -
+            sum(col("k") * log(col("n").cast("double"))) / sum(col("k"))).as("ce"))
+        .orderBy("doc_id")
+    },
+
+    // C15 — Unicode normalization (native graft_nfc / graft_strip_accents
+    // expressions; Spark has no built-in): the corpus is ASCII, so
+    // decomposed accents are PLANTED deterministically — every 'a'
+    // becomes 'a'+U+0301 combining acute — then NFC must compose them
+    // (U+00E1, shrinking the code-point length back) and accent-stripping
+    // must recover the original text exactly. Hashes of both outputs gate
+    // byte-level parity between java.text.Normalizer and DuckDB's
+    // utf8proc; `stripped_eq_orig` makes the round-trip explicit. One
+    // narrow codegen'd projection — normalization streams at scan speed.
+    QueryDef.sql("t_normalize",
+      """SELECT doc_id,
+        |  length(messy) AS len_messy,
+        |  length(nfc_normalize(messy)) AS len_nfc,
+        |  md5(nfc_normalize(messy)) AS nfc_sig,
+        |  md5(strip_accents(messy)) AS stripped_sig,
+        |  strip_accents(messy) = text AS stripped_eq_orig
+        |FROM (SELECT doc_id, text, replace(text, 'a', 'a' || chr(769)) AS messy
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          regexp_replace(col("text"), "a", "a\u0301").as("messy"))
+        .select(col("doc_id"),
+          length(col("messy")).cast("long").as("len_messy"),
+          length(TextFunctions.nfcNormalize(col("messy"))).cast("long").as("len_nfc"),
+          md5(TextFunctions.nfcNormalize(col("messy"))).as("nfc_sig"),
+          md5(TextFunctions.stripAccents(col("messy"))).as("stripped_sig"),
+          (TextFunctions.stripAccents(col("messy")) === col("text")).as("stripped_eq_orig"))
+        .orderBy("doc_id")
     }
   )
 }

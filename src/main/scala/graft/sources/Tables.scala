@@ -122,6 +122,23 @@ object Tables {
     w.saveAsTable(table)
   }
 
+  /** Small-files compaction (G12) — the lake-maintenance pass every
+    * streaming/incremental writer eventually needs: a path accumulated
+    * thousands of tiny files (one per microbatch × partition), and scan
+    * cost is now dominated by per-file open/footer overhead, not bytes.
+    * Rewrite to `ceil(rows / targetRowsPerFile)` evenly-sized files via a
+    * round-robin repartition (no key skew — this is layout, not
+    * semantics). Never compact in place: write beside, then swap — a
+    * failed in-place rewrite loses the table. The read-back equality +
+    * file-count collapse is spec'd (SourcesSpec). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetRowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(inPath)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
   /** JDBC surface mirroring the reference's Postgres stage
     * (airflow.py:560-650). Round-trip spec'd against embedded Derby
     * (SourcesSpec): partitioned-read options are the part that matters at

@@ -37,6 +37,23 @@ class SourcesSpec extends AnyFunSuite {
       s"ORC scan should push the filter:\n$plan")
   }
 
+  test("compaction collapses small files and preserves data (G12)") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val in = base + "/in"
+    val out = base + "/out"
+    // 64 tiny files of ~4 rows each — the post-streaming shape
+    spark.range(256).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(64).write.parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 64)
+    Tables.compact(spark, in, out, targetRowsPerFile = 128L)
+    assert(parquetFiles(out) == 2)
+    val a = spark.read.parquet(in).orderBy("id").as[(Long, Long)].collect().toSeq
+    val b = spark.read.parquet(out).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
   test("json reads nested payloads with explicit schema (G3)") {
     val dir = Files.createTempDirectory("graft_json").toString + "/in"
     Seq("""{"id":1,"loc":{"lat":37.7,"lon":-122.4},"tags":["x","y"]}""",

@@ -68,4 +68,36 @@ class TextFunctionsSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("graft_nfc composes decomposed accents; ASCII is untouched (C15)") {
+    // "cafe"+combining-acute (5 cp) -> composed e-acute (4 cp);
+    // a+acute, e+grave, o (5 cp) -> 3 composed cp
+    val df = Seq("cafe\u0301", "plain ascii", "a\u0301e\u0300o").toDF("t")
+    val got = df.select(
+        TextFunctions.nfcNormalize(col("t")).as("n"),
+        length(col("t")).as("lraw"),
+        length(TextFunctions.nfcNormalize(col("t"))).as("lnfc"))
+      .as[(String, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      ("caf\u00e9", 5, 4),
+      ("plain ascii", 11, 11),
+      ("\u00e1\u00e8o", 5, 3)))
+  }
+
+  test("graft_strip_accents recovers the unaccented base (C15)") {
+    // composed, decomposed, tilde, plain, empty
+    val df = Seq("caf\u00e9", "cafe\u0301", "na\u0303o", "none", "").toDF("t")
+    val got = df.select(TextFunctions.stripAccents(col("t")))
+      .as[String].collect().toSeq
+    assert(got == Seq("cafe", "cafe", "nao", "none", ""))
+  }
+
+  test("normalization expressions are null-safe and SQL-callable") {
+    val df = Seq(Option("a\u0301"), None).toDF("t")
+    df.createOrReplaceTempView("norm_in")
+    val got = spark.sql(
+      "SELECT graft_nfc(t), graft_strip_accents(t) FROM norm_in ORDER BY t NULLS FIRST")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(got == Seq((None, None), (Some("\u00e1"), Some("a"))))
+  }
 }
