@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query execution guard for the driver-run harness mains (Verify,
+  * Bench).
+  *
+  * Round-4 postmortem: the driver's external `timeout` killed both
+  * harness runs (BENCH_r04 rc=124, CORRECTNESS_r04 empty) while the host
+  * was in one of its ~100×-degraded CPU phases (SURVEY §7 environment
+  * note). One stuck or degraded query must never consume the whole
+  * process budget — each query runs inside a Spark job group whose jobs
+  * are cancelled after a cap, so the harness records a failure for THAT
+  * query and moves on. Streaming queries bound themselves separately via
+  * `awaitTermination(timeout)` (their micro-batch jobs run on the stream
+  * execution thread under its own job group, out of reach of this
+  * cancellation).
+  */
+object Watchdog {
+
+  /** Per-query cap in seconds (default 240; env-overridable). A normal
+    * query at these scale factors is sub-second to a few seconds; the cap
+    * only bites in degraded phases, where bounding the damage is the
+    * point. */
+  def queryCapSec: Int =
+    sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SEC", "240").toInt
+
+  /** Run `body` under a cancellable job group; returns Left(reason) on
+    * failure or cap expiry instead of throwing. */
+  def runCapped[T](spark: SparkSession, name: String, capSec: Int)(body: => T): Either[String, T] = {
+    val sc = spark.sparkContext
+    val group = s"graft-capped-$name"
+    sc.setJobGroup(group, name, interruptOnCancel = true)
+    @volatile var fired = false
+    val timer = new java.util.Timer(s"graft-watchdog-$name", true)
+    timer.schedule(new java.util.TimerTask {
+      override def run(): Unit = { fired = true; sc.cancelJobGroup(group) }
+    }, capSec * 1000L)
+    try Right(body)
+    catch {
+      case e: Throwable =>
+        Left(if (fired) s"cancelled after ${capSec}s cap" else s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally {
+      timer.cancel()
+      sc.clearJobGroup()
+    }
+  }
+}
