@@ -42,13 +42,27 @@ object Bench {
     // Best-so-far per-query times, updated as passes complete; the
     // shutdown hook prints them if the final line never makes it out.
     val best = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // Queries whose every attempt returned Left (error or cap expiry).
+    // Kept out of `best`: a fast AnalysisException or a capped run is not
+    // a timing, and folding either into `total` would let a broken query
+    // masquerade as a fast one across rounds.
+    val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     @volatile var finalPrinted = false
     def resultLine(): String = {
       import scala.jdk.CollectionConverters._
       val rs = best.asScala.toSeq.sortBy(_._1)
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      // 3-decimal values: the driver captures a bounded stdout tail, and at
+      // 100+ queries full-precision doubles pushed the single JSON line
+      // past it (BENCH_r05 "parsed": null). ms precision is below run noise.
+      def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
       val total = rs.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val failedArr = failed.keySet.asScala.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // completed/expected let the driver tell a truncated run (budget
+      // shedding, external kill mid-pass) from a complete one — without
+      // them a missing slow query reads as a large speedup.
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","completed":${rs.size},"expected":${names.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!finalPrinted && !best.isEmpty) { println(resultLine()); System.out.flush() }
@@ -83,23 +97,32 @@ object Bench {
       }
       System.gc()
     }
-    def timedPass(): Unit = names.foreach { name =>
+    def timedPass(): Unit = names.zipWithIndex.foreach { case (name, i) =>
       // Leave headroom for the final print: stop timing new queries when
       // less than max(60s, one cap) of budget remains.
       if (remaining > math.max(60, capSec)) {
         val q0 = System.nanoTime()
-        Watchdog.runCapped(spark, name, capSec) {
+        val res = Watchdog.runCapped(spark, name, capSec) {
           SparkEntry.queries(name)(spark, sfDir).count()
         }
         val dt = (System.nanoTime() - q0) / 1e9
-        best.merge(name, dt, (a, b) => math.min(a, b))
+        res match {
+          case Right(_) =>
+            best.merge(name, dt, (a, b) => math.min(a, b))
+            failed.remove(name) // a later pass can redeem an earlier failure
+          case Left(why) =>
+            if (!best.containsKey(name)) failed.put(name, why)
+            System.err.println(f"[bench] $name FAILED after $dt%.1f s: $why")
+        }
         // Queries may persist reused intermediates; drop them so later
-        // queries aren't timed against a polluted executor heap. Spark
-        // reclaims shuffle/broadcast state via GC-triggered weak refs
-        // (ContextCleaner), so force a GC or heavy queries' garbage is
-        // paid for by whoever runs next.
+        // queries aren't timed against a polluted executor heap.
         spark.catalog.clearCache()
-        System.gc()
+        // Spark reclaims shuffle/broadcast state via GC-triggered weak refs
+        // (ContextCleaner) — but a full GC on this heap costs seconds of
+        // wall-clock, and 2 passes x 100+ queries of per-query GC burned
+        // minutes of the r5 budget. Every 8th query keeps the executor
+        // heap bounded at ~1/14th the cost.
+        if (i % 8 == 7) System.gc()
       }
     }
     // Best of two timed passes per query: single-JVM timings swing ~2×
@@ -110,8 +133,12 @@ object Bench {
     timedPass()
     val p1Cost = elapsed - p1Start
     if (remaining > p1Cost * 1.2 + 60) timedPass()
-    finalPrinted = true
     println(resultLine())
+    // Only mark printed AFTER the line is out: a SIGTERM landing between
+    // the two statements would otherwise suppress both this print and the
+    // shutdown hook's. A rare duplicate line is harmless — the driver
+    // parses the last JSON line.
+    finalPrinted = true
     spark.stop()
   }
 }

@@ -35,21 +35,45 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val spark = GraftSession.local("graft-verify", cpus)
     val cap = Watchdog.queryCapSec
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val res = Watchdog.runCapped(spark, name, cap) {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        res match {
-          case Right(_)  => System.err.println(f"[verify] $name ok ($dt%.1f s)")
-          case Left(why) => System.err.println(f"[verify] $name FAILED after $dt%.1f s: $why")
-        }
-        spark.catalog.clearCache() // per-query persists end here
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+
+    // One query attempt; on failure DELETE the partial output dir — a
+    // cancelled write can leave an empty parquet dir, which the driver's
+    // compare reads as "0 rows, wrong answer" (the r5 p_llm_prep_pack red
+    // was exactly this: the query is correct, its dump was killed
+    // mid-write). An absent dir is an honest "not verified".
+    def attempt(name: String, capSec: Int): Boolean = {
+      val t0 = System.nanoTime()
+      val res = Watchdog.runCapped(spark, name, capSec) {
+        SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // per-query persists end here
+      res match {
+        case Right(_) => System.err.println(f"[verify] $name ok ($dt%.1f s)"); true
+        case Left(why) =>
+          System.err.println(f"[verify] $name FAILED after $dt%.1f s: $why")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$outDir/$name"))
+          false
+      }
+    }
+
+    // Two passes. Pass 1 runs everything under a SMALL cap: during a
+    // degraded-CPU phase (SURVEY §7) the r5 run burned 5 x 240 s of its
+    // external budget on a contiguous block of capped queries and the
+    // external timeout then killed the run with ~50 queries never
+    // attempted. A small first-pass cap bounds the damage any one query
+    // can do to the queries BEHIND it; pass 2 retries the stragglers with
+    // the full cap once every query has had its first chance.
+    val pass1Cap = math.min(60, cap)
+    val stragglers = names.filterNot(attempt(_, pass1Cap))
+    if (stragglers.nonEmpty) {
+      System.err.println(s"[verify] retrying ${stragglers.size} under full ${cap}s cap: " +
+        stragglers.mkString(", "))
+      stragglers.foreach(attempt(_, cap))
+    }
     spark.stop()
   }
 }

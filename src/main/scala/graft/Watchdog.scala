@@ -18,12 +18,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Watchdog {
 
-  /** Per-query cap in seconds (default 240; env-overridable). A normal
+  /** Per-query cap in seconds (default 120; env-overridable). A normal
     * query at these scale factors is sub-second to a few seconds; the cap
     * only bites in degraded phases, where bounding the damage is the
-    * point. */
+    * point. Lowered 240 -> 120 after r5: five consecutive capped queries
+    * burned 20 minutes of the external budget and ~50 queries behind them
+    * were never attempted — at these scales anything past 120 s is a
+    * degraded host, not a computing query. */
   def queryCapSec: Int =
-    sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SEC", "240").toInt
+    sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SEC", "120").toInt
 
   /** Run `body` under a cancellable job group; returns Left(reason) on
     * failure or cap expiry instead of throwing. */

@@ -14,6 +14,21 @@ import graft.streaming.Events
   */
 object StreamingQueries {
 
+  /** Await a self-terminating (AvailableNow) stream, bounded by the
+    * harness per-query cap. Watchdog.runCapped cannot cancel micro-batch
+    * jobs — they run on the stream-execution thread under its OWN job
+    * group, out of reach of the caller's cancelJobGroup — so the stream
+    * must bound itself (r5 advisor find: an unbounded awaitTermination()
+    * here let one stuck stream consume the whole process budget). The
+    * timeout only bites in degraded phases; a timed-out stream is stopped
+    * and reported as a failure, never returned as a partial result. */
+  private def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      if (!q.awaitTermination(graft.Watchdog.queryCapSec * 1000L))
+        throw new java.util.concurrent.TimeoutException(
+          s"streaming query still running after ${graft.Watchdog.queryCapSec}s cap")
+    } finally q.stop()
+
   /** Stage the events table as a µs-precision parquet dir for file-source
     * streaming (parquet NANOS can't stream through a TimestampType
     * schema). The staged copy of an immutable input dir is itself
@@ -53,8 +68,7 @@ object StreamingQueries {
         .outputMode(OutputMode.Complete())
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally q.stop()
+      awaitBounded(q)
       s.table(sink)
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n_events"), col("total_value"))
@@ -82,8 +96,7 @@ object StreamingQueries {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally q.stop()
+      awaitBounded(q)
       s.table(sink).orderBy("event_id")
     },
 
@@ -109,8 +122,7 @@ object StreamingQueries {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
-      finally q.stop()
+      awaitBounded(q)
       s.table(sink).orderBy("click_id", "purchase_ts")
     }
   )

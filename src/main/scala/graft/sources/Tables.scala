@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 
 /** Schema-explicit readers/writers for the engine's tables (SURVEY §2 G1-G5).
@@ -67,12 +67,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default. Read nanos as long and truncate to micros (what
-    * DuckDB's µs timestamps do too, so oracle semantics agree). */
+  /** `events.parquet` has carried `ts` in two physical forms across
+    * driver-generated testdata revisions: parquet TIMESTAMP(NANOS) (which
+    * Spark 4 rejects unless read as long — truncate to micros, matching
+    * DuckDB's µs semantics) and plain TIMESTAMP(µs) without UTC adjustment
+    * (which Spark reads as TIMESTAMP_NTZ). Branch on the type actually
+    * read so both land as the session-UTC TimestampType every downstream
+    * query and oracle expects — an unconditional `ts div 1000` here broke
+    * all 20 event queries when the data switched to µs. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
