@@ -195,6 +195,111 @@ object TimeSeriesQueries {
         .orderBy("src", "dst")
     },
 
+    // B36 — exponentially weighted moving average (half-life smoothing) of
+    // daily value per event type. The weight depends on the CURRENT row's
+    // day (w = 0.5^(day_now - day_then)), which a window frame sum cannot
+    // express — so the trailing 14-day frame is an explicit self-join of
+    // the DAILY aggregate (days × types — dimension-sized; the ×14 fan-out
+    // never touches raw events). α = 0.5 makes every weight an exact power
+    // of two, so the weighted sums differ only by addition order (≪ the
+    // 9-sig-digit compare).
+    QueryDef.sql("q_ewma",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1,2,3)
+        |SELECT a.event_type, strftime(a.day,'%Y-%m-%d') AS day,
+        |  a.total AS day_total,
+        |  sum(b.total * pow(0.5, a.day_idx - b.day_idx))
+        |    / sum(pow(0.5, a.day_idx - b.day_idx)) AS ewma
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type
+        | AND b.day_idx BETWEEN a.day_idx - 13 AND a.day_idx
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+        .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val b = daily.select(col("event_type").as("b_type"),
+        col("day_idx").as("b_idx"), col("total").as("b_total"))
+      daily.join(b, col("event_type") === col("b_type") &&
+          col("b_idx").between(col("day_idx") - 13, col("day_idx")))
+        .groupBy(col("event_type"), col("day"), col("total"))
+        .agg((sum(col("b_total") * pow(lit(0.5), col("day_idx") - col("b_idx"))) /
+          sum(pow(lit(0.5), col("day_idx") - col("b_idx")))).as("ewma"))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("total").as("day_total"), col("ewma"))
+        .orderBy("event_type", "day")
+    },
+
+    // B37 — distribution position of each day within its type: percent_rank
+    // and cume_dist of the daily total. Both are pure rank arithmetic over
+    // the ORDER BY key, so ties land identically on any engine; the window
+    // runs over the daily aggregate (days × types), never over events.
+    QueryDef.sql("q_percent_rank",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1,2)
+        |SELECT event_type, strftime(day,'%Y-%m-%d') AS day, total AS day_total,
+        |  percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume
+        |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY total)
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("total")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("total").as("day_total"),
+          percent_rank().over(w).as("pct_rank"), cume_dist().over(w).as("cume"))
+        .orderBy("event_type", "day")
+    },
+
+    // B38 — rolling z-score anomaly flags: days whose total deviates more
+    // than 2σ from the SAME type's trailing 28-day window (current day
+    // excluded — the day under test must not shift its own baseline).
+    // Frame sums stay DECIMAL (exact, order-free); mean/std/z are derived
+    // from those exact sums by one identical closed form per engine. The
+    // RANGE frame runs over the day index of the daily aggregate — B24's
+    // calendar-aware bounded-frame shape, dimension-sized at any scale.
+    QueryDef.sql("q_anomaly_zscore",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events GROUP BY 1,2,3),
+        |st AS (
+        |  SELECT event_type, day, CAST(total AS DOUBLE) AS day_total,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(total) OVER w AS DOUBLE) AS s,
+        |    CAST(sum(total*total) OVER w AS DOUBLE) AS sq
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+        |               RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(day,'%Y-%m-%d') AS day, day_total,
+        |  (day_total - s/n) / sqrt((sq - s*s/n)/(n-1)) AS z
+        |FROM st
+        |WHERE n >= 7 AND abs((day_total - s/n) / sqrt((sq - s*s/n)/(n-1))) > 2
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("day_idx").rangeBetween(-28, -1)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("sum(CAST(value AS DECIMAL(18,2)))").as("total"))
+        .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val st = daily.select(col("event_type"), col("day"),
+        col("total").cast("double").as("day_total"),
+        count(lit(1)).over(w).as("n"),
+        sum("total").over(w).cast("double").as("s"),
+        sum(col("total") * col("total")).over(w).cast("double").as("sq"))
+      val z = (col("day_total") - col("s") / col("n")) /
+        sqrt((col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1))
+      st.filter(col("n") >= 7 && abs(z) > 2)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("day_total"), z.as("z"))
+        .orderBy("event_type", "day")
+    },
+
     // B30 — top event paths: the 10 most frequent 3-step event-type
     // sequences (path analysis / session n-grams). Two leads over the
     // same user-partitioned window (ONE window spec ⇒ one sort), then a
