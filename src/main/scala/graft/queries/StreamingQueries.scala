@@ -29,6 +29,25 @@ object StreamingQueries {
           s"streaming query still running after ${graft.Watchdog.queryCapSec}s cap")
     } finally q.stop()
 
+  /** Run `body` (which starts and drains a stream) with the stateful-op
+    * partition count sized for STATE volume, not scan parallelism. A
+    * stateful streaming operator pins one state store per shuffle
+    * partition, and every micro-batch commits a delta file per store —
+    * the stream-stream join keeps FOUR stores per partition, so the
+    * session default (32, sized for batch scans) costs 128 store commits
+    * per batch to hold kilobytes of join state. The scan side is
+    * unaffected (file-source splits don't come from shuffle.partitions);
+    * only the stateful exchange narrows. On a cluster this is the same
+    * per-query `spark.sql.shuffle.partitions` override any streaming job
+    * sets from its expected state size; checkpointed deployments bake the
+    * count into the checkpoint at first start. */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Stage the events table as a µs-precision parquet dir for file-source
     * streaming (parquet NANOS can't stream through a TimestampType
     * schema). The staged copy of an immutable input dir is itself
@@ -64,11 +83,13 @@ object StreamingQueries {
       // key it by sfDir and stage once per JVM lifetime, not per run
       val counts = Events.tumblingCounts(Events.readEventStream(s, stagedEvents(s, d)))
       val sink = "f_stream_tumbling_sink"
-      val q = counts.writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Complete())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      awaitBounded(q)
+      withStatePartitions(s, 8) {
+        val q = counts.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      }
       s.table(sink)
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n_events"), col("total_value"))
@@ -90,13 +111,15 @@ object StreamingQueries {
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val doubled = Events.readEventStream(s, stagedEvents(s, d, doubled = true))
       val sink = "f_stream_dedup_sink"
-      val q = Events.dedupStream(doubled, Seq("event_id"))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      awaitBounded(q)
+      withStatePartitions(s, 8) {
+        val q = Events.dedupStream(doubled, Seq("event_id"))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      }
       s.table(sink).orderBy("event_id")
     },
 
@@ -116,13 +139,15 @@ object StreamingQueries {
         |ORDER BY click_id, purchase_ts""".stripMargin) { (s, d) =>
       val ev = Events.readEventStream(s, stagedEvents(s, d))
       val sink = "f_stream_join_sink"
-      val q = Events.clicksAfterPurchases(ev)
-        .select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      awaitBounded(q)
+      withStatePartitions(s, 8) {
+        val q = Events.clicksAfterPurchases(ev)
+          .select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      }
       s.table(sink).orderBy("click_id", "purchase_ts")
     }
   )
