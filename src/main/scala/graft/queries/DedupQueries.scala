@@ -191,6 +191,22 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // D4 production path — 64-bit SimHash, xxhash64 doc sets end to end.
+    // The 32-bit oracle variant saturates as the corpus grows: at sf0.1
+    // it already emits 2.5M hamming≤3 pairs, because 2^32 signatures over
+    // a growing corpus collide on near-miss bit patterns and the 8-bit
+    // chunk keys (256 values) go quadratic inside hot buckets. 64 bits
+    // double the signature entropy and give 16-bit chunk keys (65536
+    // values per block — pigeonhole still exact for hamming≤3 over 4
+    // blocks), which is the standard web-scale configuration. xxhash64 ⇒
+    // not DuckDB-expressible ⇒ rows-only; signature/pair semantics are
+    // spec-bound to the oracled 32-bit twin (DedupSpec).
+    QueryDef.rowsOnly("d_simhash_64") { (s, d) =>
+      val docSets = Dedup.hashedDocSetsXx(Tables.documents(s, d), "doc_id", "text", 1)
+      Dedup.simHashPairs(Dedup.simHash(docSets, 64), 64, 3)
+        .orderBy("a", "b")
+    },
+
     // D3 production path — same MinHash+LSH pipeline hashed with xxhash64
     // end to end (no md5/hex decode), band keys re-hashed to avoid packing
     // overflow. This is the 100 TB configuration; estimator-free but not

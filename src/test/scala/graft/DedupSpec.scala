@@ -85,6 +85,20 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getAs[Int]("hamming") == 0)
   }
 
+  test("64-bit simhash (production) finds the dup pair and agrees with the vote aggregate") {
+    // binds d_simhash_64 (rows-only) to checked semantics: the compiled
+    // 64-bit expression must equal the distributive vote aggregate
+    // bit-for-bit, and the planted dup pair must survive 16-bit-chunk
+    // blocking exactly once.
+    val docSets = Dedup.hashedDocSetsXx(corpus, "doc_id", "text", 1)
+    val fast = Dedup.simHash(docSets, 64).orderBy("doc").as[(Long, Long)].collect()
+    val slow = Dedup.simHashViaAgg(docSets, 64).orderBy("doc").as[(Long, Long)].collect()
+    assert(fast.sameElements(slow))
+    val rows = Dedup.simHashPairs(Dedup.simHash(docSets, 64), 64, 3)
+      .filter(col("a") === 0 && col("b") === 2).collect()
+    assert(rows.length == 1 && rows.head.getAs[Int]("hamming") == 0)
+  }
+
   test("ngram jaccard finds the near-dup pair above threshold") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 2, 0.3)
       .select("a", "b").as[(Long, Long)].collect().toSet
