@@ -145,6 +145,36 @@ object MlQueries {
         .orderBy("split", "label")
     },
 
+    // F5b — deterministic 5-fold cross-validation assignment (F5's
+    // md5-fraction machinery, folded): fold k's heldout set is the rows
+    // with floor(u·5)=k, its train set is everything else. The report per
+    // fold: heldout/train sizes and the distinct labels present in the
+    // heldout slice (every fold must see every class, or CV metrics on
+    // the missing class are undefined). Assignment is a zero-shuffle
+    // narrow map; the report is one k-row aggregate × one scalar
+    // broadcast. Reproducible on any engine/partitioning, stable as data
+    // grows (a row's fold never changes when the corpus does).
+    QueryDef.sql("m_kfold", {
+      val u = graft.operators.Curation.uniformDuck("vec_id")
+      s"""WITH f AS (SELECT CAST(floor($u * 5) AS BIGINT) AS fold, label FROM embeddings),
+         |t AS (SELECT count(*) AS total FROM embeddings)
+         |SELECT fold, count(*) AS n_heldout,
+         |  CAST(any_value(t.total) - count(*) AS BIGINT) AS n_train,
+         |  count(DISTINCT label) AS n_labels
+         |FROM f, t GROUP BY fold ORDER BY fold""".stripMargin
+    }) { (s, d) =>
+      val u = graft.operators.Curation.uniform(col("vec_id"))
+      val emb = Tables.embeddings(s, d)
+      val total = emb.agg(count(lit(1)).as("total"))
+      emb.select(floor(u * 5).cast("long").as("fold"), col("label"))
+        .crossJoin(broadcast(total))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_heldout"),
+          (first("total") - count(lit(1))).cast("long").as("n_train"),
+          count_distinct(col("label")).as("n_labels"))
+        .orderBy("fold")
+    },
+
     // F6 — inverse-frequency class weights (total / (k·n_class)): the
     // class-balance correction for a skewed label column. A k-row
     // aggregate joined against one scalar row — everything broadcast,

@@ -140,6 +140,28 @@ object SimilarityQueries {
           max(abs(col("v") - (col("vmin") + col("q") * (col("vmax") - col("vmin")) / 255.0)))
             .as("max_abs_err"))
         .orderBy("dim")
+    },
+
+    // E6 — per-label embedding centroids (class prototypes): the
+    // nearest-class-mean baseline every embedding-space eval starts from,
+    // and the labeled-data analog of m_kmeans' learned centroids. One
+    // narrow posexplode (×dims on vector-sized rows) + one (label, dim)
+    // partial agg — no join, no window; output is labels × dims
+    // (dimension-sized at any corpus scale). avg() accumulates FP in
+    // engine-specific order — values agree to ~1e-13 relative, well
+    // inside the 9-significant-digit gate.
+    QueryDef.sql("s_label_centroids",
+      """WITH e0 AS (SELECT label, embedding,
+        |         unnest(range(0, len(embedding))) AS dim FROM embeddings),
+        |ex AS (SELECT label, CAST(dim AS INT) AS dim,
+        |         CAST(embedding[dim+1] AS DOUBLE) AS v FROM e0)
+        |SELECT label, dim, count(*) AS n, avg(v) AS c
+        |FROM ex GROUP BY 1, 2 ORDER BY label, dim""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), avg(col("vf").cast("double")).as("c"))
+        .orderBy("label", "dim")
     }
   )
 
