@@ -107,6 +107,63 @@ object StatsQueries {
     // the fact table — the measurement that justifies (or rules out)
     // salting/skew-join handling for a key (pairs with A15). One
     // partial-agg groupBy + a single-row broadcast total + top-k.
+    // B39 — PSI drift report (population stability index): the standard
+    // production monitor for "has this feature's distribution moved since
+    // the reference window". Events are split into two halves at the
+    // integer-µs midpoint of the time range; `value` is bucketed into 10
+    // fixed-width bins whose edges come from the GLOBAL min/max (B18's
+    // identical-double bin arithmetic, so boundaries can't drift between
+    // engines); per bin the reference share p, current share q, and the
+    // PSI contribution (p−q)·ln(p/q). Shares are single double divisions
+    // of exact counts; ln follows C10's values-not-ranks precedent. Scale
+    // shape: one broadcast 1-row bounds aggregate + one 10-key partial
+    // agg — no window, no join over data. Empty-in-either-half bins carry
+    // a NULL contribution (the standard epsilon fudge hides real
+    // emptiness; a monitor should SEE it).
+    QueryDef.sql("q_psi_drift",
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx,
+        |                  min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+        |binned AS (
+        |  SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin,
+        |         CASE WHEN epoch_us(ts) < t0 + (t1 - t0) // 2 THEN 0 ELSE 1 END AS half
+        |  FROM events CROSS JOIN b),
+        |c AS (SELECT bin,
+        |        sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+        |        sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+        |      FROM binned GROUP BY 1),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c)
+        |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  CAST(n_ref AS DOUBLE) / tr AS p, CAST(n_cur AS DOUBLE) / tc AS q,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0
+        |       THEN (CAST(n_ref AS DOUBLE)/tr - CAST(n_cur AS DOUBLE)/tc)
+        |            * ln((CAST(n_ref AS DOUBLE)/tr) / (CAST(n_cur AS DOUBLE)/tc))
+        |  END AS psi_term
+        |FROM c CROSS JOIN t ORDER BY bin""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b = ev.agg(min("value").as("mn"), max("value").as("mx"),
+        min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+      val binned = ev.crossJoin(broadcast(b))
+        .select(
+          least(floor((col("value") - col("mn")) * 10.0 / (col("mx") - col("mn"))), lit(9))
+            .cast("long").as("bin"),
+          // integer µs midpoint — `div`, not `/` (Spark's / on longs is a
+          // double division; DuckDB's // floors, and a .5 µs boundary
+          // could flip a row's half)
+          when(unix_micros(col("ts")) < expr("t0 + (t1 - t0) div 2"), 0)
+            .otherwise(1).as("half"))
+      val c = binned.groupBy("bin")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
+      val t = c.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+      val p = col("n_ref").cast("double") / col("tr")
+      val q = col("n_cur").cast("double") / col("tc")
+      c.crossJoin(broadcast(t))
+        .select(col("bin"), col("n_ref").cast("long").as("n_ref"),
+          col("n_cur").cast("long").as("n_cur"), p.as("p"), q.as("q"),
+          when(col("n_ref") > 0 && col("n_cur") > 0, (p - q) * log(p / q)).as("psi_term"))
+        .orderBy("bin")
+    },
+
     QueryDef.sql("q_skew_report",
       """WITH k AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
         |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM orders)
