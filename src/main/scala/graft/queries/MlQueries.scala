@@ -252,6 +252,38 @@ object MlQueries {
         .select(col("npos"), (col("n") - col("npos")).as("nneg"),
           ((col("rpos") - col("npos") * (col("npos") + 1L) / lit(2.0)) /
             (col("npos") * (col("n") - col("npos")))).as("auc"))
+    },
+
+    // F10 — calibration curve for the F9 scorer: scores bucketed into 10
+    // fixed-width bins over the global score range (B18's identical-double
+    // bin arithmetic), per bin the count, exact-DECIMAL mean score, and
+    // positive rate. AUC says the ranking is good; calibration says
+    // whether the score VALUES mean what they claim — both are needed
+    // before a score gates anything. One broadcast bounds row + one
+    // 10-key partial agg, the same scale shape as B18/B39.
+    QueryDef.sql("m_calibration",
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |s AS (SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, value
+        |      FROM events CROSS JOIN b)
+        |SELECT bin, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_score,
+        |  CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b = ev.agg(min("value").as("mn"), max("value").as("mx"))
+      ev.crossJoin(broadcast(b))
+        .select(
+          least(floor((col("value") - col("mn")) * 10.0 / (col("mx") - col("mn"))), lit(9))
+            .cast("long").as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+          col("value"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+            .as("mean_score"),
+          (sum("y").cast("double") / count(lit(1))).as("pos_rate"))
+        .orderBy("bin")
     }
   )
 }

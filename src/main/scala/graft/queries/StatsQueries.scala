@@ -164,6 +164,42 @@ object StatsQueries {
         .orderBy("bin")
     },
 
+    // B40 — Benford leading-digit audit (the fraud/synthetic-data tell on
+    // any naturally-skewed positive amount column): observed share of each
+    // leading digit 1..9 vs Benford's log10(1+1/d), with the chi-square
+    // contribution per digit. Determinism: the double is scaled to exact
+    // cents with round() (identical for positive values both engines) and
+    // the leading digit comes from BIGINT STRING formatting — integer
+    // formatting is engine-stable where double formatting is not.
+    // log10 follows C10's values-not-ranks precedent. One narrow
+    // projection + a 9-key aggregate; the n total rides along as a
+    // broadcast scalar.
+    QueryDef.sql("q_benford",
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / total AS share,
+        |  ln(1.0 + 1.0/digit) / ln(10.0) AS benford,
+        |  pow(CAST(n AS DOUBLE) - total * (ln(1.0 + 1.0/digit) / ln(10.0)), 2)
+        |    / (total * (ln(1.0 + 1.0/digit) / ln(10.0))) AS chi2_term
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin) { (s, d) =>
+      val digit = substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit")
+      val c = Tables.orders(s, d).filter(col("o_totalprice") > 0)
+        .select(digit).groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = c.agg(sum("n").as("total"))
+      val benford = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n").cast("long").as("n"),
+          (col("n").cast("double") / col("total")).as("share"),
+          benford.as("benford"),
+          (pow(col("n").cast("double") - col("total") * benford, 2) /
+            (col("total") * benford)).as("chi2_term"))
+        .orderBy("digit")
+    },
+
     QueryDef.sql("q_skew_report",
       """WITH k AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
         |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM orders)
