@@ -88,4 +88,29 @@ class PlanSpec extends AnyFunSuite {
     // codegen'd operators print with a "*(stageId)" prefix in the final plan
     assert("""\*\(\d+\)""".r.findFirstIn(df.queryExecution.executedPlan.toString).nonEmpty)
   }
+
+  test("ewma self-join broadcasts the trailing-frame side and reuses the daily aggregate") {
+    // the ×14 fan-out joins the DAILY aggregate to itself: the build side
+    // must broadcast (dimension-sized at any scale), and the aggregate
+    // subtree must plan once (ReusedExchange), not re-scan events
+    val df = SparkEntry.queries("q_ewma")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("ReusedExchange"))
+  }
+
+  test("distribution audits are one scan + broadcast bounds, no window over data") {
+    // q_psi_drift / m_calibration / q_benford: the bounds/total row rides
+    // a BroadcastNestedLoopJoin (1-row cross join), the data side is one
+    // scan with a partial agg — never a windowed or shuffled full pass
+    for (name <- Seq("q_psi_drift", "m_calibration", "q_benford")) {
+      val df = SparkEntry.queries(name)(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$name plans a window over data")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$name does not broadcast its bounds row")
+    }
+  }
 }
