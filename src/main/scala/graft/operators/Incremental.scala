@@ -37,4 +37,27 @@ object Incremental {
       .select(keys.map(col) ++
         addCols.map(c => col(s"sum($c)").as(c)): _*)
   }
+
+  /** A24 — incremental JOIN-view maintenance (insert-only deltas): the
+    * delta of an inner join is the three delta terms
+    * `ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB`, so the refreshed view is the stored view
+    * unioned with them — the standard IVM identity (set semantics need
+    * no retraction handling for inserts; deletes/updates ride the A22
+    * CDC diff in front of this).
+    *
+    * Scale shape: the stored view passes through UNTOUCHED (at 100 TB it
+    * is parquet that is appended to, never re-read for the refresh); the
+    * three delta terms are each bounded by a delta's size on at least
+    * one side, so every term's join broadcasts its delta side — the
+    * refresh costs O(Δ), not O(|A⋈B|). A full rebuild is the oracle, so
+    * the hash gate proves refresh ≡ rebuild. */
+  def refreshJoinView(oldView: DataFrame,
+                      oldA: DataFrame, deltaA: DataFrame,
+                      oldB: DataFrame, deltaB: DataFrame,
+                      keys: Seq[String]): DataFrame = {
+    val dAB = broadcast(deltaA).join(oldB, keys)
+    val AdB = oldA.join(broadcast(deltaB), keys)
+    val dAdB = broadcast(deltaA).join(broadcast(deltaB), keys)
+    oldView.unionByName(dAB).unionByName(AdB).unionByName(dAdB)
+  }
 }

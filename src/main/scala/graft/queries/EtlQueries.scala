@@ -426,6 +426,38 @@ object EtlQueries {
         .orderBy("o_custkey")
     },
 
+    // A24 — incremental JOIN-view maintenance: the orders⋈customer view
+    // refreshed under insert-only deltas on BOTH sides (every 97th order,
+    // every 89th customer are "new arrivals"). The refresh is the IVM
+    // identity ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB unioned onto the untouched stored
+    // view — each delta term broadcasts its delta side, so the refresh
+    // costs O(Δ) while the stored view is never re-joined (at 100 TB:
+    // appended to, not rebuilt). Oracle = the full rebuild; row-level
+    // hash match proves refresh ≡ rebuild. Deletes/updates ride the A22
+    // CDC diff in front of this identity.
+    QueryDef.sql("q_incremental_join",
+      """SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, c.c_nationkey
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import graft.operators.Incremental
+      val a = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val b = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val (oldA, dA) = (a.filter(col("o_orderkey") % 97 =!= 0),
+        a.filter(col("o_orderkey") % 97 === 0))
+      val (oldB, dB) = (b.filter(col("o_custkey") % 89 =!= 0),
+        b.filter(col("o_custkey") % 89 === 0))
+      // in deployment oldView is the STORED parquet; composing it here
+      // keeps the whole identity inside one verifiable plan
+      val oldView = oldA.join(oldB, Seq("o_custkey"))
+      Incremental.refreshJoinView(oldView, oldA, dA, oldB, dB, Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"), col("c_nationkey"))
+        .orderBy("o_orderkey")
+    },
+
     // A22 — snapshot diff / CDC (operators.Diff): two keyed snapshots of
     // orders are derived deterministically — "last week" is history
     // before 1995-07-01; "this week" extends to 1996-01-01 (inserts),
