@@ -220,6 +220,22 @@ object TextQueries {
         20, Seq(col("n").desc, col("tok")))
     },
 
+    // C7x — the frequent-items SKETCH path of C7: `approx_top_k` keeps a
+    // bounded (maxItemsTracked) summary that merges across partitions, so
+    // heavy hitters over a 100 TB token stream cost one fixed-size state
+    // per partition instead of the full token-frequency table C7 shuffles.
+    // Estimator ⇒ rows-only; TextSpec binds it to C7: every exact top-10
+    // token must appear in the sketch's top-20 with its exact count (the
+    // corpus' heavy hitters are far above the sketch's error bound).
+    QueryDef.rowsOnly("t_frequent_tokens_approx") { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .agg(expr("approx_top_k(tok, 20, 10000)").as("top"))
+        .select(posexplode(col("top")).as(Seq("rank", "r")))
+        .select((col("rank") + 1).cast("long").as("rank"),
+          col("r.item").as("tok"), col("r.count").cast("long").as("n"))
+    },
+
     // C10 — character-distribution entropy per doc: the classic
     // gibberish/binary-in-text detector (low entropy = repetitive junk,
     // near-log2(alphabet) = random noise), plus distinct-char count.

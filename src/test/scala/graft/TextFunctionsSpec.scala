@@ -14,6 +14,18 @@ class TextFunctionsSpec extends AnyFunSuite {
   private def toks(text: String): Seq[String] =
     one[scala.collection.Seq[String]](TextFunctions.tokens(col("text")), text).toSeq
 
+  test("approx_top_k heavy hitters contain the exact top-10 with exact counts") {
+    // binds t_frequent_tokens_approx (rows-only) to the oracled C7: at
+    // 10000 tracked items the sketch is exact for every token the corpus
+    // actually ranks in its top-10
+    val exact = SparkEntry.queries("t_frequent_tokens")(spark, TestSpark.sfDir)
+      .limit(10).collect().map(r => (r.getAs[String]("tok"), r.getAs[Long]("n"))).toSet
+    val approx = SparkEntry.queries("t_frequent_tokens_approx")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getAs[String]("tok"), r.getAs[Long]("n"))).toSet
+    assert(exact.subsetOf(approx),
+      s"missing from sketch top-20: ${exact -- approx}")
+  }
+
   test("tokens lowercases, strips punctuation, drops empties") {
     assert(toks("  Hello, WORLD!2x  ") == Seq("hello", "world", "2x"))
   }
