@@ -310,7 +310,32 @@ object Dedup {
     * duplication — the standard production mitigation. `maxDf <= 0`
     * disables the cap (exact semantics, what the oracle checks). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double, maxDf: Int = 0): DataFrame = {
+                        n: Int, threshold: Double, maxDf: Int = 0): DataFrame =
+    interPairs(df, idCol, textCol, n, maxDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+
+  /** D2c — asymmetric CONTAINMENT pairs over the same candidate machinery:
+    * c(a→b) = |A∩B| / |A|. Jaccard misses the doc-inside-doc case (a
+    * quote or full inclusion of a small doc in a big one scores low
+    * symmetric similarity but ~1.0 containment of the small side) —
+    * containment is the standard complement for subset-dedup. Same
+    * blocking, same single bucket scan, same `maxDf` hot-bucket cap. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double, maxDf: Int = 0): DataFrame =
+    interPairs(df, idCol, textCol, n, maxDf)
+      .withColumn("c_ab", col("inter").cast("double") / col("na").cast("double"))
+      .withColumn("c_ba", col("inter").cast("double") / col("nb").cast("double"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("a", "b", "c_ab", "c_ba")
+
+  /** Shared set-overlap candidate machinery (D2/D2x/D2c): per-shingle doc
+    * buckets (the blocking), intra-bucket pair explosion, shared-shingle
+    * count per pair joined to both set sizes → (a, b, inter, na, nb). */
+  private def interPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, maxDf: Int): DataFrame = {
     // Eager fill: the sizes and candidate branches below share this
     // cache; left lazy they race to materialize it concurrently
     // (measured: full 32-task waves parked on block locks).
@@ -330,10 +355,8 @@ object Dedup {
     inter
       .join(sizes.as("sa"), col("a") === col("sa.doc"))
       .join(sizes.as("sb"), col("b") === col("sb.doc"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+      .select(col("a"), col("b"), col("inter"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
   }
 
   /** SimHash bit coefficients (closed form; expression-layer source). */

@@ -93,6 +93,29 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // D2c — asymmetric containment pairs (c(a→b) = |A∩B|/|A|): the
+    // doc-inside-doc detector Jaccard structurally misses — full inclusion
+    // of a small doc in a big one scores low symmetric similarity but
+    // ~1.0 containment of the small side. Same blocking/candidate
+    // machinery as D2 (one bucket scan, longs only), different closing
+    // arithmetic; each containment is one double division of exact
+    // counts.
+    QueryDef.sql("d_containment",
+      s"""WITH ${idsCte(3)},
+         |sizes AS (SELECT doc, count(*) AS n FROM ids GROUP BY doc),
+         |inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS ic
+         |          FROM ids x JOIN ids y ON x.gid = y.gid AND x.doc < y.doc
+         |          GROUP BY 1, 2)
+         |SELECT a, b,
+         |  CAST(ic AS DOUBLE) / sa.n AS c_ab,
+         |  CAST(ic AS DOUBLE) / sb.n AS c_ba
+         |FROM inter JOIN sizes sa ON a = sa.doc JOIN sizes sb ON b = sb.doc
+         |WHERE greatest(CAST(ic AS DOUBLE) / sa.n, CAST(ic AS DOUBLE) / sb.n) >= 0.6
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.6)
+        .orderBy("a", "b")
+    },
+
     // D2 production path — same Jaccard pipeline with the blocking side
     // capped at document frequency ≤ 32: shingles shared by more docs are
     // dropped from candidate GENERATION (not from the Jaccard sizes).
