@@ -49,6 +49,30 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // H6 — weighted priority sampling (Ohlsson sequential Poisson): k
+    // docs with the smallest priority u/w, giving inclusion probability
+    // ∝ weight (here n_chars — longer docs sampled proportionally more,
+    // the standard size-weighted corpus audit sample). Deterministic
+    // where RNG reservoirs are not: u is the md5 fraction of the key and
+    // u/w is ONE correctly-rounded IEEE division of identical operands,
+    // so the priority ORDER is engine-identical (no transcendentals in
+    // the ranking — SURVEY §4 rule 2). Top-k by priority compiles to
+    // TakeOrderedAndProject: a narrow projection + single-reduce top-k,
+    // zero shuffles at any scale.
+    QueryDef.sql("q_weighted_sample", {
+      val u = Curation.uniformDuck("doc_id")
+      s"""SELECT doc_id, n_chars, $u / n_chars AS priority
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY priority, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val u = Curation.uniform(col("doc_id"))
+      graft.operators.Relational.topKByAgg(
+        Tables.documents(s, d).filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars"),
+            (u / col("n_chars")).as("priority")),
+        20, Seq(col("priority"), col("doc_id")))
+    },
+
     // H4 — sequence packing: docs concatenated in md5 order within 8 hash
     // buckets, token stream chunked into 512-token training sequences;
     // output = where every doc landed (bucket, pack, offset). Token counts
