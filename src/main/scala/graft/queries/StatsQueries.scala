@@ -164,6 +164,55 @@ object StatsQueries {
         .orderBy("bin")
     },
 
+    // B41 — Spearman rank correlation per group: Pearson over average
+    // ranks, robust to monotone nonlinearity where B19 is not. Ranks are
+    // kept INTEGER by doubling (2·avgrank = 2·rank + ties − 1), so the
+    // co-moment sums are exact DECIMALs and the one closed form at the
+    // end is B19's bit-stable IEEE expression — no transcendentals, no
+    // order-dependence. The doubling cancels in the correlation (scale
+    // invariance). Scale note: per-group rank windows share B14's
+    // few-groups straggler caveat; the B10x salt-and-merge ladder is the
+    // 100× path (ranks are NOT mergeable, so the sketch route there is
+    // approximate ranks via B14x quantiles).
+    QueryDef.sql("q_spearman",
+      """WITH r AS (
+        |  SELECT l_returnflag AS g,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rx,
+        |    count(*) OVER (PARTITION BY l_returnflag, l_quantity) AS ntx,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS ry,
+        |    count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) AS nty
+        |  FROM lineitem),
+        |i AS (SELECT g, CAST(2*rx + ntx - 1 AS DECIMAL(18,0)) AS x,
+        |             CAST(2*ry + nty - 1 AS DECIMAL(18,0)) AS y FROM r),
+        |s AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |      FROM i GROUP BY 1)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman
+        |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wx = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val wy = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val ntx = Window.partitionBy("l_returnflag", "l_quantity")
+      val nty = Window.partitionBy("l_returnflag", "l_extendedprice")
+      val i = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+          (rank().over(wx) * 2 + count(lit(1)).over(ntx) - 1)
+            .cast("decimal(18,0)").as("x"),
+          (rank().over(wy) * 2 + count(lit(1)).over(nty) - 1)
+            .cast("decimal(18,0)").as("y"))
+      val st = i.groupBy("g").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      st.select(col("g").as("l_returnflag"), col("n").cast("long").as("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("spearman"))
+        .orderBy("l_returnflag")
+    },
+
     // B40 — Benford leading-digit audit (the fraud/synthetic-data tell on
     // any naturally-skewed positive amount column): observed share of each
     // leading digit 1..9 vs Benford's log10(1+1/d), with the chi-square
