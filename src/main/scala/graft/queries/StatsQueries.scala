@@ -164,6 +164,36 @@ object StatsQueries {
         .orderBy("bin")
     },
 
+    // B42 — Gini concentration per event type: how unequally value is
+    // distributed across events (0 = uniform, →1 = one event carries
+    // everything) — the revenue-concentration / whale-detection audit.
+    // G = (2·Σr·x − (n+1)·Σx) / (n·Σx) over row_number ranks: equal
+    // values swapping ranks leaves Σr·x unchanged, so ANY deterministic
+    // total order gives the same G — no average-rank machinery needed.
+    // Rank·value products and sums stay exact DECIMAL; one closing double
+    // division. Per-group rank window shares B14's few-groups caveat.
+    QueryDef.sql("q_gini",
+      """WITH r AS (SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+        |  FROM events),
+        |s AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(rn * x) AS srx
+        |      FROM r GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(2 * srx - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
+        |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val r = Tables.events(s, d).select(col("event_type").as("g"),
+        col("value").cast("decimal(18,2)").as("x"),
+        row_number().over(w).as("rn"))
+      r.groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("rn") * col("x")).as("srx"))
+        .select(col("g").as("event_type"), col("n").cast("long").as("n"),
+          ((lit(2) * col("srx") - (col("n") + 1) * col("sx")).cast("double") /
+            (col("n") * col("sx")).cast("double")).as("gini"))
+        .orderBy("event_type")
+    },
+
     // B41 — Spearman rank correlation per group: Pearson over average
     // ranks, robust to monotone nonlinearity where B19 is not. Ranks are
     // kept INTEGER by doubling (2·avgrank = 2·rank + ties − 1), so the

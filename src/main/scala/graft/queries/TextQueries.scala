@@ -611,6 +611,51 @@ object TextQueries {
           md5(TextFunctions.stripAccents(col("messy"))).as("stripped_sig"),
           (TextFunctions.stripAccents(col("messy")) === col("text")).as("stripped_eq_orig"))
         .orderBy("doc_id")
+    },
+
+    // C17 — Jensen-Shannon divergence between two sources' token
+    // distributions (the corpus-comparison / domain-shift measure; 0 =
+    // identical, ln 2 = disjoint). Each side reduces to a
+    // vocabulary-sized frequency table (one explode + partial agg — the
+    // only data-scale stages); the full-outer vocabulary join and the
+    // final 1-row reduce are vocabulary-sized. Probabilities are single
+    // divisions of exact counts; ln per C10's values-not-ranks precedent;
+    // the JS sum is all-positive terms (well-conditioned — addition-order
+    // drift lands far below the 9-sig-digit gate).
+    QueryDef.sql("t_js_divergence", {
+      val toksSql = tokensDuck("text")
+      s"""WITH tf AS (SELECT source, tok, count(*) AS n
+         |            FROM (SELECT source, unnest($toksSql) AS tok FROM documents
+         |                  WHERE source IN ('src0','src1'))
+         |            GROUP BY 1, 2),
+         |tot AS (SELECT source, sum(n) AS t FROM tf GROUP BY 1),
+         |a AS (SELECT tok, CAST(n AS DOUBLE) / t AS p FROM tf JOIN tot USING (source)
+         |      WHERE source = 'src0'),
+         |b AS (SELECT tok, CAST(n AS DOUBLE) / t AS q FROM tf JOIN tot USING (source)
+         |      WHERE source = 'src1'),
+         |j AS (SELECT coalesce(a.p, 0.0) AS p, coalesce(b.q, 0.0) AS q
+         |      FROM a FULL JOIN b ON a.tok = b.tok)
+         |SELECT CAST(count(*) AS BIGINT) AS vocab,
+         |  sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+         |    + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END) AS js
+         |FROM j""".stripMargin
+    }) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      val tot = tf.groupBy("source").agg(sum("n").as("t"))
+      val dist = tf.join(broadcast(tot), "source")
+        .select(col("source"), col("tok"), (col("n").cast("double") / col("t")).as("pr"))
+      val a = dist.filter(col("source") === "src0").select(col("tok"), col("pr").as("p"))
+      val b = dist.filter(col("source") === "src1")
+        .select(col("tok").as("tok_b"), col("pr").as("q"))
+      val j = a.join(b, col("tok") === col("tok_b"), "full_outer")
+        .select(coalesce(col("p"), lit(0.0)).as("p"), coalesce(col("q"), lit(0.0)).as("q"))
+      val m = (col("p") + col("q")) / 2
+      j.agg(count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / m)).otherwise(0.0) +
+          when(col("q") > 0, lit(0.5) * col("q") * log(col("q") / m)).otherwise(0.0)).as("js"))
     }
   )
 }
