@@ -656,6 +656,73 @@ object TextQueries {
       j.agg(count(lit(1)).cast("long").as("vocab"),
         sum(when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / m)).otherwise(0.0) +
           when(col("q") > 0, lit(0.5) * col("q") * log(col("q") / m)).otherwise(0.0)).as("js"))
+    },
+
+    // C18 — corpus lexical profile: total tokens, vocabulary size, hapax
+    // legomena count/share, type-token ratio. The one-number health
+    // checks of a tokenized corpus (a hapax share far from ~0.4-0.6 or a
+    // collapsing TTR flags boilerplate or synthetic text). One explode +
+    // one vocabulary-sized aggregate + a 1-row reduce; every ratio is a
+    // single division of exact counts.
+    QueryDef.sql("t_lexical_stats", {
+      val toksSql = tokensDuck("text")
+      s"""WITH tf AS (SELECT tok, count(*) AS n
+         |            FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_share,
+         |  CAST(count(*) AS DOUBLE) / sum(n) AS type_token_ratio
+         |FROM tf""".stripMargin
+    }) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      tf.agg(sum("n").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long").as("hapax"),
+        (sum(when(col("n") === 1, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("hapax_share"),
+        (count(lit(1)).cast("double") / sum("n")).as("type_token_ratio"))
+    },
+
+    // C19 — Zipf-law fit: OLS slope/intercept of ln(freq) on ln(rank)
+    // over the top-1000 tokens (natural corpora fit slope ≈ −1; strong
+    // deviation flags templated or synthetic text). The frequency table
+    // is vocabulary-sized, the rank window runs over its top slice, and
+    // the regression is a closed-form 1-row reduce — co-moment sums of
+    // ~1000 ln values are well inside the 9-sig-digit gate (ln per C10's
+    // precedent). Rank order is deterministic: (n DESC, tok) is a total
+    // order, and ties in n swap equal ln(freq) values — the fit is
+    // tie-order invariant.
+    QueryDef.sql("t_zipf_fit", {
+      val toksSql = tokensDuck("text")
+      s"""WITH tf AS (SELECT tok, count(*) AS n
+         |            FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1),
+         |top AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+         |               ln(CAST(n AS DOUBLE)) AS y
+         |        FROM tf ORDER BY n DESC, tok LIMIT 1000),
+         |s AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+         |             sum(x*x) AS sxx, sum(x*y) AS sxy FROM top)
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope,
+         |  (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k AS intercept
+         |FROM s""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val top = tf
+        .select(col("n"), row_number().over(Window.orderBy(col("n").desc, col("tok"))).as("rk"))
+        .filter(col("rk") <= 1000)
+        .select(log(col("rk").cast("double")).as("x"), log(col("n").cast("double")).as("y"))
+      val st = top.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+        (col("k") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("k").cast("long").as("k"), slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("k")).as("intercept"))
     }
   )
 }
