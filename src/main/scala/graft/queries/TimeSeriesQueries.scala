@@ -300,6 +300,78 @@ object TimeSeriesQueries {
         .orderBy("event_type", "day")
     },
 
+    // B43 — lag-7 autocorrelation of the daily totals per event type (the
+    // weekly-seasonality detector: ρ₇ near 1 = strong weekly cycle).
+    // The series self-joins at exactly lag 7 on the integer day index
+    // (calendar-aware — gaps drop pairs rather than shifting them), and
+    // the correlation is B19's exact-DECIMAL co-moment closed form over
+    // the paired values. Everything runs on the dimension-sized daily
+    // frame.
+    QueryDef.sql("q_autocorr",
+      """WITH daily AS (
+        |  SELECT event_type, datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events GROUP BY 1,2),
+        |p AS (SELECT a.event_type, a.total AS x, b.total AS y
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND b.day_idx = a.day_idx + 7),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |      FROM p GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS acf7
+        |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("day_idx"))
+        .agg(expr("sum(CAST(value AS DECIMAL(18,2)))").as("total"))
+      val b = daily.select(col("event_type").as("b_type"),
+        col("day_idx").as("b_idx"), col("total").as("y"))
+      val p = daily.join(b, col("event_type") === col("b_type") &&
+          col("b_idx") === col("day_idx") + 7)
+        .select(col("event_type"), col("total").as("x"), col("y"))
+      val st = p.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      st.select(col("event_type"), col("n").cast("long").as("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))).as("acf7"))
+        .orderBy("event_type")
+    },
+
+    // B44 — day-of-week activity profile: per (type, ISO dow) event count,
+    // share of the type's total, and the chi-square contribution vs a
+    // uniform-day null — the calendar-seasonality audit B43 quantifies at
+    // lag 7, broken out by weekday. Integer dow arithmetic both engines;
+    // shares and chi-square terms are single divisions of exact counts
+    // over the k×7-row aggregate.
+    QueryDef.sql("q_dow_profile",
+      """WITH c AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, count(*) AS n
+        |           FROM events GROUP BY 1,2),
+        |t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.event_type, dow, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / tot AS share,
+        |  pow(CAST(n AS DOUBLE) - tot / 7.0, 2) / (tot / 7.0) AS chi2_term
+        |FROM c JOIN t ON c.event_type = t.event_type
+        |ORDER BY c.event_type, dow""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("sundow"))
+        .agg(count(lit(1)).as("n"))
+        // Spark dayofweek is 1=Sunday; ISO dow is 1=Monday
+        .select(col("event_type"),
+          (((col("sundow") + 5) % 7) + 1).cast("long").as("dow"), col("n"))
+      val t = c.groupBy("event_type").agg(sum("n").as("tot"))
+      c.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("dow"), col("n").cast("long").as("n"),
+          (col("n").cast("double") / col("tot")).as("share"),
+          (pow(col("n").cast("double") - col("tot") / 7.0, 2) / (col("tot") / 7.0))
+            .as("chi2_term"))
+        .orderBy("event_type", "dow")
+    },
+
     // B30 — top event paths: the 10 most frequent 3-step event-type
     // sequences (path analysis / session n-grams). Two leads over the
     // same user-partitioned window (ONE window spec ⇒ one sort), then a
