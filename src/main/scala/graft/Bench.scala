@@ -53,24 +53,46 @@ object Bench {
     // masquerade as a fast one across rounds.
     val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     @volatile var finalPrinted = false
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def failedArr: String = {
+      import scala.jdk.CollectionConverters._
+      failed.keySet.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
+    // Full result: per-query map included. At 135 queries this line is
+    // ~3.5 KB — larger than the driver's ~2 KB captured stdout tail, which
+    // is why BENCH_r05/r06 recorded "parsed": null. It is printed FIRST
+    // (human/log consumption) and persisted to a committed artifact file;
+    // the driver-facing line is the compact summary printed LAST.
     def resultLine(): String = {
       import scala.jdk.CollectionConverters._
       val rs = best.asScala.toSeq.sortBy(_._1)
-      // 3-decimal values: the driver captures a bounded stdout tail, and at
-      // 100+ queries full-precision doubles pushed the single JSON line
-      // past it (BENCH_r05 "parsed": null). ms precision is below run noise.
-      def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = rs.map(_._2).sum
-      val failedArr = failed.keySet.asScala.toSeq.sorted
-        .map("\"" + _ + "\"").mkString("[", ",", "]")
-      // completed/expected let the driver tell a truncated run (budget
-      // shedding, external kill mid-pass) from a complete one — without
-      // them a missing slow query reads as a large speedup.
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","completed":${rs.size},"expected":${names.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":${rs.size},"expected":${names.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     }
+    // Compact summary (<200 bytes, no per-query map): the driver parses the
+    // LAST JSON line of a bounded stdout tail, so this is the line that
+    // must fit. completed/expected let it tell a truncated run (budget
+    // shedding, external kill mid-pass) from a complete one — without
+    // them a missing slow query reads as a large speedup.
+    def summaryLine(): String = {
+      import scala.jdk.CollectionConverters._
+      val rs = best.asScala.toSeq
+      val total = rs.map(_._2).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":${rs.size},"expected":${names.size},"failed":$failedArr,"sf":"$sfDir"}"""
+    }
+    // Persist the full per-query JSON where the round commit picks it up:
+    // the repo root (CWD under sbt). Best-effort — a write failure must
+    // not take down the bench result itself.
+    def writeFull(): Unit = try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        (resultLine() + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    def emit(): Unit = { println(resultLine()); writeFull(); println(summaryLine()); System.out.flush() }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (!finalPrinted && !best.isEmpty) { println(resultLine()); System.out.flush() }
+      if (!finalPrinted && !best.isEmpty) emit()
     }))
 
     val spark = GraftSession.local("graft-bench", cpus)
@@ -138,11 +160,11 @@ object Bench {
     timedPass()
     val p1Cost = elapsed - p1Start
     if (remaining > p1Cost * 1.2 + 60) timedPass()
-    println(resultLine())
-    // Only mark printed AFTER the line is out: a SIGTERM landing between
+    emit()
+    // Only mark printed AFTER the lines are out: a SIGTERM landing between
     // the two statements would otherwise suppress both this print and the
     // shutdown hook's. A rare duplicate line is harmless — the driver
-    // parses the last JSON line.
+    // parses the last JSON line, and the summary is always last.
     finalPrinted = true
     spark.stop()
   }

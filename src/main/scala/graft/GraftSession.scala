@@ -50,6 +50,12 @@ object GraftSession {
       // computing). Bytecode is tiny; keep every class of a working set.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
+      // StreamingQuery.stop() waits for the stream-execution thread; the
+      // default timeout 0 means wait FOREVER, so on a degraded host a
+      // wedged stream would hang the harness in the very cleanup path its
+      // awaitTermination timeout exists for. 10 s turns that hang into a
+      // TimeoutException the caller already reports as a failure.
+      .config("spark.sql.streaming.stopTimeout", "10000")
       .config("spark.ui.enabled", "false")
       // Fork-free local FS: without the native Hadoop lib, every local
       // mkdir/create shells out to `chmod`, and child-process spawn from

@@ -66,13 +66,25 @@ object Verify {
     // external timeout then killed the run with ~50 queries never
     // attempted. A small first-pass cap bounds the damage any one query
     // can do to the queries BEHIND it; pass 2 retries the stragglers with
-    // the full cap once every query has had its first chance.
+    // the full cap once every query has had its first chance — UNLESS
+    // pass 1 already ran at the full cap (cap <= 60), where a retry would
+    // repeat an identical attempt (r6 advisor find). Pass 2 also stops
+    // when the wall-clock budget nears, so a long straggler list cannot
+    // run past the driver's external timeout: each un-attempted straggler
+    // stays an absent dir — an honest "not verified" — instead of the
+    // whole process being killed mid-write.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET_SEC", "2250").toInt
+    val t0 = System.nanoTime()
+    def remaining: Double = budgetSec - (System.nanoTime() - t0) / 1e9
     val pass1Cap = math.min(60, cap)
     val stragglers = names.filterNot(attempt(_, pass1Cap))
-    if (stragglers.nonEmpty) {
+    if (stragglers.nonEmpty && pass1Cap < cap) {
       System.err.println(s"[verify] retrying ${stragglers.size} under full ${cap}s cap: " +
         stragglers.mkString(", "))
-      stragglers.foreach(attempt(_, cap))
+      stragglers.foreach { name =>
+        if (remaining > cap + 30) attempt(name, cap)
+        else System.err.println(s"[verify] $name SKIPPED: ${remaining.toInt}s budget left < ${cap + 30}s")
+      }
     }
     spark.stop()
   }

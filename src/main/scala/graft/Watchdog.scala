@@ -28,6 +28,17 @@ object Watchdog {
   def queryCapSec: Int =
     sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SEC", "120").toInt
 
+  /** Cap of the attempt currently running under [[runCapped]]. Streaming
+    * queries bound themselves via `awaitTermination(timeout)` — their
+    * micro-batch jobs are out of cancelJobGroup's reach — and must use
+    * the CALLER's per-attempt cap, not the global default: Verify's
+    * 60 s pass-1 cap would otherwise be silently tripled by three
+    * streams each blocking the full 120 s (r6 advisor find). Harness
+    * mains run attempts sequentially on one thread, so a volatile
+    * save/restore is sufficient. */
+  @volatile private var _attemptCapSec: Int = queryCapSec
+  def attemptCapSec: Int = _attemptCapSec
+
   /** Run `body` under a cancellable job group; returns Left(reason) on
     * failure or cap expiry instead of throwing. */
   def runCapped[T](spark: SparkSession, name: String, capSec: Int)(body: => T): Either[String, T] = {
@@ -39,11 +50,14 @@ object Watchdog {
     timer.schedule(new java.util.TimerTask {
       override def run(): Unit = { fired = true; sc.cancelJobGroup(group) }
     }, capSec * 1000L)
+    val prevCap = _attemptCapSec
+    _attemptCapSec = capSec
     try Right(body)
     catch {
       case e: Throwable =>
         Left(if (fired) s"cancelled after ${capSec}s cap" else s"${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally {
+      _attemptCapSec = prevCap
       timer.cancel()
       sc.clearJobGroup()
     }

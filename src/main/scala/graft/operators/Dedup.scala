@@ -250,19 +250,29 @@ object Dedup {
     * label-of-label jump (l(v) ← min(l(v), l(l(v))) — labels⋈labels),
     * which doubles how far a min has travelled and makes even a pure
     * path graph converge in O(log n) rounds instead of O(diameter).
-    * Every round is `localCheckpoint`ed so the plan stays one round deep
+    * Every round is checkpointed so the plan stays one round deep
     * (lineage would otherwise grow exponentially and re-execute every
     * prior round per action). The driver loop only coordinates rounds
     * and reads a has-anything-changed flag — all data work is
     * distributed, the standard Spark shape for iterative graph
-    * algorithms. */
+    * algorithms.
+    *
+    * `reliable = false` (default) uses `localCheckpoint`: blocks live on
+    * executor storage — fast, right for local mode and the harness, but
+    * LOSSY under executor failure (a lost executor loses blocks whose
+    * lineage was truncated, failing the job). On a cluster where
+    * executor loss is routine, pass `reliable = true` to write round
+    * checkpoints to the reliable FS set via
+    * `SparkContext.setCheckpointDir` (HDFS/S3); rounds then survive any
+    * executor loss at the cost of a round-sized write per iteration. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
-                 maxIter: Int = 25): DataFrame = {
+                 maxIter: Int = 25, reliable: Boolean = false): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val und = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-    val edges = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.groupBy("u").agg(least(min(col("v")), col("u")).as("comp"))
-      .localCheckpoint(true)
+    val edges = ckpt(und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .distinct())
+    var labels = ckpt(edges.groupBy("u").agg(least(min(col("v")), col("u")).as("comp")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -275,12 +285,11 @@ object Dedup {
           least(col("comp"), coalesce(col("__pcomp"), col("comp"))).as("comp"))
       // pointer jump: follow the label's own label (comp is always a node
       // of the symmetric edge list, so it has a labels row)
-      val next = stepped.as("x")
+      val next = ckpt(stepped.as("x")
         .join(stepped.select(col("u").as("__ju"), col("comp").as("__jc")),
           col("x.comp") === col("__ju"), "left")
         .select(col("x.u").as("u"),
-          least(col("x.comp"), coalesce(col("__jc"), col("x.comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("x.comp"), coalesce(col("__jc"), col("x.comp"))).as("comp")))
       converged = next.select(col("u"), col("comp").as("__new"))
         .join(labels, "u")
         .filter(col("__new") < col("comp")).isEmpty
@@ -311,7 +320,15 @@ object Dedup {
     * disables the cap (exact semantics, what the oracle checks). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Int = 0): DataFrame =
-    interPairs(df, idCol, textCol, n, maxDf)
+    jaccardFromOverlap(interPairs(df, idCol, textCol, n, maxDf), threshold)
+
+  /** Jaccard closing arithmetic over a precomputed [[setOverlapPairs]]
+    * relation — split out so several detectors (D2 Jaccard, D2c
+    * containment) can share ONE candidate build instead of each planning
+    * its own pass over the corpus (r6 verdict: d_containment re-ran the
+    * whole machinery for a different final division). */
+  def jaccardFromOverlap(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -325,11 +342,24 @@ object Dedup {
     * blocking, same single bucket scan, same `maxDf` hot-bucket cap. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double, maxDf: Int = 0): DataFrame =
-    interPairs(df, idCol, textCol, n, maxDf)
+    containmentFromOverlap(interPairs(df, idCol, textCol, n, maxDf), threshold)
+
+  /** Containment closing arithmetic over a precomputed
+    * [[setOverlapPairs]] relation (see [[jaccardFromOverlap]]). */
+  def containmentFromOverlap(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
       .withColumn("c_ab", col("inter").cast("double") / col("na").cast("double"))
       .withColumn("c_ba", col("inter").cast("double") / col("nb").cast("double"))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
       .select("a", "b", "c_ab", "c_ba")
+
+  /** Public face of the shared set-overlap candidate machinery:
+    * (a, b, inter, na, nb) for every candidate pair sharing ≥1 shingle.
+    * Build it once, close it several ways ([[jaccardFromOverlap]],
+    * [[containmentFromOverlap]]). */
+  def setOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, maxDf: Int = 0): DataFrame =
+    interPairs(df, idCol, textCol, n, maxDf)
 
   /** Shared set-overlap candidate machinery (D2/D2x/D2c): per-shingle doc
     * buckets (the blocking), intra-bucket pair explosion, shared-shingle

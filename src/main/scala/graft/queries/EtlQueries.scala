@@ -10,6 +10,40 @@ import graft.sources.Tables
   */
 object EtlQueries {
 
+  /** Stage orders + customer as catalog-managed tables bucketed by
+    * custkey (16 buckets, bucket-sorted) — once per (input dir) per JVM,
+    * the same immutable-input staging idiom as the streaming/overlap
+    * stages. The bucket build IS the one-time shuffle the G9 story
+    * amortizes; every subsequent join on custkey reads co-located
+    * buckets. Table names are dir-keyed so sf0.001/sf0.01/sf0.1 runs
+    * never collide in the shared warehouse. */
+  private[graft] def bucketedOrdersCustomer(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) = {
+    val key = Integer.toHexString(d.hashCode)
+    val (ot, ct) = (s"g9_orders_$key", s"g9_customer_$key")
+    def build(table: String, df: => org.apache.spark.sql.DataFrame, k: String): Unit =
+      if (!s.catalog.tableExists(table)) {
+        // a previous JVM may have left the warehouse dir behind while the
+        // in-memory catalog forgot the table — the bucketing spec lives in
+        // the catalog, so the orphan dir is useless; rebuild from scratch
+        val wh = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, table)
+        if (wh.exists()) org.apache.commons.io.FileUtils.deleteQuietly(wh)
+        Tables.writeBucketed(df, table, Seq(k), 16, sortCols = Seq(k))
+      }
+    build(ot, Tables.orders(s, d), "o_custkey")
+    build(ct, Tables.customer(s, d), "c_custkey")
+    (ot, ct)
+  }
+
+  /** The co-located join itself (shared with PlanSpec's zero-Exchange
+    * assertion): merge-hinted so the plan is the sort-merge join the
+    * bucketing serves, not a broadcast of the small side. */
+  private[graft] def bucketedJoin(s: org.apache.spark.sql.SparkSession,
+                                  ot: String, ct: String): org.apache.spark.sql.DataFrame =
+    s.table(ot).hint("merge")
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+
   val all: Seq[QueryDef] = Seq(
 
     // A1 — surrogate key (airflow.py:161 `range(0, len(schedule_df))`).
@@ -396,6 +430,30 @@ object EtlQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           max(col("o_orderdate")).as("max_date"))
         .orderBy("o_orderstatus")
+    },
+
+    // G9 — bucketed co-located join, surfaced through the driver's gate
+    // (r6 verdict: the write-once-shuffle/join-forever-free claim was
+    // PlanSpec-only). orders and customer are written ONCE as managed
+    // tables bucketed by custkey (the shuffle paid at build time), then
+    // the repeated daily join runs with ZERO exchange on the join key —
+    // the layout both sides recorded in the catalog satisfies the join's
+    // distribution requirement. The merge hint pins the sort-merge path
+    // so the assertion is about bucketing, not the small side being
+    // broadcast; PlanSpec asserts the executed plan has no Exchange below
+    // the join. Oracle = the plain join SQL over the raw parquet: the
+    // layout must be invisible in the result.
+    QueryDef.sql("q_bucketed_join",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val (ot, ct) = bucketedOrdersCustomer(s, d)
+      bucketedJoin(s, ot, ct)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
     },
 
     // A21 — incremental aggregate maintenance (materialized-view refresh,

@@ -84,21 +84,22 @@ object SimilarityQueries {
          |SELECT qlabel AS true_label, plabel AS pred_label, count(*) AS n
          |FROM pred WHERE rn = 1 GROUP BY 1,2 ORDER BY 1,2""".stripMargin
     }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val u = graft.operators.Curation.uniform(col("vec_id"))
-      val emb = Tables.embeddings(s, d)
-      val te = emb.filter(u < 0.1)
-      val tr = emb.filter(u >= 0.1)
-      val nb = Similarity.bruteForceTopK(te, tr, 5)
-        .join(te.select(col("vec_id").as("q"), col("label").as("qlabel")), "q")
-        .join(tr.select(col("vec_id").as("n"), col("label").as("nlabel")), "n")
-      val vote = nb.groupBy("q", "qlabel", "nlabel").agg(count(lit(1)).as("c"))
-      val wv = Window.partitionBy("q").orderBy(col("c").desc, col("nlabel"))
-      vote.withColumn("rn", row_number().over(wv))
-        .filter(col("rn") === 1)
-        .groupBy(col("qlabel").as("true_label"), col("nlabel").as("pred_label"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("true_label", "pred_label")
+      val (te, tr) = knnSplit(Tables.embeddings(s, d))
+      knnConfusion(knnPredictions(te, tr, Similarity.bruteForceTopK(te, tr, 5)))
+    },
+
+    // E4 production path — the SAME vote/argmax tail over E2's LSH
+    // candidate lists instead of the brute-force scan: at corpus scale
+    // the neighbor search must be an equi-join on bucket id, not a cross
+    // join, and this row is that swap made concrete (r6 verdict: the
+    // machinery existed, the surface didn't). A probe whose bucket holds
+    // fewer than k train rows votes over what it has — the standard ANN
+    // serving behavior. LSH bucketing isn't DuckDB-expressible with the
+    // same float semantics ⇒ rows-only; per-probe prediction agreement
+    // vs the exact E4 path is spec'd in SimilaritySpec.
+    QueryDef.rowsOnly("s_knn_classify_lsh") { (s, d) =>
+      val (te, tr) = knnSplit(Tables.embeddings(s, d))
+      knnConfusion(knnPredictions(te, tr, Similarity.lshTopK(te, tr, 5, 64, 8)))
     },
 
     // E5 — int8 scalar quantization of the embedding store (the 4×
@@ -164,6 +165,41 @@ object SimilarityQueries {
         .orderBy("label", "dim")
     }
   )
+
+  /** The F5 hash split shared by both E4 variants: ~10% held out as the
+    * test set, the rest is the train corpus. */
+  private[graft] def knnSplit(emb: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val u = graft.operators.Curation.uniform(col("vec_id"))
+    (emb.filter(u < 0.1), emb.filter(u >= 0.1))
+  }
+
+  /** Majority vote over a candidate list (q, rank, n, cos) → one
+    * prediction per probe (q, qlabel, plabel). Ties break count-desc then
+    * label-asc — fully deterministic. Shared by the exact and ANN E4
+    * paths: swap the candidate stage, keep the tail. */
+  private[graft] def knnPredictions(te: org.apache.spark.sql.DataFrame,
+                                    tr: org.apache.spark.sql.DataFrame,
+                                    nb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = nb
+      .join(te.select(col("vec_id").as("q"), col("label").as("qlabel")), "q")
+      .join(tr.select(col("vec_id").as("n"), col("label").as("nlabel")), "n")
+    val vote = labeled.groupBy("q", "qlabel", "nlabel").agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy("q").orderBy(col("c").desc, col("nlabel"))
+    vote.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("q"), col("qlabel"), col("nlabel").as("plabel"))
+  }
+
+  /** Predictions → confusion matrix (true_label, pred_label, n). */
+  private[graft] def knnConfusion(pred: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pred
+      .groupBy(col("qlabel").as("true_label"), col("plabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
 
   private val ivfCentroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]

@@ -15,19 +15,28 @@ import graft.streaming.Events
 object StreamingQueries {
 
   /** Await a self-terminating (AvailableNow) stream, bounded by the
-    * harness per-query cap. Watchdog.runCapped cannot cancel micro-batch
-    * jobs — they run on the stream-execution thread under its OWN job
-    * group, out of reach of the caller's cancelJobGroup — so the stream
-    * must bound itself (r5 advisor find: an unbounded awaitTermination()
-    * here let one stuck stream consume the whole process budget). The
-    * timeout only bites in degraded phases; a timed-out stream is stopped
-    * and reported as a failure, never returned as a partial result. */
-  private def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    * harness per-ATTEMPT cap (`Watchdog.attemptCapSec` — the cap of the
+    * enclosing runCapped, so Verify's 60 s pass-1 cap bounds streams too;
+    * r6 advisor find: reading the global queryCapSec here let three
+    * streams burn 6× the pass-1 budget). Watchdog.runCapped cannot cancel
+    * micro-batch jobs — they run on the stream-execution thread under its
+    * OWN job group, out of reach of the caller's cancelJobGroup — so the
+    * stream must bound itself (r5 advisor find: an unbounded
+    * awaitTermination() here let one stuck stream consume the whole
+    * process budget). The timeout only bites in degraded phases; a
+    * timed-out stream is stopped and reported as a failure, never
+    * returned as a partial result. `q.stop()` itself is bounded by
+    * `spark.sql.streaming.stopTimeout` (set in GraftSession; the Spark
+    * default 0 waits forever — on the degraded host this timeout path is
+    * designed for, an unbounded stop would hang past every budget). */
+  private def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val capSec = graft.Watchdog.attemptCapSec
     try {
-      if (!q.awaitTermination(graft.Watchdog.queryCapSec * 1000L))
+      if (!q.awaitTermination(capSec * 1000L))
         throw new java.util.concurrent.TimeoutException(
-          s"streaming query still running after ${graft.Watchdog.queryCapSec}s cap")
+          s"streaming query still running after ${capSec}s cap")
     } finally q.stop()
+  }
 
   /** Run `body` (which starts and drains a stream) with the stateful-op
     * partition count sized for STATE volume, not scan parallelism. A

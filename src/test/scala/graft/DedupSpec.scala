@@ -137,4 +137,20 @@ class DedupSpec extends AnyFunSuite {
     val comp = Dedup.components(chain, "a", "b").as[(Long, Long)].collect().toMap
     assert(comp.size == 24 && comp.values.forall(_ == 0L))
   }
+
+  test("components with reliable checkpointing matches localCheckpoint round-for-round (D6)") {
+    // The cluster-mode switch (reliable = true → FS checkpoint instead of
+    // executor-storage localCheckpoint) must change ONLY durability: same
+    // round structure, same labels. Run the propagation worst case (a
+    // path, which exercises every round) both ways.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val chain = (0L until 23L).map(i => (i, i + 1)).toDF("a", "b")
+      val local = Dedup.components(chain, "a", "b").as[(Long, Long)].collect().toMap
+      val rel = Dedup.components(chain, "a", "b", reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(rel == local)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -38,9 +38,52 @@ class PlanSpec extends AnyFunSuite {
   test("dedup fan-out self-join pins its partitioning against AQE coalescing") {
     // The candidate self-join has tiny inputs but 100x fan-out; AQE would
     // coalesce it onto 1-2 threads (it sizes by input bytes). The numbered
-    // repartition (REPARTITION_BY_NUM) is exempt from coalescing.
-    val p = plan("d_ngram_jaccard")
+    // repartition (REPARTITION_BY_NUM) is exempt from coalescing. Asserted
+    // on the overlap BUILD itself (d_ngram_jaccard now reads the staged
+    // candidate table, so the repartition lives in the staging pass).
+    val p = operators.Dedup
+      .setOverlapPairs(sources.Tables.documents(spark, d), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
     assert(p.contains("REPARTITION_BY_NUM"), s"expected pinned repartition in:\n$p")
+  }
+
+  test("t_unigram_ce reuses the persisted (doc,token) aggregate and broadcasts the vocabulary") {
+    // r6 flagged run-to-run variance on this query; the plan shape is the
+    // structural guard: the (doc_id, tok, k) aggregate must be an
+    // InMemoryRelation read TWICE (vocabulary build + final per-doc agg —
+    // if the persist is lost, the tokenize+explode+agg runs twice), and
+    // the vocabulary/total joins must broadcast (vocabulary-sized side,
+    // never a shuffle of the doc-token table).
+    val p = plan("t_unigram_ce")
+    assert(p.split("InMemoryTableScan").length >= 3,
+      s"expected two InMemoryTableScan reads of the persisted tfd in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast vocab join in:\n$p")
+  }
+
+  test("t_zipf_fit ranks over the aggregated vocabulary, not raw tokens") {
+    // The global rank window is legal ONLY because its input is the
+    // vocabulary-sized (tok, n) aggregate; a plan change that slides the
+    // window below the aggregate would sort the full token stream on one
+    // partition. Exactly one Window node, with the aggregate below it.
+    val p = plan("t_zipf_fit")
+    assert(p.split("\\bWindow\\b").length == 2, s"expected exactly one Window in:\n$p")
+    val windowIdx = p.indexOf("Window")
+    assert(p.indexOf("HashAggregate", windowIdx) > 0,
+      s"expected the vocabulary aggregate BELOW the window in:\n$p")
+  }
+
+  test("bucketed orders⋈customer join has zero Exchange below the join (G9)") {
+    // The q_bucketed_join claim: the custkey shuffle is paid ONCE at
+    // bucket-build time, and the repeated join needs no exchange at all —
+    // both scans' bucket layout satisfies the sort-merge join's
+    // distribution requirement. An Exchange reappearing here means the
+    // catalog lost the bucketing spec or the join stopped using it.
+    val (ot, ct) = queries.EtlQueries.bucketedOrdersCustomer(spark, d)
+    val joined = queries.EtlQueries.bucketedJoin(spark, ot, ct)
+    joined.count() // materialize so AQE finalizes the plan
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join in:\n$p")
+    assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
   }
 
   test("per-group top-k gets WindowGroupLimit pushdown, partial before the shuffle") {

@@ -142,4 +142,31 @@ class SimilaritySpec extends AnyFunSuite {
       .as[Int].collect().toSet
     assert(out.forall { case (_, p, _) => trainLabels.contains(p) })
   }
+
+  test("LSH knn classification covers the held-out set and beats chance agreement (E4 scale tail)") {
+    // s_knn_classify_lsh swaps E1's brute-force candidate stage for E2's
+    // bucket equi-join and keeps the vote tail. On THIS corpus the
+    // within-label structure is near-noise (see the IVF spec above:
+    // within-label cosine ~0.02, true NN shares a label 7% of the time),
+    // so exact-vs-ANN label agreement cannot be high for any bucketing —
+    // the honest bounds are structural: (a) ≥80% of held-out rows get a
+    // prediction (buckets are populated, nothing is silently dropped),
+    // and (b) agreement with the exact path beats the chance baseline
+    // (the candidate lists share real neighbors, not arbitrary rows).
+    import graft.queries.SimilarityQueries
+    val (te, tr) = SimilarityQueries.knnSplit(Tables.embeddings(spark, TestSpark.sfDir))
+    val exact = SimilarityQueries.knnPredictions(te, tr,
+      Similarity.bruteForceTopK(te, tr, 5))
+    val approx = SimilarityQueries.knnPredictions(te, tr,
+      Similarity.lshTopK(te, tr, 5, 64, 8))
+    val nTest = te.count()
+    val nApprox = approx.count()
+    val agree = exact.as("e").join(approx.as("a"), "q")
+      .filter(col("e.plabel") === col("a.plabel")).count()
+    val nLabels = tr.select("label").distinct().count()
+    assert(nApprox >= (nTest * 0.8).toLong,
+      s"LSH path predicted $nApprox of $nTest held-out rows")
+    assert(agree > nApprox / nLabels,
+      s"LSH-exact agreement $agree/$nApprox at or below the 1/$nLabels chance baseline")
+  }
 }
