@@ -42,6 +42,32 @@ object TimeSeries {
         coalesce(last(col(fillCol), ignoreNulls = true).over(w), lit(0.0)).as(fillCol))
   }
 
+  /** Linear interpolation over the spine: known (day, value) points stay,
+    * interior gaps take the straight line between the surrounding known
+    * points, and edge gaps extend the nearest known value. Same
+    * dimension-sized single-partition window argument as [[gapFill]] —
+    * the spine is days, not data. One forward and one backward
+    * ignore-nulls window pass; the interpolation itself is one
+    * projection with a single division (deterministic across engines). */
+  def interpFill(spine: DataFrame, daily: DataFrame, valueCol: String): DataFrame = {
+    val wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    spine.join(daily, Seq("day"), "left")
+      .withColumn("__i", datediff(col("day"), lit("1970-01-01").cast("date")).cast("double"))
+      .withColumn("__pv", last(v, ignoreNulls = true).over(wp))
+      .withColumn("__pi", last(when(v.isNotNull, col("__i")), ignoreNulls = true).over(wp))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(wn))
+      .withColumn("__ni", first(when(v.isNotNull, col("__i")), ignoreNulls = true).over(wn))
+      .select(col("day"),
+        when(v.isNotNull, v)
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            (col("__i") - col("__pi")) / (col("__ni") - col("__pi")))
+          .as(valueCol))
+  }
+
   /** Ordered-stage funnel with a conversion window: stage k counts users
     * whose earliest stage-k event falls strictly after — and within
     * `withinHours` of — their earliest qualifying stage-(k-1) event.

@@ -138,6 +138,118 @@ object AnalyticsQueries {
           count(lit(1)).as("n_lines"))
     },
 
+    // B45 — order-priority check (TPC-H Q4 shape, adapted: the synthetic
+    // lineitem has no commit/receipt dates, so "late" = a line shipped
+    // more than 60 days after the order date). The EXISTS compiles to a
+    // LEFT SEMI join on orderkey — the fact table is probed once, no
+    // row multiplication, and the count is per-order not per-line.
+    QueryDef.sql("q4_priority_exists",
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val late = Tables.lineitem(s, d)
+      Tables.orders(s, d)
+        .join(late, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // B46 — returned-item reporting (TPC-H Q10 shape): who returned the
+    // most revenue in a quarter. Fact chain filtered at the scan
+    // (returnflag + date range pushed down), nation broadcast, top-20 via
+    // TakeOrderedAndProject — the output is customer-sized only after
+    // the limit, never before.
+    QueryDef.sql("q10_returned_items",
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      Relational.topKByAgg(
+        Tables.customer(s, d)
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(dsum("l_extendedprice*(1-l_discount)").as("revenue"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            col("c_acctbal"), col("n_name")),
+        20, Seq(col("revenue").desc, col("c_custkey")))
+    },
+
+    // B47 — bidirectional nation trade by year (TPC-H Q7 shape): revenue
+    // flowing between two nations, keyed (supplier nation, customer
+    // nation, year). Two broadcast nation joins with a pushed disjunctive
+    // pair filter; the year extraction is a projection, so the only wide
+    // stages are the fact joins themselves.
+    QueryDef.sql("q7_nation_trade",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(o_orderdate) AS yr,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |              JOIN orders   ON o_orderkey = l_orderkey
+        |              JOIN customer ON c_custkey = o_custkey
+        |              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("o_orderdate")).as("yr"))
+        .agg(dsum("l_extendedprice*(1-l_discount)").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    },
+
+    // B48 — disjunctive-predicate join (TPC-H Q19 shape, brands drawn
+    // from the synthetic alphabet): an OR-of-ANDs mixing both tables'
+    // columns. The per-table conjuncts (brand/size on part, quantity on
+    // lineitem) are inferred and PUSHED below the join by Catalyst
+    // (CNF extraction), so each scan prunes before any shuffle — the
+    // classic test that disjunctions don't defeat pushdown.
+    QueryDef.sql("q19_disjunctive_pred",
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_lines"),
+          dsum("l_extendedprice*(1-l_discount)").as("revenue"))
+    },
+
     // B4 — running total per key (window agg; cumulative decimal is exact
     // per-prefix so the double output is deterministic).
     QueryDef.sql("q_window_running",

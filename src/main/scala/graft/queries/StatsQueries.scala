@@ -46,6 +46,58 @@ object StatsQueries {
         .orderBy("c_custkey")
     },
 
+    // B50 — MAD (median absolute deviation) outliers per event type: the
+    // robust complement of B26's IQR fences — immune to the outliers it
+    // hunts (mean/stddev fences move with the contamination; medians
+    // don't). Discrete lower-median idiom both engines compute
+    // identically (no interpolation); flag = |v − med| > 3·1.4826·MAD
+    // (1.4826 ≈ 1/Φ⁻¹(3/4) rescales MAD to σ under normality). Two
+    // rank-window passes by construction (median of deviations needs the
+    // median first); at 100 TB the same fences come from the mergeable
+    // quantile sketch (B14x) instead of exact ranks.
+    QueryDef.sql("q_mad_outlier",
+      """WITH r1 AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events),
+        |med AS (SELECT event_type, max(CASE WHEN rn = (cnt+1)//2 THEN v END) AS med
+        |        FROM r1 GROUP BY 1),
+        |r2 AS (
+        |  SELECT r1.event_type, v, med, abs(v - med) AS dev,
+        |    row_number() OVER (PARTITION BY r1.event_type
+        |                       ORDER BY abs(v - med), v, rn) AS drn,
+        |    count(*) OVER (PARTITION BY r1.event_type) AS cnt2
+        |  FROM r1 JOIN med USING (event_type))
+        |SELECT event_type, max(med) AS med,
+        |  max(CASE WHEN drn = (cnt2+1)//2 THEN dev END) AS mad,
+        |  count(CASE WHEN dev > 3 * 1.4826 *
+        |    (SELECT max(CASE WHEN i.drn = (i.cnt2+1)//2 THEN i.dev END)
+        |     FROM r2 i WHERE i.event_type = r2.event_type) THEN 1 END) AS n_outliers,
+        |  count(*) AS n
+        |FROM r2 GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val w1 = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val c1 = Window.partitionBy("event_type")
+      val r1 = ev.select(col("event_type"), col("value").cast("double").as("v"),
+        row_number().over(w1).as("rn"), count(lit(1)).over(c1).as("cnt"))
+      val med = r1.groupBy("event_type")
+        .agg(max(when(col("rn") === expr("(cnt+1) div 2"), col("v"))).as("med"))
+      val r2 = r1.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("v") - col("med")))
+      val w2 = Window.partitionBy("event_type").orderBy(col("dev"), col("v"), col("rn"))
+      val ranked2 = r2.select(col("event_type"), col("v"), col("med"), col("dev"),
+        row_number().over(w2).as("drn"), count(lit(1)).over(c1).as("cnt2"))
+      val mad = ranked2.groupBy("event_type")
+        .agg(max(when(col("drn") === expr("(cnt2+1) div 2"), col("dev"))).as("mad"))
+      ranked2.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(max("med").as("med"), max("mad").as("mad"),
+          count(when(col("dev") > lit(3) * lit(1.4826) * col("mad"), 1)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // B26 — IQR outlier fences per segment: exact discrete quartiles
     // (ceil-rank data values, q_percentiles' idiom), Tukey 1.5×IQR fences,
     // outlier counts. The rank window is the exact path; at 100 TB the

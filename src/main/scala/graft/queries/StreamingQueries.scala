@@ -64,13 +64,30 @@ object StreamingQueries {
     * writes every event twice (two identical files) — the planted-
     * duplicate input for the streaming dedup query. */
   private def stagedEvents(s: org.apache.spark.sql.SparkSession, d: String,
-                           doubled: Boolean = false): String = {
-    val key = Integer.toHexString(d.hashCode) + (if (doubled) "x2" else "")
+                           doubled: Boolean = false, flush: Boolean = false): String = {
+    val key = Integer.toHexString(d.hashCode) +
+      (if (doubled) "x2" else "") + (if (flush) "fl" else "")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_$key"
     if (!new java.io.File(s"$dir/events/_SUCCESS").isFile) {
       val ev = Tables.events(s, d)
-      if (doubled) ev.unionAll(ev).write.mode("overwrite").parquet(s"$dir/events")
-      else ev.write.mode("overwrite").parquet(s"$dir/events")
+      val base = if (doubled) ev.unionAll(ev) else ev
+      // `flush` appends one sentinel event per user 2 h past end-of-stream
+      // (event_id −1, type "flush"): session windows close by SILENCE, so
+      // in a bounded replay the tail session per user can only flush when
+      // later event-time arrives — the sentinel is that event-time
+      // heartbeat (the same trick live pipelines use for idle sources).
+      // 2 h > any session gap in use, so sentinels form their own
+      // (never-emitted) sessions and real results are untouched.
+      val staged = if (!flush) base else {
+        val sentinel = ev.select("user_id").distinct()
+          .crossJoin(ev.agg(max(col("ts")).as("gmx")))
+          .select(lit(-1L).as("event_id"),
+            (col("gmx") + expr("INTERVAL 2 HOURS")).as("ts"),
+            col("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        base.unionByName(sentinel)
+      }
+      staged.write.mode("overwrite").parquet(s"$dir/events")
     }
     s"$dir/events"
   }
@@ -158,6 +175,53 @@ object StreamingQueries {
         awaitBounded(q)
       }
       s.table(sink).orderBy("click_id", "purchase_ts")
+    },
+
+    // F1e as a driver-visible query: declarative session windows —
+    // `session_window(ts, 30 min)` per user in Append mode. A session
+    // closes by SILENCE (watermark passing its end), so the staged input
+    // carries a per-user flush sentinel 2 h past end-of-stream (see
+    // stagedEvents) — the event-time heartbeat that lets every REAL
+    // session finalize in a bounded replay; the sentinels' own sessions
+    // end past the final watermark and are never emitted (the post-sink
+    // filter on real event time is belt and braces). Oracle = batch gap
+    // sessionization with the same boundary rule (a gap of exactly the
+    // threshold starts a new session — session_window's interval is
+    // half-open).
+    QueryDef.sql("f_stream_session",
+      """SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                IS NULL THEN 1
+        |           WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val ev = Events.readEventStream(s, stagedEvents(s, d, flush = true))
+      val sink = "f_stream_session_sink"
+      withStatePartitions(s, 8) {
+        val q = Events.sessionCounts(ev, "30 minutes")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      }
+      val maxReal = Tables.events(s, d).agg(max(col("ts"))).head.getTimestamp(0)
+      s.table(sink)
+        .filter(col("session_window.start") <= lit(maxReal))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     }
   )
 }

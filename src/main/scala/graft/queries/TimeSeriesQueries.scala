@@ -52,6 +52,48 @@ object TimeSeriesQueries {
         .orderBy("day")
     },
 
+    // B49 — linear interpolation over the date spine (the gap-fill B21
+    // forward-fills; interpolation is the other standard reconstruction —
+    // metering/finance series where a flat carry-forward biases sums).
+    // Sparse input: high-value purchase days only. Interior gaps take the
+    // line between surrounding known days, edges extend the nearest known
+    // value. Same scale shape as B21: all data-sized work is the upstream
+    // partial agg; the windows run over the dimension-sized spine.
+    QueryDef.sql("q_interp_fill",
+      """WITH bounds AS (SELECT CAST(min(ts) AS DATE) mn, CAST(max(ts) AS DATE) mx FROM events),
+        |spine AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |  FROM events WHERE event_type = 'purchase' AND value > 195 GROUP BY 1),
+        |j AS (SELECT s.day, d.day_value AS v,
+        |        CAST(datediff('day', DATE '1970-01-01', s.day) AS DOUBLE) AS i
+        |      FROM spine s LEFT JOIN daily d ON s.day = d.day),
+        |f AS (SELECT day, v, i,
+        |        last_value(v IGNORE NULLS) OVER wp AS pv,
+        |        last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER wp AS pi,
+        |        first_value(v IGNORE NULLS) OVER wn AS nv,
+        |        first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER wn AS ni
+        |      FROM j
+        |      WINDOW wp AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wn AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (i - pi) / (ni - pi) END AS day_value
+        |FROM f ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .filter(col("event_type") === "purchase" && col("value") > 195)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("day_value"))
+      val spine = TimeSeries.dateSpine(ev, to_date(col("ts")))
+      TimeSeries.interpFill(spine, daily, "day_value")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("day_value"))
+        .orderBy("day")
+    },
+
     // B22 — windowed funnel: view → click (≤12 h after first view) →
     // purchase (≤12 h after that click). Each stage is one user-keyed
     // groupBy + one same-key join; the reached set only shrinks stage

@@ -57,6 +57,22 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
+  /** F1e — declarative gap sessionization with the built-in
+    * `session_window` (vs [[sessionize]]'s explicit
+    * flatMapGroupsWithState): per (user, merged-gap-window) event count.
+    * Append mode emits a session only once the watermark passes its end —
+    * a session is CLOSED by silence, so the very last session per user
+    * can only flush when later event-time arrives (the caller plants a
+    * flush sentinel past end-of-stream for bounded replays; a live feed
+    * just keeps its tail session in state, which is the correct online
+    * behavior). State per user is the open sessions only — watermark
+    * bounds it exactly like the tumbling case. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "0 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
   /** F1b — gap-based sessionization with explicit state
     * (flatMapGroupsWithState + event-time timeout): the streaming twin of
     * q_sessionize. A session closes when the watermark passes its end+gap;
