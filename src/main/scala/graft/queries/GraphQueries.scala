@@ -77,6 +77,79 @@ object GraphQueries {
           .select(col("dst").as("node"),
             (lit(1 - damp) / col("n") + lit(damp) * col("contrib")).as("r"))
       pr.select(col("node"), col("r").as("pagerank")).orderBy("node")
+    },
+
+    // B51 — triangle count + global clustering coefficient over the
+    // part co-purchase graph (parts sharing an order, the classic
+    // market-basket projection). The Spark side runs the DEGREE-ORIENTED
+    // algorithm — every edge is directed low-degree → high-degree
+    // (ties by id), so each triangle is counted exactly once and the
+    // two-path join fans out by the SMALL endpoint's degree: the hub
+    // that breaks the naive u<v<w self-join at web scale (a degree-10⁶
+    // node contributes 10¹² two-paths unoriented, ~degree²/4 oriented
+    // across low-degree neighbors). The oracle counts the same triangles
+    // with the plain ordered three-way self-join DuckDB can run at this
+    // scale. Closed form: coefficient = 3·triangles / Σ deg·(deg−1)/2 —
+    // one double division.
+    QueryDef.sql("g_triangle_count",
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS dg FROM (
+        |          SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        |        GROUP BY 1),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM pairs e1 JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+        |                      JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |st AS (SELECT count(*) AS n_nodes,
+        |              CAST(sum(dg * (dg - 1) / 2) AS DOUBLE) AS triplets FROM deg)
+        |SELECT st.n_nodes, (SELECT count(*) FROM pairs) AS n_edges,
+        |  tri.n_triangles,
+        |  3.0 * tri.n_triangles / st.triplets AS clustering_coeff
+        |FROM st CROSS JOIN tri""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+        .persist()
+      val deg = pairs.select(col("u").as("node"))
+        .unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      // orient every edge from its lower-degree endpoint (ties by id):
+      // the fan-out of the two-path join is bounded by small-side degrees
+      val dmap = broadcast(deg)
+      val oriented = pairs
+        .join(dmap.select(col("node").as("u"), col("dg").as("du")), "u")
+        .join(dmap.select(col("node").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("s"),
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("t"))
+        .persist()
+      // Two-paths from each source (x < y by the t-ordering), probed
+      // against the id-ordered closing edge. The orientation is an
+      // acyclic tournament, so each triangle has EXACTLY one node with
+      // two out-edges — one two-path row per triangle, no dedup needed.
+      val twoPath = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+        .select(col("e1.t").as("x"), col("e2.t").as("y"))
+      val closing = oriented.select(
+        least(col("s"), col("t")).as("cx"), greatest(col("s"), col("t")).as("cy"))
+      val tri = twoPath
+        .join(closing, col("x") === col("cx") && col("y") === col("cy"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val st = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("dg") * (col("dg") - 1) / 2).cast("double").as("triplets"))
+      val ne = pairs.agg(count(lit(1)).as("n_edges"))
+      st.crossJoin(ne).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          (lit(3.0) * col("n_triangles") / col("triplets")).as("clustering_coeff"))
     }
   )
 }

@@ -284,6 +284,48 @@ object MlQueries {
             .as("mean_score"),
           (sum("y").cast("double") / count(lit(1))).as("pos_rate"))
         .orderBy("bin")
+    },
+
+    // F11 — per-class precision / recall / F1 from the E4 confusion
+    // matrix (the eval every classifier report ends with). The matrix is
+    // classes² rows, so everything here is report-sized; the F1 closed
+    // form 2·TP/(pred_total + true_total) keeps it to ONE division per
+    // metric (no chained P·R arithmetic to drift). Classes never
+    // predicted get NULL precision — honest, not zero.
+    QueryDef.sql("m_confusion_metrics",
+      s"""WITH ${SimilarityQueries.knnConfusionCte},
+         |cls AS (SELECT DISTINCT true_label AS label FROM cm
+         |        UNION SELECT DISTINCT pred_label FROM cm),
+         |t AS (SELECT label,
+         |  coalesce((SELECT sum(n) FROM cm WHERE true_label = label AND pred_label = label), 0) AS tp,
+         |  coalesce((SELECT sum(n) FROM cm WHERE true_label = label), 0) AS n_true,
+         |  coalesce((SELECT sum(n) FROM cm WHERE pred_label = label), 0) AS n_pred
+         |  FROM cls)
+         |SELECT label, CAST(tp AS BIGINT) AS tp,
+         |  CAST(n_true AS BIGINT) AS n_true, CAST(n_pred AS BIGINT) AS n_pred,
+         |  CAST(tp AS DOUBLE) / nullif(n_pred, 0) AS prec,
+         |  CAST(tp AS DOUBLE) / nullif(n_true, 0) AS recall,
+         |  2.0 * tp / nullif(n_pred + n_true, 0) AS f1
+         |FROM t ORDER BY label""".stripMargin) { (s, d) =>
+      val (te, tr) = SimilarityQueries.knnSplit(Tables.embeddings(s, d))
+      val cm = SimilarityQueries.knnConfusion(SimilarityQueries.knnPredictions(
+        te, tr, graft.operators.Similarity.bruteForceTopK(te, tr, 5)))
+        .persist()
+      val trueAgg = cm.groupBy(col("true_label").as("label")).agg(sum("n").as("n_true"))
+      val predAgg = cm.groupBy(col("pred_label").as("label")).agg(sum("n").as("n_pred"))
+      val tp = cm.filter(col("true_label") === col("pred_label"))
+        .select(col("true_label").as("label"), col("n").as("tp"))
+      trueAgg.join(predAgg, Seq("label"), "full_outer")
+        .join(tp, Seq("label"), "left")
+        .select(col("label"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+        .select(col("label"), col("tp"), col("n_true"), col("n_pred"),
+          (col("tp").cast("double") / nullif(col("n_pred"), lit(0))).as("prec"),
+          (col("tp").cast("double") / nullif(col("n_true"), lit(0))).as("recall"),
+          (lit(2.0) * col("tp") / nullif(col("n_pred") + col("n_true"), lit(0))).as("f1"))
+        .orderBy("label")
     }
   )
 }

@@ -70,20 +70,7 @@ object SimilarityQueries {
     // confusion matrix. The neighbor search is E1's brute force here;
     // at scale the identical vote/argmax tail runs over E2/E3 candidate
     // lists instead (swap the first stage, keep the rest).
-    QueryDef.sql("s_knn_classify", {
-      val u = graft.operators.Curation.uniformDuck("vec_id")
-      val cos = VectorFunctions.cosineDuck("p.embedding", "c.embedding")
-      s"""WITH te AS (SELECT * FROM embeddings WHERE $u < 0.1),
-         |tr AS (SELECT * FROM embeddings WHERE $u >= 0.1),
-         |nb AS (SELECT q, qlabel, nlabel, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank FROM (
-         |  SELECT p.vec_id AS q, p.label AS qlabel, c.vec_id AS n, c.label AS nlabel, $cos AS cos
-         |  FROM te p CROSS JOIN tr c) t0),
-         |vote AS (SELECT q, qlabel, nlabel, count(*) AS c FROM nb WHERE rank <= 5 GROUP BY 1,2,3),
-         |pred AS (SELECT q, qlabel, nlabel AS plabel,
-         |   row_number() OVER (PARTITION BY q ORDER BY c DESC, nlabel) AS rn FROM vote)
-         |SELECT qlabel AS true_label, plabel AS pred_label, count(*) AS n
-         |FROM pred WHERE rn = 1 GROUP BY 1,2 ORDER BY 1,2""".stripMargin
-    }) { (s, d) =>
+    QueryDef.sql("s_knn_classify", knnConfusionSql) { (s, d) =>
       val (te, tr) = knnSplit(Tables.embeddings(s, d))
       knnConfusion(knnPredictions(te, tr, Similarity.bruteForceTopK(te, tr, 5)))
     },
@@ -165,6 +152,28 @@ object SimilarityQueries {
         .orderBy("label", "dim")
     }
   )
+
+  /** E4's oracle CTE chain ending in `cm(true_label, pred_label, n)` —
+    * shared by s_knn_classify (which just selects it) and
+    * m_confusion_metrics (which derives per-class metrics from it). */
+  private[queries] lazy val knnConfusionCte: String = {
+    val u = graft.operators.Curation.uniformDuck("vec_id")
+    val cos = VectorFunctions.cosineDuck("p.embedding", "c.embedding")
+    s"""te AS (SELECT * FROM embeddings WHERE $u < 0.1),
+       |tr AS (SELECT * FROM embeddings WHERE $u >= 0.1),
+       |nb AS (SELECT q, qlabel, nlabel, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank FROM (
+       |  SELECT p.vec_id AS q, p.label AS qlabel, c.vec_id AS n, c.label AS nlabel, $cos AS cos
+       |  FROM te p CROSS JOIN tr c) t0),
+       |vote AS (SELECT q, qlabel, nlabel, count(*) AS c FROM nb WHERE rank <= 5 GROUP BY 1,2,3),
+       |pred AS (SELECT q, qlabel, nlabel AS plabel,
+       |   row_number() OVER (PARTITION BY q ORDER BY c DESC, nlabel) AS rn FROM vote),
+       |cm AS (SELECT qlabel AS true_label, plabel AS pred_label, count(*) AS n
+       |       FROM pred WHERE rn = 1 GROUP BY 1,2)""".stripMargin
+  }
+
+  private[queries] lazy val knnConfusionSql: String =
+    s"""WITH $knnConfusionCte
+       |SELECT true_label, pred_label, n FROM cm ORDER BY 1, 2""".stripMargin
 
   /** The F5 hash split shared by both E4 variants: ~10% held out as the
     * test set, the rest is the train corpus. */

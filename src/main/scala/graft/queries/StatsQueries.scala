@@ -46,6 +46,40 @@ object StatsQueries {
         .orderBy("c_custkey")
     },
 
+    // B53 — RFM segmentation (recency / frequency / monetary quintiles):
+    // the standard customer-base cut. Per-customer stats are one
+    // partial agg over orders; the three ntile(5) windows run over the
+    // CUSTOMER-sized aggregate with unique tie-breaks (custkey), so both
+    // engines assign identical quintiles. Output is the 5³ segment grid
+    // (counts + exact decimal value), not per-customer rows. Same
+    // single-partition-window caveat as B27: at 100 TB the quintile cuts
+    // come from the mergeable quantile sketch (B14x) and the scores from
+    // a broadcast join against the 4 cut points instead.
+    QueryDef.sql("q_rfm_segments",
+      """WITH c AS (SELECT o_custkey, max(o_orderdate) AS last_o, count(*) AS freq,
+        |             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        |           FROM orders GROUP BY 1),
+        |sc AS (SELECT o_custkey, mon,
+        |  ntile(5) OVER (ORDER BY last_o, o_custkey) AS r_score,
+        |  ntile(5) OVER (ORDER BY freq, o_custkey) AS f_score,
+        |  ntile(5) OVER (ORDER BY mon, o_custkey) AS m_score
+        |  FROM c)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |  CAST(sum(mon) AS DOUBLE) AS total_value
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(max("o_orderdate").as("last_o"), count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
+      val sc = c.select(col("o_custkey"), col("mon"),
+        ntile(5).over(Window.orderBy(col("last_o"), col("o_custkey"))).cast("long").as("r_score"),
+        ntile(5).over(Window.orderBy(col("freq"), col("o_custkey"))).cast("long").as("f_score"),
+        ntile(5).over(Window.orderBy(col("mon"), col("o_custkey"))).cast("long").as("m_score"))
+      sc.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("mon").cast("double").as("total_value"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+
     // B50 — MAD (median absolute deviation) outliers per event type: the
     // robust complement of B26's IQR fences — immune to the outliers it
     // hunts (mean/stddev fences move with the contamination; medians

@@ -133,6 +133,50 @@ object TimeSeriesQueries {
       TimeSeries.retention(Tables.events(s, d), "user_id", "ts")
     },
 
+    // B52 — cohort LTV curves: cumulative purchase revenue per cohort
+    // user by weeks-since-signup (the revenue twin of B23's retention
+    // matrix — "how much has the average week-X signup spent by week
+    // X+n"). All data-scale work is two user-keyed aggs; the cumulative
+    // window runs over the cohort×week matrix (bounded). The running sum
+    // stays DECIMAL until the single closing division by cohort size.
+    QueryDef.sql("q_cohort_ltv",
+      """WITH fs AS (SELECT user_id, CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE) AS cohort
+        |            FROM events GROUP BY 1),
+        |cs AS (SELECT cohort, count(*) AS cohort_users FROM fs GROUP BY 1),
+        |pur AS (SELECT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+        |               sum(CAST(value AS DECIMAL(18,2))) AS rev
+        |        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |wkrev AS (SELECT fs.cohort,
+        |            CAST(datediff('day', fs.cohort, pur.wk) // 7 AS BIGINT) AS week_n,
+        |            sum(pur.rev) AS rev
+        |          FROM pur JOIN fs USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(w.cohort, '%Y-%m-%d') AS cohort_week, week_n,
+        |  CAST(CAST(sum(rev) OVER (PARTITION BY w.cohort ORDER BY week_n
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |       / cs.cohort_users AS DOUBLE) AS ltv_per_user
+        |FROM wkrev w JOIN cs ON w.cohort = cs.cohort
+        |ORDER BY cohort_week, week_n""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val fs = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(to_date(col("ts")))).cast("date").as("cohort"))
+      val cs = fs.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("week", to_date(col("ts"))).cast("date").as("wk"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      val wkrev = pur.join(fs, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_n"))
+        .agg(sum("rev").as("rev"))
+      val w = Window.partitionBy("cohort").orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      wkrev.join(broadcast(cs), "cohort")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_n"),
+          (sum(col("rev")).over(w).cast("double") / col("cohort_users"))
+            .cast("double").as("ltv_per_user"))
+        .orderBy("cohort_week", "week_n")
+    },
+
     // B24 — 7-day trailing moving average of daily value per event type.
     // RANGE frame over the integer day index, so calendar gaps shrink the
     // frame instead of silently stretching it (the ROWS-frame bug). The
