@@ -52,6 +52,52 @@ object Scratch {
       time("cand from warm cache")(Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ds, 8), 4, 2)).count())
       spark.stop(); return
     }
+    if (qname == "probe3") {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      def time(label: String)(f: => Long): Unit = {
+        val t = System.nanoTime()
+        val n = f
+        println(f"[probe] $label%-34s ${(System.nanoTime() - t) / 1e9}%6.2f s  rows=$n")
+      }
+      val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      time("lineitem scan")(li.count())
+      val pairs0 = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      time("raw pairs")(pairs0.count())
+      val pairs = pairs0.distinct().persist()
+      time("distinct pairs persist")(pairs.count())
+      val deg = pairs.select(col("u").as("node"))
+        .unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      time("degrees")(deg.count())
+      val dmap = broadcast(deg)
+      val oriented = pairs
+        .join(dmap.select(col("node").as("u"), col("dg").as("du")), "u")
+        .join(dmap.select(col("node").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("s"),
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("t"))
+        .persist()
+      time("oriented persist")(oriented.count())
+      val src = oriented.repartition(32, col("s"))
+      val twoPath = src.as("e1")
+        .join(src.as("e2"), col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+        .select(col("e1.t").as("x"), col("e2.t").as("y"))
+      time("twoPath")(twoPath.count())
+      val closing = oriented.select(
+        least(col("s"), col("t")).as("cx"), greatest(col("s"), col("t")).as("cy"))
+      time("semi probe")(twoPath
+        .join(broadcast(closing), col("x") === col("cx") && col("y") === col("cy"), "left_semi")
+        .count())
+      spark.stop(); return
+    }
     if (qname == "probe2") {
       import org.apache.spark.sql.functions._
       import graft.operators.Dedup

@@ -109,11 +109,15 @@ object GraphQueries {
         |  3.0 * tri.n_triangles / st.triplets AS clustering_coeff
         |FROM st CROSS JOIN tri""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      // distinct on the PACKED edge long (one 8-byte shuffle/dedup key
+      // instead of two columns), unpacked afterwards for the degree math
       val pairs = li.as("a")
         .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .select((shiftleft(col("a.l_partkey"), 32) + col("b.l_partkey")).as("uv"))
         .distinct()
+        .select(shiftright(col("uv"), 32).as("u"),
+          (col("uv").bitwiseAND(lit(0xffffffffL))).as("v"))
         .persist()
       val deg = pairs.select(col("u").as("node"))
         .unionAll(pairs.select(col("v").as("node")))
@@ -136,13 +140,26 @@ object GraphQueries {
       // against the id-ordered closing edge. The orientation is an
       // acyclic tournament, so each triangle has EXACTLY one node with
       // two out-edges — one two-path row per triangle, no dedup needed.
-      val twoPath = oriented.as("e1")
-        .join(oriented.as("e2"), col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-        .select(col("e1.t").as("x"), col("e2.t").as("y"))
+      // The numbered repartition pins the fan-out stage at cluster
+      // parallelism: the edge list is megabytes but the two-path fan-out
+      // is ~Σ outdeg²/2 rows (30×+ the input here), and AQE sizing by
+      // input bytes would run it on 1-2 threads (the dedup-fanout trap).
+      // The closing probe BROADCASTS the edge-sized side so the fan-out
+      // is consumed map-side by a semi probe — never shuffled.
+      val fan = s.sparkContext.defaultParallelism
+      val src = oriented.repartition(fan, col("s"))
+      // pack the candidate pair into ONE long key (ids < 2³¹): the 40M-row
+      // fan-out is consumed by a single-long broadcast-hash probe instead
+      // of a two-column compare — the probe is the hot loop here
+      val pk = (c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =>
+        shiftleft(c1, 32) + c2
+      val twoPath = src.as("e1")
+        .join(src.as("e2"), col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+        .select(pk(col("e1.t"), col("e2.t")).as("xy"))
       val closing = oriented.select(
-        least(col("s"), col("t")).as("cx"), greatest(col("s"), col("t")).as("cy"))
+        pk(least(col("s"), col("t")), greatest(col("s"), col("t"))).as("cxy"))
       val tri = twoPath
-        .join(closing, col("x") === col("cx") && col("y") === col("cy"), "left_semi")
+        .join(broadcast(closing), col("xy") === col("cxy"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
       val st = deg.agg(count(lit(1)).as("n_nodes"),
         sum(col("dg") * (col("dg") - 1) / 2).cast("double").as("triplets"))
