@@ -456,6 +456,66 @@ object EtlQueries {
         .orderBy("c_mktsegment")
     },
 
+    // G13 — Z-order (Morton) clustering audit: quantize (custkey,
+    // order-day) to 8 bits each over broadcast global bounds, interleave
+    // the bits, bucket by the top 5 z-bits (32 buckets — the stand-ins
+    // for files), and report each bucket's min/max span in BOTH
+    // dimensions plus whether it overlaps a fixed 10%×10% query box.
+    // The point the numbers make: under z-order every bucket's span is
+    // narrow in both dimensions, so the box overlaps a handful of
+    // buckets — a 1-D sort layout is narrow in one dimension and spans
+    // the whole other, overlapping everything (ZOrderSpec asserts the
+    // comparison; at 100 TB buckets are parquet files and overlap =
+    // min/max stats pruning). All integer/broadcast arithmetic —
+    // the bucket assignment is oracle-checked bit for bit.
+    QueryDef.sql("q_zorder_layout", {
+      import graft.operators.ZOrder
+      val inter = ZOrder.interleaveDuck("qa", "qb", 8)
+      s"""WITH b AS (SELECT min(o_custkey) AS ckmn, max(o_custkey) AS ckmx,
+         |  min(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS dmn,
+         |  max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS dmx
+         |  FROM orders),
+         |q AS (SELECT o_custkey AS ck,
+         |        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dy,
+         |        ckmn, ckmx, dmn, dmx FROM orders CROSS JOIN b),
+         |qz AS (SELECT ck, dy, ckmn, ckmx, dmn, dmx,
+         |        least(CAST(floor(CAST(ck - ckmn AS DOUBLE) * 255 / CAST(ckmx - ckmn AS DOUBLE)) AS BIGINT), 255) AS qa,
+         |        least(CAST(floor(CAST(dy - dmn AS DOUBLE) * 255 / CAST(dmx - dmn AS DOUBLE)) AS BIGINT), 255) AS qb
+         |       FROM q),
+         |z AS (SELECT ck, dy, ckmn, ckmx, dmn, dmx, ($inter) >> 11 AS zbucket FROM qz)
+         |SELECT zbucket, count(*) AS n_rows,
+         |  min(ck) AS ck_min, max(ck) AS ck_max,
+         |  CAST(min(dy) AS BIGINT) AS day_min, CAST(max(dy) AS BIGINT) AS day_max,
+         |  CAST(min(ck) <= any_value(ckmn) + (any_value(ckmx) - any_value(ckmn)) * 0.35
+         |   AND max(ck) >= any_value(ckmn) + (any_value(ckmx) - any_value(ckmn)) * 0.25
+         |   AND min(dy) <= any_value(dmn) + (any_value(dmx) - any_value(dmn)) * 0.35
+         |   AND max(dy) >= any_value(dmn) + (any_value(dmx) - any_value(dmn)) * 0.25
+         |   AS BIGINT) AS overlaps_box
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.ZOrder
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+            .cast("long").as("dy"))
+      val b = ord.agg(min("ck").as("ckmn"), max("ck").as("ckmx"),
+        min("dy").as("dmn"), max("dy").as("dmx"))
+      ord.crossJoin(broadcast(b))
+        .withColumn("qa", ZOrder.quantize(col("ck"), col("ckmn"), col("ckmx"), 8))
+        .withColumn("qb", ZOrder.quantize(col("dy"), col("dmn"), col("dmx"), 8))
+        .withColumn("zbucket", shiftright(ZOrder.interleave(col("qa"), col("qb"), 8), 11))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("ck").as("ck_min"), max("ck").as("ck_max"),
+          min("dy").as("day_min"), max("dy").as("day_max"),
+          (min("ck") <= first("ckmn") + (first("ckmx") - first("ckmn")) * 0.35 &&
+           max("ck") >= first("ckmn") + (first("ckmx") - first("ckmn")) * 0.25 &&
+           min("dy") <= first("dmn") + (first("dmx") - first("dmn")) * 0.35 &&
+           max("dy") >= first("dmn") + (first("dmx") - first("dmn")) * 0.25)
+            .cast("long").as("overlaps_box"))
+        .orderBy("zbucket")
+    },
+
     // A21 — incremental aggregate maintenance (materialized-view refresh,
     // operators.Incremental): the per-customer order stats are "stored"
     // as the aggregate of the first half of history (simulating the MV
