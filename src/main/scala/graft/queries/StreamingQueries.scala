@@ -177,6 +177,31 @@ object StreamingQueries {
       s.table(sink).orderBy("click_id", "purchase_ts")
     },
 
+    // F1f as a driver-visible query: Update output mode — the third of
+    // the three streaming output modes (Append: dedup/join/session;
+    // Complete: tumbling; Update: this). Running per-type counts emit a
+    // row per UPDATED key per micro-batch; the memory sink therefore
+    // holds every intermediate version, and "current state" = the max
+    // count per key (counts are monotone). That last-version-wins read
+    // is exactly how an upsert sink (A16) consumes an update stream.
+    QueryDef.sql("f_stream_update_counts",
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Events.readEventStream(s, stagedEvents(s, d))
+      val sink = "f_stream_update_sink"
+      withStatePartitions(s, 8) {
+        val q = ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Update())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      }
+      s.table(sink)
+        .groupBy("event_type").agg(max("n_events").as("n_events"))
+        .orderBy("event_type")
+    },
+
     // F1e as a driver-visible query: declarative session windows —
     // `session_window(ts, 30 min)` per user in Append mode. A session
     // closes by SILENCE (watermark passing its end), so the staged input

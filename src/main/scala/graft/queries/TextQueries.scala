@@ -550,6 +550,44 @@ object TextQueries {
         .orderBy("ta", "tb")
     },
 
+    // C20 — bigram-LM cross-entropy per doc: C16's joint-distribution
+    // machinery one order up. The unigram CE scores vocabulary choice;
+    // the bigram CE scores WORD ORDER — shuffled or templated text keeps
+    // its unigram CE but its bigram distribution collapses toward noise,
+    // which is why perplexity filters use n≥2 models. Same fixed shape:
+    // per-(doc, bigram) aggregate persisted (corpus sees the tokenizer
+    // once), bigram-vocabulary frequencies broadcast, per-doc reduce on
+    // the inherited doc partitioning. Docs under 2 tokens drop out in
+    // both engines by construction.
+    QueryDef.sql("t_bigram_ce",
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(tk)-1),
+         |                i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+         |       FROM t WHERE len(tk) >= 2),
+         |bfd AS (SELECT doc_id, bg, count(*) AS k FROM bg GROUP BY 1, 2),
+         |freq AS (SELECT bg, sum(k) AS n FROM bfd GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM freq)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |  ln(max(nn)) - sum(k * ln(CAST(n AS DOUBLE))) / sum(k) AS ce
+         |FROM bfd JOIN freq USING (bg) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val bfd = docs.select(col("doc_id"),
+          explode(Dedup.wordNgrams(tokens(col("text")), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+        .persist()
+      val freq = broadcast(bfd.groupBy("bg").agg(sum("k").as("n")))
+      val tot = broadcast(freq.agg(sum("n").cast("double").as("nn")))
+      bfd.join(freq, "bg").crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(sum("k").cast("long").as("n_bigrams"),
+          (log(max(col("nn"))) -
+            sum(col("k") * log(col("n").cast("double"))) / sum(col("k"))).as("ce"))
+        .orderBy("doc_id")
+    },
+
     // C16 — unigram-LM cross-entropy per doc (the CCNet-style perplexity
     // quality filter, with the corpus itself as the LM): ce =
     // ln(N) − Σ k·ln(n_tok) / n_tokens. Reuses t_tfidf's fixed shape —

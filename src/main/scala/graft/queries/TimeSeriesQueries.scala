@@ -133,6 +133,54 @@ object TimeSeriesQueries {
       TimeSeries.retention(Tables.events(s, d), "user_id", "ts")
     },
 
+    // B54 — CUSUM changepoint detection per event type: the day where
+    // the cumulative deviation from the series mean peaks — the classic
+    // level-shift locator. Order-free formulation: cusum_d =
+    // CAST(running DECIMAL sum AS DOUBLE) − idx·μ (exact prefix sums, one
+    // multiply-subtract per day — no running double accumulation to
+    // drift), argmax |cusum| with earliest-day tie-break. Windows run
+    // over the dimension-sized daily aggregate (B24's discipline).
+    QueryDef.sql("q_changepoint_cusum",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n_days,
+        |         CAST(sum(total) AS DOUBLE) / count(*) AS mu
+        |       FROM daily GROUP BY 1),
+        |cu AS (SELECT d.event_type, d.day,
+        |         CAST(sum(d.total) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |           - (row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)) * st.mu
+        |           AS cusum,
+        |         st.n_days
+        |       FROM daily d JOIN st USING (event_type)),
+        |rk AS (SELECT event_type, day, cusum, n_days,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY abs(cusum) DESC, day) AS rn
+        |       FROM cu)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+        |  abs(cusum) AS max_abs_cusum, CAST(n_days AS BIGINT) AS n_days
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+      val st = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          (sum("total").cast("double") / count(lit(1))).as("mu"))
+      val wd = Window.partitionBy("event_type").orderBy("day")
+      val cu = daily.join(broadcast(st), "event_type")
+        .select(col("event_type"), col("day"), col("n_days"),
+          (sum("total").over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") - row_number().over(wd) * col("mu")).as("cusum"))
+      val wr = Window.partitionBy("event_type").orderBy(abs(col("cusum")).desc, col("day"))
+      cu.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+          abs(col("cusum")).as("max_abs_cusum"), col("n_days"))
+        .orderBy("event_type")
+    },
+
     // B52 — cohort LTV curves: cumulative purchase revenue per cohort
     // user by weeks-since-signup (the revenue twin of B23's retention
     // matrix — "how much has the average week-X signup spent by week
