@@ -89,6 +89,56 @@ object SimilarityQueries {
       knnConfusion(knnPredictions(te, tr, Similarity.lshTopK(te, tr, 5, 64, 8)))
     },
 
+    // E7 — nDCG@3 of the LSH ranking against the exact ranking (the
+    // standard ANN quality METRIC, complementing the recall specs):
+    // exact top-3 defines graded relevance (3,2,1), the LSH list is
+    // scored by discounted cumulative gain over its own positions, and
+    // IDCG normalizes per probe. Probes missing from an LSH bucket score
+    // 0 honestly. Sums are ≤3 doubles per probe — engine-stable well
+    // inside the 9-digit gate.
+    QueryDef.sql("s_ann_ndcg", {
+      val cos = VectorFunctions.cosineDuck("p.embedding", "c.embedding")
+      val bkt = VectorFunctions.lshBucketDuck("embedding", 64, 8)
+      val cosb = VectorFunctions.cosineDuck("p.qv", "c.nv")
+      s"""WITH ex AS (SELECT q, rank, n FROM (
+         |  SELECT q, n, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
+         |  FROM (SELECT p.vec_id AS q, c.vec_id AS n, $cos AS cos
+         |        FROM (SELECT * FROM embeddings WHERE vec_id < 20) p
+         |        CROSS JOIN embeddings c WHERE p.vec_id <> c.vec_id)) WHERE rank <= 3),
+         |ls AS (SELECT q, rank, n FROM (
+         |  SELECT q, n, row_number() OVER (PARTITION BY q ORDER BY cos DESC, n) AS rank
+         |  FROM (SELECT p.q, c.n, $cosb AS cos
+         |        FROM (SELECT vec_id AS q, embedding AS qv, $bkt AS bucket
+         |              FROM embeddings WHERE vec_id < 20) p
+         |        JOIN (SELECT vec_id AS n, embedding AS nv, $bkt AS bucket
+         |              FROM embeddings) c USING (bucket)
+         |        WHERE p.q <> c.n)) WHERE rank <= 3),
+         |rel AS (SELECT q, n, CAST(4 - rank AS DOUBLE) AS rel FROM ex),
+         |dcg AS (SELECT ls.q, sum(coalesce(rel.rel, 0) / log2(ls.rank + 1)) AS dcg
+         |        FROM ls LEFT JOIN rel ON ls.q = rel.q AND ls.n = rel.n GROUP BY 1),
+         |idcg AS (SELECT q, sum(CAST(4 - rank AS DOUBLE) / log2(rank + 1)) AS idcg FROM ex GROUP BY q)
+         |SELECT idcg.q, coalesce(dcg.dcg, 0.0) AS dcg, idcg.idcg,
+         |  coalesce(dcg.dcg, 0.0) / idcg.idcg AS ndcg
+         |FROM idcg LEFT JOIN dcg ON idcg.q = dcg.q
+         |ORDER BY idcg.q""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 20)
+      val ex = Similarity.bruteForceTopK(probes, emb, 3).select("q", "rank", "n")
+      val ls = Similarity.lshTopK(probes, emb, 3, 64, 8).select("q", "rank", "n")
+      val rel = ex.select(col("q"), col("n"), (lit(4) - col("rank")).cast("double").as("rel"))
+      val dcg = ls.as("l")
+        .join(rel.as("r"), col("l.q") === col("r.q") && col("l.n") === col("r.n"), "left")
+        .groupBy(col("l.q").as("q"))
+        .agg(sum(coalesce(col("rel"), lit(0.0)) / log2(col("l.rank") + 1)).as("dcg"))
+      val idcg = ex.groupBy("q")
+        .agg(sum((lit(4) - col("rank")).cast("double") / log2(col("rank") + 1)).as("idcg"))
+      idcg.join(dcg, Seq("q"), "left")
+        .select(col("q"), coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+          (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+        .orderBy("q")
+    },
+
     // E5 — int8 scalar quantization of the embedding store (the 4×
     // memory/IO shrink an ANN serving tier runs on): per-dimension
     // min/max (a dim-sized broadcast), q = round((v-min)·255/(max-min)),

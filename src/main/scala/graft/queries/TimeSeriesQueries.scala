@@ -133,6 +133,53 @@ object TimeSeriesQueries {
       TimeSeries.retention(Tables.events(s, d), "user_id", "ts")
     },
 
+    // B55 — weekly-seasonality strength per event type: the share of
+    // daily-total variance explained by day-of-week means,
+    // R² = 1 − SS_resid/SS_total (the ANOVA form of "how weekly is this
+    // series" — B44 profiles counts by dow; this quantifies the VALUE
+    // seasonality as one number). Daily totals are exact DECIMAL; the
+    // squared deviations are ~30-term double sums per type, far inside
+    // the 9-digit gate. All frames dimension-sized.
+    QueryDef.sql("q_seasonality_strength",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2, 3),
+        |gm AS (SELECT event_type, count(*) AS n_days, sum(x) / count(*) AS mu
+        |       FROM daily GROUP BY 1),
+        |dm AS (SELECT event_type, dow, sum(x) / count(*) AS dmu
+        |       FROM daily GROUP BY 1, 2),
+        |ss AS (SELECT d.event_type,
+        |         sum((d.x - gm.mu) * (d.x - gm.mu)) AS ss_total,
+        |         sum((d.x - dm.dmu) * (d.x - dm.dmu)) AS ss_resid
+        |       FROM daily d JOIN gm USING (event_type)
+        |                    JOIN dm ON d.event_type = dm.event_type AND d.dow = dm.dow
+        |       GROUP BY 1)
+        |SELECT ss.event_type, gm.n_days,
+        |  1.0 - ss.ss_resid / ss.ss_total AS r2_dow
+        |FROM ss JOIN gm USING (event_type) ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          dayofweek(to_date(col("ts"))).as("dow0"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"))
+        // ISO dow (Mon=1..Sun=7) from Spark's Sun=1..Sat=7
+        .withColumn("dow", ((col("dow0") + 5) % 7 + 1).cast("long"))
+      val gm = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), (sum("x") / count(lit(1))).as("mu"))
+      val dm = daily.groupBy("event_type", "dow")
+        .agg((sum("x") / count(lit(1))).as("dmu"))
+      val ss = daily.join(broadcast(gm), "event_type")
+        .join(broadcast(dm), Seq("event_type", "dow"))
+        .groupBy("event_type")
+        .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("ss_total"),
+          sum((col("x") - col("dmu")) * (col("x") - col("dmu"))).as("ss_resid"))
+      ss.join(broadcast(gm.select("event_type", "n_days")), "event_type")
+        .select(col("event_type"), col("n_days"),
+          (lit(1.0) - col("ss_resid") / col("ss_total")).as("r2_dow"))
+        .orderBy("event_type")
+    },
+
     // B54 — CUSUM changepoint detection per event type: the day where
     // the cumulative deviation from the series mean peaks — the classic
     // level-shift locator. Order-free formulation: cusum_d =
