@@ -286,6 +286,23 @@ object MlQueries {
         .orderBy("bin")
     },
 
+    // F12 — leading principal component of the embedding store
+    // (ml.Pca): distributed covariance (one batched per-partition
+    // Gram-accumulation pass + treeReduce — data-scale work is ONE scan
+    // regardless of dims²), power iteration on the driver over the
+    // corpus-size-independent 64×64 matrix, sign pinned for exact
+    // reproducibility. Iterative spectral method ⇒ rows-only; the
+    // eigenpair residual ‖Av − λv‖ and unit norm are spec'd (MlSpec via
+    // SimilaritySpec's session).
+    QueryDef.rowsOnly("m_pca_power") { (s, d) =>
+      import s.implicits._
+      val (lambda, v) = graft.ml.Pca.leadingComponent(
+        Tables.embeddings(s, d), "embedding")
+      v.zipWithIndex.map { case (x, i) => (i, x, lambda) }.toSeq
+        .toDF("dim", "loading", "eigenvalue")
+        .orderBy("dim")
+    },
+
     // F11 — per-class precision / recall / F1 from the E4 confusion
     // matrix (the eval every classifier report ends with). The matrix is
     // classes² rows, so everything here is report-sized; the F1 closed

@@ -133,6 +133,45 @@ object TimeSeriesQueries {
       TimeSeries.retention(Tables.events(s, d), "user_id", "ts")
     },
 
+    // B56 — lag-feature generation (the supervised-learning feature
+    // table every forecasting pipeline starts from): per (type, day) the
+    // daily total with calendar-aware lag-1 / lag-7 values and the
+    // week-over-week delta. CALENDAR-aware: a lag is NULL unless the
+    // row exactly lag days back is that many calendar days back — row
+    // offsets over a gappy series would silently shift features (B24's
+    // RANGE-frame discipline applied to lags). Windows over the daily
+    // aggregate only.
+    QueryDef.sql("q_lag_features",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2, 3),
+        |l AS (SELECT event_type, day, di, x,
+        |        lag(x, 1) OVER w AS p1, lag(di, 1) OVER w AS d1,
+        |        lag(x, 7) OVER w AS p7, lag(di, 7) OVER w AS d7
+        |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+        |  CASE WHEN di - d1 = 1 THEN p1 END AS lag1,
+        |  CASE WHEN di - d7 = 7 THEN p7 END AS lag7,
+        |  CASE WHEN di - d7 = 7 THEN x - p7 END AS wow_delta
+        |FROM l ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"))
+        .withColumn("di",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("p1", lag("x", 1).over(w)).withColumn("d1", lag("di", 1).over(w))
+        .withColumn("p7", lag("x", 7).over(w)).withColumn("d7", lag("di", 7).over(w))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
+          when(col("di") - col("d1") === 1, col("p1")).as("lag1"),
+          when(col("di") - col("d7") === 7, col("p7")).as("lag7"),
+          when(col("di") - col("d7") === 7, col("x") - col("p7")).as("wow_delta"))
+        .orderBy("event_type", "day")
+    },
+
     // B55 — weekly-seasonality strength per event type: the share of
     // daily-total variance explained by day-of-week means,
     // R² = 1 − SS_resid/SS_total (the ANOVA form of "how weekly is this

@@ -45,4 +45,29 @@ class RegressionSpec extends AnyFunSuite {
     assert(r2 >= 0.0 && r2 <= 1.0)
     assert(math.abs(r2 - model.summary.r2) < 1e-6)
   }
+
+  test("pca leading component is a unit eigenvector of the covariance (F12)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val (lambda, v) = graft.ml.Pca.leadingComponent(emb, "embedding")
+    val dim = v.length
+    assert(lambda > 0.0)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    // rebuild the covariance independently (explode-pair formulation —
+    // quadratic in dims, fine at spec scale) and check Av ≈ λv
+    val rows = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = rows.length
+    val mu = Array.tabulate(dim)(i => rows.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      rows.map(r => (r(i) - mu(i)) * (r(j) - mu(j))).sum / (n - 1)
+    }
+    val av = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+    val maxResid = (0 until dim).map(i => math.abs(av(i) - lambda * v(i))).max
+    assert(maxResid < 1e-6 * lambda,
+      s"residual $maxResid vs eigenvalue $lambda — not converged to an eigenpair")
+    // determinism: a second run returns the identical pair (sign pinned)
+    val (l2, v2) = graft.ml.Pca.leadingComponent(emb, "embedding")
+    assert(l2 == lambda && v2.sameElements(v))
+  }
 }
