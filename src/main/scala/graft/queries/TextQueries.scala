@@ -578,7 +578,12 @@ object TextQueries {
           explode(Dedup.wordNgrams(tokens(col("text")), 2)).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
         .persist()
-      val freq = broadcast(bfd.groupBy("bg").agg(sum("k").as("n")))
+      // UNLIKE the unigram case, the bigram vocabulary GROWS with the
+      // corpus (new word pairs keep appearing) — a forced broadcast here
+      // is an OOM at 100 TB, so the freq join is left to the threshold +
+      // AQE (broadcast locally, shuffle at scale; the same rule as the
+      // sf-proportional dims in q5). Only the 1-row total broadcasts.
+      val freq = bfd.groupBy("bg").agg(sum("k").as("n"))
       val tot = broadcast(freq.agg(sum("n").cast("double").as("nn")))
       bfd.join(freq, "bg").crossJoin(tot)
         .groupBy("doc_id")
