@@ -250,6 +250,47 @@ object AnalyticsQueries {
           dsum("l_extendedprice*(1-l_discount)").as("revenue"))
     },
 
+    // B57 — association rules over the co-purchase pairs (the
+    // market-basket classic: support / confidence / lift): distinct
+    // (order, part) incidence once, per-order pair explosion (B51's
+    // blocking — the join key IS the basket), then report-sized rule
+    // arithmetic. Top-20 by lift with min-support 3 through
+    // TakeOrderedAndProject; every ratio a single double expression
+    // with identical operand order both engines.
+    QueryDef.sql("q_basket_rules",
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM po),
+        |ps AS (SELECT p, count(*) AS cnt FROM po GROUP BY 1),
+        |pp AS (SELECT a.p AS pa, b.p AS pb, count(*) AS cnt_ab
+        |       FROM po a JOIN po b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |r AS (SELECT pa, pb, cnt_ab, sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+        |        CAST(cnt_ab AS DOUBLE) / sa.cnt AS conf_ab,
+        |        CAST(cnt_ab AS DOUBLE) * n_orders / (sa.cnt * sb.cnt) AS lift
+        |      FROM pp JOIN ps sa ON pa = sa.p JOIN ps sb ON pb = sb.p CROSS JOIN n
+        |      WHERE cnt_ab >= 3)
+        |SELECT pa, pb, cnt_ab, cnt_a, cnt_b, conf_ab, lift
+        |FROM r ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin) { (s, d) =>
+      val po = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .persist()
+      val nOrders = broadcast(po.select(countDistinct("o").as("n_orders")))
+      val ps = po.groupBy("p").agg(count(lit(1)).as("cnt"))
+      val pp = po.as("a")
+        .join(po.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("cnt_ab"))
+        .filter(col("cnt_ab") >= 3)
+      val rules = pp
+        .join(ps.select(col("p").as("pa"), col("cnt").as("cnt_a")), "pa")
+        .join(ps.select(col("p").as("pb"), col("cnt").as("cnt_b")), "pb")
+        .crossJoin(nOrders)
+        .select(col("pa"), col("pb"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
+          (col("cnt_ab").cast("double") / col("cnt_a")).as("conf_ab"),
+          (col("cnt_ab").cast("double") * col("n_orders") / (col("cnt_a") * col("cnt_b")))
+            .as("lift"))
+      Relational.topKByAgg(rules, 20, Seq(col("lift").desc, col("pa"), col("pb")))
+    },
+
     // B4 — running total per key (window agg; cumulative decimal is exact
     // per-prefix so the double output is deterministic).
     QueryDef.sql("q_window_running",

@@ -32,7 +32,7 @@ class SkewSpec extends AnyFunSuite {
   test("salted join beats the straggler on a planted hot key; AQE splits it too") {
     // r6 verdict: the test tables are near-uniform, so nothing
     // demonstrated the salted plan actually beating a straggler. Plant
-    // one: 60% of a 3M-row fact lands on key 0, the dim has 4k keys.
+    // one: 80% of a 3M-row fact lands on key 0, the dim has 4k keys.
     // Three measured configurations of the SAME join:
     //   plain   — SMJ, AQE skew split not triggered (default thresholds
     //             are sized for cluster-scale partitions): the hot key's
@@ -45,7 +45,7 @@ class SkewSpec extends AnyFunSuite {
     // the AQE plan must show the skew split it claims.
     val hot = 0L
     val big = spark.range(3000000L)
-      .select(when(pmod(col("id"), lit(5)) < 3, lit(hot))
+      .select(when(pmod(col("id"), lit(5)) < 4, lit(hot))
           .otherwise(pmod(col("id"), lit(4096)) + 1).as("k"),
         col("id").as("v"))
     val small = spark.range(4097L).select(col("id").as("k"),
