@@ -24,8 +24,11 @@ object ZOrder {
     * engine-identical for the magnitudes involved. */
   def quantize(c: Column, mn: Column, mx: Column, bits: Int): Column = {
     val levels = (1L << bits) - 1
-    least(floor((c - mn).cast("double") * levels / (mx - mn).cast("double")), lit(levels))
-      .cast("long")
+    // degenerate range (constant column): everything quantizes to 0
+    // rather than NaN-poisoning the z-value
+    when(mx === mn, lit(0L))
+      .otherwise(least(floor((c - mn).cast("double") * levels / (mx - mn).cast("double")),
+        lit(levels)).cast("long"))
   }
 
   /** Interleave the low `bits` bits of a and b: bit i of `a` lands at

@@ -156,4 +156,20 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.funnel(ev, "user_id", "ts", "event_type", Seq("view"), 0)
     }
   }
+
+  test("interpFill: interior gaps take the line, edges extend, single point fills flat") {
+    import java.sql.Date
+    val spine = (1 to 7).map(d => Date.valueOf(f"2024-01-$d%02d")).toDF("day")
+    // known: day2=10, day5=40 → day3=20, day4=30; edges day1=10, day6=day7=40
+    val daily = Seq((Date.valueOf("2024-01-02"), 10.0), (Date.valueOf("2024-01-05"), 40.0))
+      .toDF("day", "v")
+    val out = TimeSeries.interpFill(spine, daily, "v")
+      .orderBy("day").as[(Date, Double)].collect().map(_._2).toSeq
+    assert(out == Seq(10.0, 10.0, 20.0, 30.0, 40.0, 40.0, 40.0))
+    // single known point: flat fill everywhere
+    val one = Seq((Date.valueOf("2024-01-03"), 7.0)).toDF("day", "v")
+    val flat = TimeSeries.interpFill(spine, one, "v")
+      .as[(Date, Double)].collect().map(_._2).toSet
+    assert(flat == Set(7.0))
+  }
 }

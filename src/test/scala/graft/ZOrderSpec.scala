@@ -17,6 +17,13 @@ class ZOrderSpec extends AnyFunSuite {
     assert(n == 256L * 256L)
   }
 
+  test("quantize maps a constant column to 0 instead of NaN-poisoning the z-value") {
+    val df = Seq(5L, 5L, 5L).toDF("v")
+    val out = df.select(ZOrder.quantize(col("v"), lit(5L), lit(5L), 8).as("q"))
+      .as[Long].collect()
+    assert(out.toSeq == Seq(0L, 0L, 0L))
+  }
+
   test("z-order buckets prune a day-range box a custkey sort cannot") {
     // The layout claim behind q_zorder_layout: a 1-D custkey sort makes
     // every bucket span the FULL day range, so a day predicate prunes
