@@ -21,12 +21,13 @@ object Pca {
   def leadingComponent(df: DataFrame, vecCol: String, iters: Int = 5000)
       : (Double, Array[Double]) = {
     val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val n = df.count()
+    require(n >= 2, s"covariance needs at least 2 rows, got $n")
     // mean vector: one narrow posexplode + dim-key partial agg
     val mean = df.select(posexplode(col(vecCol)).as(Seq("d", "v")))
       .groupBy("d").agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
       .orderBy("d")
       .collect().map(r => r.getDouble(1) / r.getLong(2))
-    val n = df.count()
     // per-partition upper-triangle accumulation of Σ (x−μ)(x−μ)ᵀ
     val bMean = df.sparkSession.sparkContext.broadcast(mean)
     val acc = df.select(col(vecCol)).rdd.mapPartitions { it =>

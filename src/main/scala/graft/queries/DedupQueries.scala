@@ -206,6 +206,53 @@ object DedupQueries {
         .orderBy("cluster_id", "doc")
     },
 
+    // D8 — corpus duplication report: the one-row summary a dedup run
+    // ends with (what fraction of the corpus survives keep-one-per-
+    // cluster?). Composes the D3 verified-pair chain and D6's clusters
+    // into report arithmetic: docs-in-clusters − clusters = removals.
+    // The oracle replays the same chain with the recursive-CTE closure —
+    // the whole pipeline hash-gated end to end as ONE number, the
+    // strongest composition check the D family has (p_llm_prep's shape
+    // applied to reporting).
+    QueryDef.sql("d_dedup_report",
+      s"""WITH RECURSIVE ${idsCte(3)},
+         |${minhashVerifyCte(0.5)},
+         |edges AS (SELECT a AS u, b AS v FROM nd UNION SELECT b, a FROM nd),
+         |walk AS (
+         |  SELECT u AS node, u AS reach FROM edges
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+         |comp AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node),
+         |nd_docs AS (SELECT count(*) AS docs_in_clusters,
+         |                   count(DISTINCT cluster_id) AS n_clusters FROM comp),
+         |np AS (SELECT count(*) AS n_dup_pairs FROM nd),
+         |total AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT total.n_docs, np.n_dup_pairs, nd_docs.docs_in_clusters,
+         |  nd_docs.n_clusters,
+         |  nd_docs.docs_in_clusters - nd_docs.n_clusters AS n_removed,
+         |  CAST(total.n_docs - (nd_docs.docs_in_clusters - nd_docs.n_clusters) AS DOUBLE)
+         |    / total.n_docs AS survival_rate
+         |FROM total CROSS JOIN np CROSS JOIN nd_docs""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val docSets = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docSets.count()
+      val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2))
+      val pairs = Dedup.verifiedJaccard(cand, docSets)
+        .filter(col("jaccard") >= 0.5).persist()
+      val comp = Dedup.components(pairs, "a", "b")
+      val clusterStats = comp.agg(count(lit(1)).as("docs_in_clusters"),
+        countDistinct(col("component")).as("n_clusters"))
+      val np = pairs.agg(count(lit(1)).as("n_dup_pairs"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      total.crossJoin(np).crossJoin(clusterStats)
+        .select(col("n_docs"), col("n_dup_pairs"), col("docs_in_clusters"),
+          col("n_clusters"),
+          (col("docs_in_clusters") - col("n_clusters")).as("n_removed"),
+          ((col("n_docs") - (col("docs_in_clusters") - col("n_clusters"))).cast("double")
+            / col("n_docs")).as("survival_rate"))
+    },
+
     // D4 — 32-bit SimHash over the distinct-token set; pairs with Hamming
     // distance ≤ 3, candidate join blocked by 8-bit chunks (pigeonhole:
     // 3 differing bits over 4 chunks leave ≥1 chunk identical; 256-value
