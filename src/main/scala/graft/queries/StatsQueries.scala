@@ -380,6 +380,185 @@ object StatsQueries {
         10, Seq(col("n").desc, col("o_custkey")))
     },
 
+    // B58 — chi-square test of independence: event_type × ISO day-of-week
+    // contingency table with expected counts and per-cell chi² terms (the
+    // A/B-test / drift-audit workhorse next to B39's PSI). One partial agg
+    // over events builds the k×7 contingency; marginals are re-aggregated
+    // from that TINY table and broadcast back — the data-scale input is
+    // touched exactly once. Determinism: observed counts are integers;
+    // expected = CAST(r AS DOUBLE)*c/n is one fixed multiply-divide; each
+    // chi² term is one closed-form double expression over those.
+    QueryDef.sql("q_chi_square",
+      """WITH obs AS (
+        |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |         count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS c FROM obs GROUP BY 1),
+        |t AS (SELECT sum(o) AS n FROM obs)
+        |SELECT obs.event_type, obs.dow, CAST(obs.o AS BIGINT) AS observed,
+        |  CAST(rt.r AS DOUBLE) * ct.c / t.n AS expected,
+        |  pow(obs.o - CAST(rt.r AS DOUBLE) * ct.c / t.n, 2)
+        |    / (CAST(rt.r AS DOUBLE) * ct.c / t.n) AS chi2_term
+        |FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN t
+        |ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+      val obs = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          // ISO dow (Mon=1..Sun=7) from Spark's Sun=1..Sat=7
+          (((dayofweek(to_date(col("ts"))) + 5) % 7) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy("event_type").agg(sum("o").as("r"))
+      val ct = obs.groupBy("dow").agg(sum("o").as("c"))
+      val t = obs.agg(sum("o").as("n"))
+      val e = col("r").cast("double") * col("c") / col("n")
+      obs.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(t))
+        .select(col("event_type"), col("dow"), col("o").cast("long").as("observed"),
+          e.as("expected"),
+          (pow(col("o") - e, 2) / e).as("chi2_term"))
+        .orderBy("event_type", "dow")
+    },
+
+    // B59 — Welch's unequal-variance t-test: urgent vs low-priority order
+    // values. Both groups reduce to (n, Σx, Σx²) in ONE partial agg over
+    // the fact table (exact DECIMAL sums — mergeable, map-side combined);
+    // the t statistic and Welch–Satterthwaite df are a closed form over
+    // those six numbers, evaluated in one fixed expression tree on a
+    // 1-row frame. Nothing here changes shape at 100 TB.
+    QueryDef.sql("q_welch_ttest",
+      """WITH g AS (
+        |  SELECT o_orderpriority AS grp, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+        |    sum(CAST(o_totalprice*o_totalprice AS DECIMAL(28,4))) AS s2
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT','5-LOW') GROUP BY 1),
+        |m AS (SELECT grp, n, CAST(s1 AS DOUBLE)/n AS mean,
+        |        (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE)/n)*CAST(s1 AS DOUBLE))/(n-1) AS var
+        |      FROM g),
+        |a AS (SELECT n AS n1, mean AS m1, var AS v1 FROM m WHERE grp = '1-URGENT'),
+        |b AS (SELECT n AS n2, mean AS m2, var AS v2 FROM m WHERE grp = '5-LOW')
+        |SELECT n1, n2, m1 - m2 AS mean_diff,
+        |  (m1 - m2) / sqrt(v1/n1 + v2/n2) AS t_stat,
+        |  pow(v1/n1 + v2/n2, 2)
+        |    / (pow(v1/n1, 2)/(n1-1) + pow(v2/n2, 2)/(n2-1)) AS welch_df
+        |FROM a CROSS JOIN b""".stripMargin) { (s, d) =>
+      val g = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(col("o_orderpriority").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("s1"),
+          expr("sum(CAST(o_totalprice*o_totalprice AS DECIMAL(28,4)))").as("s2"))
+      val m = g.selectExpr("grp", "n", "CAST(s1 AS DOUBLE)/n AS mean",
+        "(CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE)/n)*CAST(s1 AS DOUBLE))/(n-1) AS var")
+      val a = m.filter(col("grp") === "1-URGENT")
+        .selectExpr("n AS n1", "mean AS m1", "var AS v1")
+      val b = m.filter(col("grp") === "5-LOW")
+        .selectExpr("n AS n2", "mean AS m2", "var AS v2")
+      a.crossJoin(b).selectExpr(
+        "n1", "n2", "m1 - m2 AS mean_diff",
+        "(m1 - m2) / sqrt(v1/n1 + v2/n2) AS t_stat",
+        """pow(v1/n1 + v2/n2, 2)
+          |  / (pow(v1/n1, 2)/(n1-1) + pow(v2/n2, 2)/(n2-1)) AS welch_df""".stripMargin)
+    },
+
+    // B60 — two-sample Kolmogorov–Smirnov statistic (binned ECDF):
+    // returned vs non-returned line-item prices. The data-scale pass is
+    // ONE groupBy on a fixed-width bin id (floor(v/100), integer key,
+    // partial-agg); the ECDF difference then runs as a cumulative window
+    // over the ~1000-row BIN table — the exact per-value KS would need a
+    // global sort of the fact table, which is precisely what the binned
+    // form avoids at 100 TB (documented resolution: D is exact for the
+    // binned distributions, a ≤bin-width approximation of the continuous
+    // one). CDF ratios are single int→double divisions; D is a max over
+    // them.
+    QueryDef.sql("q_ks_test",
+      """WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice/100.0) AS BIGINT) AS bin,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS c2
+        |  FROM lineitem WHERE l_returnflag IN ('R','N') GROUP BY 1),
+        |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM b),
+        |c AS (SELECT bin,
+        |        sum(c1) OVER (ORDER BY bin) AS a1,
+        |        sum(c2) OVER (ORDER BY bin) AS a2
+        |      FROM b)
+        |SELECT max(t.n1) AS n1, max(t.n2) AS n2,
+        |  max(abs(CAST(a1 AS DOUBLE)/t.n1 - CAST(a2 AS DOUBLE)/t.n2)) AS ks_d,
+        |  max(abs(CAST(a1 AS DOUBLE)/t.n1 - CAST(a2 AS DOUBLE)/t.n2))
+        |    * sqrt(CAST(max(t.n1) AS DOUBLE) * max(t.n2) / (max(t.n1) + max(t.n2))) AS ks_scaled
+        |FROM c CROSS JOIN t""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("R", "N"))
+        .groupBy(floor(col("l_extendedprice") / 100.0).cast("long").as("bin"))
+        .agg(sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("c1"),
+          sum(when(col("l_returnflag") === "N", 1).otherwise(0)).as("c2"))
+      val t = b.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val w = Window.orderBy("bin")
+      val c = b.select(col("bin"),
+        sum("c1").over(w).as("a1"), sum("c2").over(w).as("a2"))
+      val diff = abs(col("a1").cast("double") / col("n1") -
+        col("a2").cast("double") / col("n2"))
+      c.crossJoin(broadcast(t))
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          max(diff).as("ks_d"),
+          (max(diff) * sqrt(max(col("n1")).cast("double") * max(col("n2")) /
+            (max(col("n1")) + max(col("n2"))))).as("ks_scaled"))
+    },
+
+    // B61 — per-segment winsorization at the exact p05/p95 ceil-rank
+    // values (B14's quantile idiom): the robust-cleaning twin of B20's
+    // min-max scale. The cut points come from the per-group rank window;
+    // they broadcast back onto the fact table as a 5-row dim, and the
+    // clip itself is a narrow least/greatest projection. Report output:
+    // clip counts (integers) and DECIMAL-sum means before/after. Same
+    // per-group-window caveat as B14 — at 100 TB the cuts come from the
+    // mergeable quantile sketch (B14x) instead; the clip pass is
+    // unchanged.
+    QueryDef.sql("q_winsorize",
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal, c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS cnt
+        |  FROM customer),
+        |cuts AS (
+        |  SELECT c_mktsegment,
+        |    max(CASE WHEN rn = (cnt + 19) // 20 THEN c_acctbal END) AS p05,
+        |    max(CASE WHEN rn = (19*cnt + 19) // 20 THEN c_acctbal END) AS p95
+        |  FROM ranked GROUP BY 1),
+        |clipped AS (
+        |  SELECT c.c_mktsegment, c.c_acctbal AS v,
+        |    least(greatest(c.c_acctbal, k.p05), k.p95) AS w, k.p05, k.p95
+        |  FROM customer c JOIN cuts k USING (c_mktsegment))
+        |SELECT c_mktsegment, count(*) AS n,
+        |  sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS n_clipped_low,
+        |  sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS n_clipped_high,
+        |  max(p05) AS p05, max(p95) AS p95,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_before,
+        |  CAST(sum(CAST(w AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_after
+        |FROM clipped GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val ranked = cust.select(col("c_mktsegment"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("c_mktsegment")).as("cnt"))
+      val cuts = ranked.groupBy("c_mktsegment").agg(
+        max(when(col("rn") === expr("(cnt + 19) div 20"), col("c_acctbal"))).as("p05"),
+        max(when(col("rn") === expr("(19*cnt + 19) div 20"), col("c_acctbal"))).as("p95"))
+      val clipped = cust.join(broadcast(cuts), "c_mktsegment")
+        .select(col("c_mktsegment"), col("c_acctbal").as("v"),
+          least(greatest(col("c_acctbal"), col("p05")), col("p95")).as("w"),
+          col("p05"), col("p95"))
+      clipped.groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("v") < col("p05"), 1).otherwise(0)).as("n_clipped_low"),
+          sum(when(col("v") > col("p95"), 1).otherwise(0)).as("n_clipped_high"),
+          max("p05").as("p05"), max("p95").as("p95"),
+          (sum(col("v").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("mean_before"),
+          (sum(col("w").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("mean_after"))
+        .orderBy("c_mktsegment")
+    },
+
     // A13x — pre-aggregated mergeable HLL sketches (DataSketches
     // hll_sketch_agg/hll_union_agg): per-DAY sketches of active users are
     // the stored rollup; weekly distincts come from UNIONING the daily
