@@ -613,6 +613,77 @@ object TimeSeriesQueries {
           .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
           .groupBy("path").agg(count(lit(1)).as("n")),
         10, Seq(col("n").desc, col("path")))
+    },
+
+    // B62 — gaps & islands: per-user consecutive-active-day streaks (the
+    // engagement-streak / uptime-run operator). The classic epochday −
+    // row_number island key: constant within a run of consecutive days,
+    // strictly decreasing across a gap. Both windows partition BY USER —
+    // hash-distributed, no global sort anywhere; the data-scale input
+    // reduces to distinct (user, day) first, so the window runs over
+    // active-days, not raw events. Integer arithmetic end to end.
+    QueryDef.sql("q_streaks",
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id,
+        |        datediff('day', DATE '1970-01-01', day)
+        |          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM days),
+        |st AS (SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak,
+        |  count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val r = days.select(col("user_id"),
+        (datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w)).as("grp"))
+      r.groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum("len").cast("long").as("n_active_days"))
+        .orderBy("user_id")
+    },
+
+    // B63 — seasonal-naive forecast backtest: forecast(day) =
+    // revenue(day − 7 days), scored over every day with a calendar match
+    // (a JOIN on day−7, not a row-offset lag — B56's gappy-series
+    // discipline). Error metrics are chosen to be ORDER-FREE: WAPE
+    // (Σ|err|/Σactual), bias, MAE, RMSE — every sum is an exact DECIMAL
+    // over the day-sized aggregate (|err| and err² are exact decimal
+    // products), closed with one double division each; no double
+    // accumulates in engine-dependent order. The data-scale stage is the
+    // single daily partial agg; everything after is date-dimension-sized.
+    QueryDef.sql("q_forecast_backtest",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT d.day, d.rev, f.rev AS fc,
+        |        CAST(abs(d.rev - f.rev) AS DECIMAL(18,2)) AS aerr,
+        |        d.rev - f.rev AS err
+        |      FROM daily d JOIN daily f ON f.day = d.day - 7)
+        |SELECT count(*) AS n_days,
+        |  CAST(sum(aerr) AS DOUBLE) / count(*) AS mae,
+        |  sqrt(CAST(sum(CAST(aerr*aerr AS DECIMAL(38,4))) AS DOUBLE) / count(*)) AS rmse,
+        |  CAST(sum(aerr) AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS wape,
+        |  CAST(sum(err) AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS bias
+        |FROM j""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val j = daily.as("d")
+        .join(daily.as("f"), col("f.day") === date_sub(col("d.day"), 7))
+        .select(col("d.rev").as("rev"), col("f.rev").as("fc"))
+        .withColumn("aerr", abs(col("rev") - col("fc")).cast("decimal(18,2)"))
+        .withColumn("err", col("rev") - col("fc"))
+      j.agg(count(lit(1)).as("n_days"),
+          (sum("aerr").cast("double") / count(lit(1))).as("mae"),
+          sqrt(sum(expr("CAST(aerr*aerr AS DECIMAL(38,4))")).cast("double")
+            / count(lit(1))).as("rmse"),
+          (sum("aerr").cast("double") / sum("rev").cast("double")).as("wape"),
+          (sum("err").cast("double") / sum("rev").cast("double")).as("bias"))
     }
   )
 }
