@@ -52,6 +52,65 @@ object Scratch {
       time("cand from warm cache")(Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ds, 8), 4, 2)).count())
       spark.stop(); return
     }
+    if (qname == "probe4") {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      def time(label: String)(f: => Long): Unit = {
+        val t = System.nanoTime()
+        val n = f
+        println(f"[probe] $label%-34s ${(System.nanoTime() - t) / 1e9}%6.2f s  rows=$n")
+      }
+      val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      time("scan")(li.count())
+      val pr = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("ok"),
+          (shiftleft(col("a.l_partkey"), 32) + col("b.l_partkey")).as("uv"))
+      time("raw pair fanout")(pr.count())
+      time("pair distinct")(pr.distinct().count())
+      val e1 = pr.distinct().groupBy("uv").agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      time("weights from distinct")(e1.count())
+      val e2 = pr.groupBy("uv").agg(countDistinct(col("ok")).as("w")).filter(col("w") >= 2)
+      time("weights via countDistinct")(e2.count())
+      val it = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      time("item distinct")(it.count())
+      val pr2 = it.as("a")
+        .join(it.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select((shiftleft(col("a.pk"), 32) + col("b.pk")).as("uv"))
+      val e3 = pr2.groupBy("uv").agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      time("weights via item distinct")(e3.count())
+      val liP = li.repartition(32, col("l_orderkey"))
+      val prP = liP.as("a")
+        .join(liP.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("ok"),
+          (shiftleft(col("a.l_partkey"), 32) + col("b.l_partkey")).as("uv"))
+      time("pinned raw fanout")(prP.count())
+      val eP = prP.groupBy("uv").agg(countDistinct(col("ok")).as("w")).filter(col("w") >= 2)
+      time("pinned weights countDistinct")(eP.count())
+      val eP2 = prP.distinct().groupBy("uv").agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      time("pinned weights from distinct")(eP2.count())
+      val e = e3.select(shiftright(col("uv"), 32).as("u"),
+        col("uv").bitwiseAND(lit(0xffffffffL)).as("v")).localCheckpoint(true)
+      time("edges checkpoint")(e.count())
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
+      val cand = adj.as("x")
+        .join(broadcast(adj.as("y")), col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("u"), col("y.b").as("v"))
+        .agg(count(lit(1)).as("cn"))
+      val nw = cand.join(broadcast(e), Seq("u", "v"), "left_anti")
+      val scored = nw
+        .join(broadcast(deg.select(col("node").as("u"), col("dg").as("du"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("dg").as("dv"))), "v")
+        .select(col("u"), col("v"), col("cn").cast("long").as("cn"),
+          (col("cn").cast("double") / (col("du") + col("dv") - col("cn"))).as("jaccard"))
+      time("wedge+anti+score tail")(graft.operators.Relational.topKByAgg(scored, 50,
+        Seq(col("cn").desc, col("jaccard").desc, col("u"), col("v"))).count())
+      spark.stop(); return
+    }
     if (qname == "probe3") {
       import org.apache.spark.sql.functions._
       import graft.sources.Tables

@@ -167,6 +167,78 @@ object GraphQueries {
       st.crossJoin(ne).crossJoin(tri)
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
           (lit(3.0) * col("n_triangles") / col("triplets")).as("clustering_coeff"))
+    },
+
+    // B64 — common-neighbor link prediction on the part co-purchase
+    // graph: top-50 absent edges by (common neighbors, Jaccard). The
+    // scale guard is EDGE SPARSIFICATION before any wedge work: only
+    // pairs co-purchased in ≥2 orders survive (the D2x df-cap idea
+    // applied to edges — weight-1 co-occurrence is noise, and it is what
+    // makes the wedge fan-out quadratic in hub degree). On the
+    // sparsified graph the wedge join keys on the middle node
+    // (hash-distributed), candidates aggregate by the packed pair, the
+    // known-edge anti-join and the edge-sized degree dim close it.
+    // Jaccard = cn/(du+dv−cn) is one double division over integers;
+    // ranking ties break on (u, v).
+    QueryDef.sql("g_link_predict",
+      """WITH pr AS (
+        |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2),
+        |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        |deg AS (SELECT a AS node, count(*) AS dg FROM adj GROUP BY 1),
+        |cand AS (SELECT x.b AS u, y.b AS v, count(*) AS cn
+        |         FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+        |         GROUP BY 1, 2),
+        |nw AS (SELECT c.u, c.v, c.cn FROM cand c
+        |       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v))
+        |SELECT nw.u, nw.v, CAST(nw.cn AS BIGINT) AS cn,
+        |  CAST(nw.cn AS DOUBLE) / (du.dg + dv.dg - nw.cn) AS jaccard
+        |FROM nw JOIN deg du ON du.node = nw.u JOIN deg dv ON dv.node = nw.v
+        |ORDER BY cn DESC, jaccard DESC, u, v LIMIT 50""".stripMargin) { (s, d) =>
+      // The numbered repartition pins the self-join (and the map-side
+      // partial agg consuming its fan-out) at cluster parallelism —
+      // lineitem's (orderkey, partkey) projection is ~10 MB at sf0.1, so
+      // AQE would coalesce the join to 1-2 tasks and run the quadratic
+      // pair fan-out single-threaded (g_triangle_count's dedup-fanout
+      // trap). Weighting = per-order pair distinct (map-side partial
+      // dedup absorbs the fan-out) then a packed-key count — measured
+      // faster than one count(DISTINCT ok) aggregate (5.5 vs 2.8 s).
+      val fan = s.sparkContext.defaultParallelism
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .repartition(fan, col("l_orderkey"))
+      val pr = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("ok"),
+          (shiftleft(col("a.l_partkey"), 32) + col("b.l_partkey")).as("uv"))
+      // The sparsified edge list is the loop-invariant graph (pagerank's
+      // ep idiom): pin it once, everything downstream — adjacency, both
+      // wedge sides, degrees, the anti probe — derives from memory, and
+      // every graph-sized join below broadcasts (the data-scale work is
+      // ONLY the pr pass above).
+      val e = pr.distinct().groupBy("uv").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(shiftright(col("uv"), 32).as("u"),
+          col("uv").bitwiseAND(lit(0xffffffffL)).as("v"))
+        .localCheckpoint(true)
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val deg = adj.groupBy(col("a").as("node")).agg(count(lit(1)).as("dg"))
+      val cand = adj.as("x")
+        .join(broadcast(adj.as("y")),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("u"), col("y.b").as("v"))
+        .agg(count(lit(1)).as("cn"))
+      val nw = cand.join(broadcast(e), Seq("u", "v"), "left_anti")
+      val scored = nw
+        .join(broadcast(deg.select(col("node").as("u"), col("dg").as("du"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("dg").as("dv"))), "v")
+        .select(col("u"), col("v"), col("cn").cast("long").as("cn"),
+          (col("cn").cast("double") / (col("du") + col("dv") - col("cn"))).as("jaccard"))
+      graft.operators.Relational.topKByAgg(scored, 50,
+        Seq(col("cn").desc, col("jaccard").desc, col("u"), col("v")))
     }
   )
 }

@@ -200,6 +200,34 @@ object SimilarityQueries {
         .groupBy("label", "dim")
         .agg(count(lit(1)).as("n"), avg(col("vf").cast("double")).as("c"))
         .orderBy("label", "dim")
+    },
+
+    // E7 — radius (range) search: every corpus vector within cosine ≥ 0.3
+    // of each probe — the fixed-threshold sibling of E1's top-k (dedup
+    // checks and recall audits want "all within r", not "best k"). Same
+    // probe-bounded crossJoin as E1 — the probe set is the SMALL side by
+    // contract, so this is a broadcast nested loop over a bounded set,
+    // never corpus×corpus; the E2/E3 bucketed paths are the 100 TB
+    // candidate generators when the probe side grows. Threshold compare
+    // on the bit-identical cosine (VectorFunctions contract) can't
+    // diverge cross-engine.
+    QueryDef.sql("s_range_search", {
+      val cos = VectorFunctions.cosineDuck("p.embedding", "c.embedding")
+      s"""SELECT p.vec_id AS q, c.vec_id AS n, $cos AS cos
+         |FROM (SELECT * FROM embeddings WHERE vec_id < 20) p
+         |CROSS JOIN embeddings c
+         |WHERE p.vec_id <> c.vec_id AND $cos >= 0.3
+         |ORDER BY q, n""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q"), col("embedding").as("qv"))
+        .crossJoin(emb.select(col("vec_id").as("n"), col("embedding").as("nv")))
+        .filter(col("q") =!= col("n"))
+        .select(col("q"), col("n"),
+          VectorFunctions.cosine(col("qv"), col("nv")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy("q", "n")
     }
   )
 
