@@ -343,6 +343,96 @@ object MlQueries {
           (col("tp").cast("double") / nullif(col("n_true"), lit(0))).as("recall"),
           (lit(2.0) * col("tp") / nullif(col("n_pred") + col("n_true"), lit(0))).as("f1"))
         .orderBy("label")
+    },
+
+    // F13 — multinomial naive Bayes language classifier, trained and
+    // evaluated in one batch plan: F5's deterministic hash split (30%
+    // held out), Laplace-1 token likelihoods from the train fold,
+    // argmax posterior per test doc, confusion-matrix output. Every
+    // model artifact is vocabulary-sized and broadcast — per-(lang,tok)
+    // counts, per-lang totals, priors, |V| — so scoring is a broadcast
+    // join over the exploded test fold followed by one (doc, class)
+    // partial agg: the layout a 100 TB corpus scores with (the model
+    // never shuffles, the corpus shuffles once, by doc). Test tokens
+    // outside the train vocabulary are dropped (standard NB semantics),
+    // identically on both engines. Only the argmax class is emitted —
+    // log-likelihood sums are doubles, but class scores differ by O(1),
+    // so accumulation-order noise (~1e-13 relative) cannot flip a
+    // prediction; ties break on class name.
+    QueryDef.sql("m_naive_bayes", {
+      import graft.functions.TextFunctions
+      val toksSql = TextFunctions.tokensDuck("text")
+      val u = graft.operators.Curation.uniformDuck("doc_id")
+      s"""WITH base AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |tr AS (SELECT * FROM base WHERE $u >= 0.3),
+         |te AS (SELECT * FROM base WHERE $u < 0.3),
+         |trt AS (SELECT lang, unnest(toks) AS tok FROM tr),
+         |ltc AS (SELECT lang, tok, count(*) AS k FROM trt GROUP BY 1, 2),
+         |ltot AS (SELECT lang, sum(k) AS t FROM ltc GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT tok) AS v FROM trt),
+         |prior AS (SELECT lang, count(*) AS nd FROM tr GROUP BY 1),
+         |ndoc AS (SELECT count(*) AS nd_all FROM tr),
+         |vt AS (SELECT DISTINCT tok FROM trt),
+         |tet AS (SELECT doc_id, true_lang, tok, count(*) AS k FROM
+         |          (SELECT doc_id, lang AS true_lang, unnest(toks) AS tok FROM te)
+         |        GROUP BY 1, 2, 3),
+         |cand AS (SELECT t.doc_id, t.true_lang, t.k, c.lang AS class,
+         |           coalesce(ltc.k, 0) AS kc
+         |         FROM tet t JOIN vt ON vt.tok = t.tok
+         |         CROSS JOIN (SELECT lang FROM prior) c
+         |         LEFT JOIN ltc ON ltc.lang = c.lang AND ltc.tok = t.tok),
+         |sc AS (SELECT doc_id, true_lang, class,
+         |         sum(k * ln((kc + 1.0) / (t + v))) AS ll
+         |       FROM cand JOIN ltot ON ltot.lang = cand.class CROSS JOIN vocab
+         |       GROUP BY 1, 2, 3),
+         |pred AS (SELECT doc_id, true_lang, class AS pred_lang,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY
+         |             ln(CAST(p.nd AS DOUBLE) / na.nd_all) + sc.ll DESC, class) AS rn
+         |         FROM sc JOIN prior p ON p.lang = sc.class CROSS JOIN ndoc na)
+         |SELECT true_lang, pred_lang, count(*) AS n
+         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions
+      val u = graft.operators.Curation.uniform(col("doc_id"))
+      val base = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(col("text")).as("toks"), u.as("__u"))
+      val tr = base.filter(col("__u") >= 0.3)
+      val te = base.filter(col("__u") < 0.3)
+      val trt = tr.select(col("lang"), explode(col("toks")).as("tok"))
+      val ltc = trt.groupBy("lang", "tok").agg(count(lit(1)).as("k"))
+      val ltot = ltc.groupBy("lang").agg(sum("k").as("t"))
+      val vocab = trt.select("tok").distinct().agg(count(lit(1)).as("v"))
+      val prior = tr.groupBy("lang").agg(count(lit(1)).as("nd"))
+      val ndoc = tr.agg(count(lit(1)).as("nd_all"))
+      val vt = trt.select("tok").distinct()
+      val tet = te.select(col("doc_id"), col("lang").as("true_lang"),
+          explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "true_lang", "tok").agg(count(lit(1)).as("k"))
+      val cand = tet
+        .join(broadcast(vt), "tok")
+        .crossJoin(broadcast(prior.select(col("lang").as("class"))))
+        .join(broadcast(ltc.select(col("lang").as("class"), col("tok"),
+          col("k").as("kc0"))), Seq("class", "tok"), "left")
+        .select(col("doc_id"), col("true_lang"), col("k"), col("class"),
+          coalesce(col("kc0"), lit(0L)).as("kc"))
+      val sc = cand
+        .join(broadcast(ltot.select(col("lang").as("class"), col("t"))), "class")
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id", "true_lang", "class")
+        .agg(sum(col("k") * log((col("kc") + 1.0) / (col("t") + col("v")))).as("ll"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy((log(col("nd").cast("double") / col("nd_all")) + col("ll")).desc,
+          col("class"))
+      sc.join(broadcast(prior.select(col("lang").as("class"), col("nd"))), "class")
+        .crossJoin(broadcast(ndoc))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("true_lang"), col("class").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
     }
   )
 }

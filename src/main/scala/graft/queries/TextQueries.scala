@@ -766,6 +766,73 @@ object TextQueries {
         (col("k") * col("sxx") - col("sx") * col("sx"))
       st.select(col("k").cast("long").as("k"), slope.as("slope"),
         ((col("sy") - slope * col("sx")) / col("k")).as("intercept"))
+    },
+
+    // C21 — chi-square keyword extraction: the top-10 tokens most
+    // associated with each language by the 2×2 presence/class chi²
+    // (the classic supervised feature-selection / "what characterizes
+    // this slice" operator). Doc-level presence (distinct (doc, tok))
+    // is the one data-scale pass; the contingency cells derive from the
+    // vocabulary-sized (lang, tok) table + broadcast class sizes. The
+    // C12 df band (5..400) guards both the hapax tail and the
+    // denominator zeros of all-corpus tokens. All four cells are
+    // integers; chi² is one fixed expression over their exact double
+    // images (every product < 2⁵³ at this scale — explicit multiplies,
+    // no pow, so ranking compares bit-identical doubles); ties break on
+    // token.
+    QueryDef.sql("t_chi2_keywords", {
+      val toksSql = tokensDuck("text")
+      s"""WITH dt AS (SELECT doc_id, lang, tok FROM
+         |             (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents)
+         |           GROUP BY 1, 2, 3),
+         |lt AS (SELECT lang, tok, count(*) AS a FROM dt GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, sum(a) AS df FROM lt GROUP BY 1
+         |          HAVING sum(a) BETWEEN 5 AND 400),
+         |nl AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |cells AS (SELECT lt.lang, lt.tok, lt.a,
+         |            dfreq.df - lt.a AS b, nl.nl - lt.a AS c,
+         |            nn.n - nl.nl - (dfreq.df - lt.a) AS dd
+         |          FROM lt JOIN dfreq USING (tok) JOIN nl USING (lang) CROSS JOIN nn),
+         |chi AS (SELECT lang, tok, a,
+         |          CAST(a + b + c + dd AS DOUBLE)
+         |            * ((CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c)
+         |               * (CAST(a AS DOUBLE) * dd - CAST(b AS DOUBLE) * c))
+         |            / (CAST(a + b AS DOUBLE) * (c + dd) * (a + c) * (b + dd)) AS chi2
+         |        FROM cells)
+         |SELECT lang, rank, tok, CAST(a AS BIGINT) AS n_docs, chi2 FROM (
+         |  SELECT lang, tok, a, chi2,
+         |    row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, tok) AS rank
+         |  FROM chi)
+         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val dt = docs
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .distinct()
+      val lt = dt.groupBy("lang", "tok").agg(count(lit(1)).as("a"))
+      val dfreq = lt.groupBy("tok").agg(sum("a").as("df"))
+        .filter(col("df").between(5, 400))
+      val nl = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val cells = lt.join(dfreq, "tok")
+        .join(broadcast(nl), "lang").crossJoin(broadcast(nn))
+        .select(col("lang"), col("tok"), col("a"),
+          (col("df") - col("a")).as("b"), (col("nl") - col("a")).as("c"),
+          (col("n") - col("nl") - (col("df") - col("a"))).as("dd"))
+      val x = col("a").cast("double") * col("dd") - col("b").cast("double") * col("c")
+      val chi = cells.select(col("lang"), col("tok"), col("a"),
+        ((col("a") + col("b") + col("c") + col("dd")).cast("double") * (x * x) /
+          ((col("a") + col("b")).cast("double") * (col("c") + col("dd")) *
+            (col("a") + col("c")) * (col("b") + col("dd")))).as("chi2"))
+      val w = Window.partitionBy("lang").orderBy(col("chi2").desc, col("tok"))
+      chi.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("rank"), col("tok"),
+          col("a").cast("long").as("n_docs"), col("chi2"))
+        .orderBy("lang", "rank")
     }
   )
 }
