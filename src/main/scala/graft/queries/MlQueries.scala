@@ -433,6 +433,101 @@ object MlQueries {
         .groupBy(col("true_lang"), col("class").as("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy("true_lang", "pred_lang")
+    },
+
+    // F14 — decision stump (1-level tree) for returned-vs-kept on line
+    // price: the exact best split by weighted Gini over BINNED candidate
+    // thresholds — B60's binning discipline makes split search one
+    // integer-bin partial agg (the only data-scale stage) + a cumulative
+    // window over ~100 bins. Gini terms are fixed closed-form doubles
+    // over exact cumulative integer counts, so the argmin compares
+    // bit-identical values; ties break on the lower bin. Output: the
+    // split, its class balance, and the root impurity it improves on.
+    QueryDef.sql("m_decision_stump",
+      """WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice/1000.0) AS BIGINT) AS bin,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS neg
+        |  FROM lineitem WHERE l_returnflag IN ('R','N') GROUP BY 1),
+        |t AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM b),
+        |c AS (SELECT bin, sum(pos) OVER (ORDER BY bin) AS cp,
+        |             sum(neg) OVER (ORDER BY bin) AS cn FROM b),
+        |g AS (SELECT bin, cp, cn, tp, tn,
+        |        (CAST(cp + cn AS DOUBLE) / (tp + tn))
+        |          * (1.0 - (CAST(cp AS DOUBLE)/(cp+cn))*(CAST(cp AS DOUBLE)/(cp+cn))
+        |                 - (CAST(cn AS DOUBLE)/(cp+cn))*(CAST(cn AS DOUBLE)/(cp+cn)))
+        |      + (CAST((tp-cp) + (tn-cn) AS DOUBLE) / (tp + tn))
+        |          * (1.0 - (CAST(tp-cp AS DOUBLE)/((tp-cp)+(tn-cn)))*(CAST(tp-cp AS DOUBLE)/((tp-cp)+(tn-cn)))
+        |                 - (CAST(tn-cn AS DOUBLE)/((tp-cp)+(tn-cn)))*(CAST(tn-cn AS DOUBLE)/((tp-cp)+(tn-cn)))) AS wg
+        |      FROM c CROSS JOIN t WHERE (tp-cp) + (tn-cn) > 0)
+        |SELECT CAST((bin + 1) * 1000 AS DOUBLE) AS threshold,
+        |  CAST(cp + cn AS BIGINT) AS n_left, CAST((tp-cp)+(tn-cn) AS BIGINT) AS n_right,
+        |  wg AS split_gini,
+        |  1.0 - (CAST(tp AS DOUBLE)/(tp+tn))*(CAST(tp AS DOUBLE)/(tp+tn))
+        |      - (CAST(tn AS DOUBLE)/(tp+tn))*(CAST(tn AS DOUBLE)/(tp+tn)) AS root_gini
+        |FROM g ORDER BY wg, bin LIMIT 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("R", "N"))
+        .groupBy(floor(col("l_extendedprice") / 1000.0).cast("long").as("bin"))
+        .agg(sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("pos"),
+          sum(when(col("l_returnflag") === "N", 1).otherwise(0)).as("neg"))
+      val t = b.agg(sum("pos").as("tp"), sum("neg").as("tn"))
+      val w = Window.orderBy("bin")
+      val c = b.select(col("bin"),
+        sum("pos").over(w).as("cp"), sum("neg").over(w).as("cn"))
+      def gini(p: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+        lit(1.0) - (p.cast("double") / (p + n)) * (p.cast("double") / (p + n)) -
+          (n.cast("double") / (p + n)) * (n.cast("double") / (p + n))
+      val rp = col("tp") - col("cp")
+      val rn = col("tn") - col("cn")
+      val g = c.crossJoin(broadcast(t))
+        .filter(rp + rn > 0)
+        .withColumn("wg",
+          ((col("cp") + col("cn")).cast("double") / (col("tp") + col("tn"))) *
+            gini(col("cp"), col("cn")) +
+          ((rp + rn).cast("double") / (col("tp") + col("tn"))) * gini(rp, rn))
+      graft.operators.Relational.topKByAgg(
+          g.select(((col("bin") + 1) * 1000.0).as("threshold"),
+            (col("cp") + col("cn")).cast("long").as("n_left"),
+            (rp + rn).cast("long").as("n_right"),
+            col("wg").as("split_gini"),
+            gini(col("tp"), col("tn")).as("root_gini"),
+            col("wg"), col("bin")),
+          1, Seq(col("wg"), col("bin")))
+        .select("threshold", "n_left", "n_right", "split_gini", "root_gini")
+    },
+
+    // F15 — Brier score + log-loss for the F9 scorer: the proper scoring
+    // rules that complement AUC (ranking) and F10 (calibration curve).
+    // Probability = the F10 min-max normalization of the score, clamped
+    // to [1e-6, 1−1e-6] for the log terms; one broadcast bounds row +
+    // one 1-row reduce over a narrow projection. Double sums over
+    // same-magnitude positive terms — accumulation-order noise is
+    // ~1e-13 relative, invisible at the 9-significant-digit gate
+    // (q_seasonality_strength's precedent).
+    QueryDef.sql("m_brier",
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |s AS (SELECT least(greatest((value - mn) / (mx - mn), 0.000001), 0.999999) AS p,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |      FROM events CROSS JOIN b)
+        |SELECT count(*) AS n,
+        |  sum((p - y) * (p - y)) / count(*) AS brier,
+        |  sum(-(y * ln(p) + (1 - y) * ln(1.0 - p))) / count(*) AS logloss,
+        |  CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
+        |FROM s""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b = ev.agg(min("value").as("mn"), max("value").as("mx"))
+      val sc = ev.crossJoin(broadcast(b))
+        .select(
+          least(greatest((col("value") - col("mn")) / (col("mx") - col("mn")),
+            lit(0.000001)), lit(0.999999)).as("p"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+      sc.agg(count(lit(1)).as("n"),
+        (sum((col("p") - col("y")) * (col("p") - col("y"))) / count(lit(1))).as("brier"),
+        (sum(-(col("y") * log(col("p")) +
+          (lit(1) - col("y")) * log(lit(1.0) - col("p")))) / count(lit(1))).as("logloss"),
+        (sum("y").cast("double") / count(lit(1))).as("pos_rate"))
     }
   )
 }

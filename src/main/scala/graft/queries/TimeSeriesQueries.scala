@@ -684,6 +684,43 @@ object TimeSeriesQueries {
             / count(lit(1))).as("rmse"),
           (sum("aerr").cast("double") / sum("rev").cast("double")).as("wape"),
           (sum("err").cast("double") / sum("rev").cast("double")).as("bias"))
+    },
+
+    // B65 — order inter-arrival statistics per market segment (the
+    // purchase-cadence readout feeding churn/LTV models): per-customer
+    // day gaps from ONE customer-partitioned lag window (tie-break
+    // orderkey — engine-identical pairing on same-day orders), then a
+    // segment rollup joined through the broadcast customer dim. Gaps are
+    // integers, so every statistic is an exact integer aggregate closed
+    // by one double division.
+    QueryDef.sql("q_interarrival",
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS day
+        |           FROM orders),
+        |g AS (SELECT o_custkey,
+        |        datediff('day',
+        |          lag(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey),
+        |          day) AS gap
+        |      FROM o)
+        |SELECT c_mktsegment, count(*) AS n_gaps,
+        |  CAST(sum(gap) AS DOUBLE) / count(*) AS avg_gap_days,
+        |  min(gap) AS min_gap, max(gap) AS max_gap
+        |FROM g JOIN customer ON c_custkey = o_custkey
+        |WHERE gap IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))
+      val g = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("day"))
+        .select(col("o_custkey"),
+          datediff(col("day"), lag("day", 1).over(w)).as("gap"))
+        .filter(col("gap").isNotNull)
+      g.join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"),
+          (sum("gap").cast("double") / count(lit(1))).as("avg_gap_days"),
+          min("gap").as("min_gap"), max("gap").as("max_gap"))
+        .orderBy("c_mktsegment")
     }
   )
 }
