@@ -52,6 +52,26 @@ object Scratch {
       time("cand from warm cache")(Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ds, 8), 4, 2)).count())
       spark.stop(); return
     }
+    if (qname == "probe5") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_" +
+        Integer.toHexString("/root/testdata/sf0.01".hashCode) + "late3"
+      println(s"[probe5] dir=$dir files:")
+      new java.io.File(dir).listFiles().foreach(f =>
+        println(s"  ${f.getName} mod=${f.lastModified()}"))
+      val ev = graft.streaming.Events.readEventStreamPaced(spark, dir, 1)
+      val q = graft.streaming.Events.tumblingCounts(ev)
+        .writeStream.format("memory").queryName("p5")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.recentProgress.foreach(p =>
+        println(s"[probe5] batch=${p.batchId} rows=${p.numInputRows} watermark=${p.eventTime.get("watermark")}"))
+      q.stop()
+      spark.stop(); return
+    }
     if (qname == "probe4") {
       import org.apache.spark.sql.functions._
       import graft.sources.Tables

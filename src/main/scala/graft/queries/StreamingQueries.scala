@@ -92,6 +92,63 @@ object StreamingQueries {
     s"$dir/events"
   }
 
+  /** Stage the late-arrival replay: THREE parquet files with ordered
+    * modification times, paced one file per micro-batch.
+    *  - file 0: the real events;
+    *  - file 1: a 'flush' heartbeat at max ts + 1 h — its only job is to
+    *    have ADVANCED the operative watermark by the time file 2 lands
+    *    (a batch's watermark comes from data seen in EARLIER batches, so
+    *    rows planted in the batch right after the real data are judged
+    *    against the INITIAL watermark and sail through — measured);
+    *  - file 2: three planted 'click' rows back at the start of the
+    *    month — weeks below the now-operative watermark, so the
+    *    aggregation must DROP them — plus the closing 'flush' sentinel at
+    *    max ts + 2 h whose event time pushes the final watermark over
+    *    every real window end (f_stream_session's heartbeat trick).
+    * Immutable per sfDir, staged once per JVM. */
+  private def stagedLateEvents(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_" +
+      Integer.toHexString(d.hashCode) + "late3"
+    val done = new java.io.File(s"$dir/_STAGED")
+    if (!done.isFile) {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head
+      val (mn, mx) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      def flushRow(hours: Int) = s.range(1)
+        .select(lit(-1L - hours).as("event_id"),
+          (lit(mx) + expr(s"INTERVAL $hours HOURS")).as("ts"),
+          lit(0L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val planted = s.range(3)
+        .select((lit(-101L) - col("id")).as("event_id"),
+          (lit(mn) + expr("make_interval(0, 0, 0, 0, 0, 0, id + 1)")).as("ts"),
+          (col("id") + 1).as("user_id"), lit("click").as("event_type"),
+          lit(100.0).as("value"), lit(null).cast("string").as("props"))
+        .unionByName(flushRow(2))
+      def onePart(df: org.apache.spark.sql.DataFrame, tmp: String): java.nio.file.Path = {
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val st = Files.list(Paths.get(tmp))
+        try st.filter(_.toString.endsWith(".parquet")).findFirst.get finally st.close()
+      }
+      val parts = Seq(
+        "00_real.parquet" -> onePart(ev, s"$dir/_tmp_a"),
+        "01_heartbeat.parquet" -> onePart(flushRow(1), s"$dir/_tmp_b"),
+        "02_late.parquet" -> onePart(planted, s"$dir/_tmp_c"))
+      Files.createDirectories(Paths.get(dir))
+      // the file source orders by modification time — pin the replay order
+      val t0 = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case ((name, src), i) =>
+        Files.copy(src, Paths.get(s"$dir/$name"), StandardCopyOption.REPLACE_EXISTING)
+        new java.io.File(s"$dir/$name").setLastModified(t0 - 180000 + i * 60000)
+      }
+      Seq("_tmp_a", "_tmp_b", "_tmp_c").foreach(t =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/$t")))
+      done.createNewFile()
+    }
+    dir
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // F1a as a driver-visible query: the events table is staged to a
@@ -200,6 +257,41 @@ object StreamingQueries {
       s.table(sink)
         .groupBy("event_type").agg(max("n_events").as("n_events"))
         .orderBy("event_type")
+    },
+
+    // F1g as a driver-visible query: LATE-DATA DROP — the watermark
+    // semantics the other streaming rows can't exercise (their
+    // single-batch drains never see anything late). The staged replay is
+    // paced one file per micro-batch: batch 0 is the real month of
+    // events; batch 1 a watermark-advancing heartbeat; batch 2 carries
+    // three planted 'click' rows from the start of the month — weeks
+    // below the operative watermark (max ts − 1 h) — plus the flush
+    // sentinel that closes the final real windows. The
+    // aggregation MUST drop the planted rows: the oracle is the plain
+    // batch tumbling aggregation over the ORIGINAL events only, so a
+    // failure to drop shifts that day's click count/value and fails the
+    // hash gate. Append mode (drop needs state eviction; Complete mode
+    // keeps late state live forever by design).
+    QueryDef.sql("f_stream_late",
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Events.readEventStreamPaced(s, stagedLateEvents(s, d), 1)
+      val sink = "f_stream_late_sink"
+      withStatePartitions(s, 8) {
+        val q = Events.tumblingCounts(ev)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      }
+      s.table(sink)
+        .filter(col("event_type") =!= "flush")
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("day", "event_type")
     },
 
     // F1e as a driver-visible query: declarative session windows —

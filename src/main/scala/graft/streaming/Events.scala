@@ -46,6 +46,18 @@ object Events {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** File-source stream paced to `filesPerTrigger` files per micro-batch
+    * (oldest modification time first). Multi-batch replay is what gives a
+    * bounded run real WATERMARK SEMANTICS: the watermark only advances
+    * between batches, so data arriving in a later batch can actually be
+    * late relative to it — with the default single-batch drain nothing
+    * ever is (Trigger.AvailableNow honors maxFilesPerTrigger). */
+  def readEventStreamPaced(spark: SparkSession, dir: String,
+                           filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(dir)
+
   /** F1a — watermarked tumbling-window aggregation; the streaming twin of
     * q_events_tumbling. Append-mode emits a window only once its watermark
     * passes — at scale this is a partial-aggregated stateful op whose state
