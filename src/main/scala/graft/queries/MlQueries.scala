@@ -528,6 +528,45 @@ object MlQueries {
         (sum(-(col("y") * log(col("p")) +
           (lit(1) - col("y")) * log(lit(1.0) - col("p")))) / count(lit(1))).as("logloss"),
         (sum("y").cast("double") / count(lit(1))).as("pos_rate"))
+    },
+
+    // F16 — decile lift / gains chart for the F9 scorer (the targeting
+    // readout next to AUC/calibration/Brier: "mail the top 2 deciles,
+    // capture X% of converters"). ntile(10) by score desc under a unique
+    // tie-break (event_id — engine-identical placement, B53's
+    // discipline); per-decile positives are integer aggregates, lift and
+    // cumulative capture are single double divisions against the
+    // broadcast totals. The global rank window carries B27's caveat —
+    // at 100 TB the decile cuts come from the B14x quantile sketch and
+    // deciles from a broadcast join against 9 cut points.
+    QueryDef.sql("m_lift_gains",
+      """WITH s AS (SELECT event_id, value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |t AS (SELECT count(*) AS n, sum(y) AS npos FROM s),
+        |d AS (SELECT y, ntile(10) OVER (ORDER BY score DESC, event_id) AS decile FROM s),
+        |g AS (SELECT decile, count(*) AS n, sum(y) AS npos FROM d GROUP BY 1)
+        |SELECT decile, g.n AS n, CAST(g.npos AS BIGINT) AS n_pos,
+        |  CAST(g.npos AS DOUBLE) / g.n AS pos_rate,
+        |  (CAST(g.npos AS DOUBLE) / g.n) / (CAST(t.npos AS DOUBLE) / t.n) AS lift,
+        |  CAST(sum(g.npos) OVER (ORDER BY decile) AS DOUBLE)
+        |    / t.npos AS cum_capture
+        |FROM g CROSS JOIN t ORDER BY decile""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sc = Tables.events(s, d).select(col("event_id"), col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val t = sc.agg(count(lit(1)).as("tn"), sum("y").as("tpos"))
+      val dec = sc.select(col("y"),
+        ntile(10).over(Window.orderBy(col("score").desc, col("event_id"))).as("decile"))
+      val g = dec.groupBy("decile").agg(count(lit(1)).as("n"), sum("y").as("npos"))
+      g.crossJoin(broadcast(t))
+        .select(col("decile"), col("n"), col("npos").cast("long").as("n_pos"),
+          (col("npos").cast("double") / col("n")).as("pos_rate"),
+          ((col("npos").cast("double") / col("n")) /
+            (col("tpos").cast("double") / col("tn"))).as("lift"),
+          (sum("npos").over(Window.orderBy("decile")).cast("double") /
+            col("tpos")).as("cum_capture"))
+        .orderBy("decile")
     }
   )
 }

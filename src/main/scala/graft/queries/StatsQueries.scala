@@ -559,6 +559,44 @@ object StatsQueries {
         .orderBy("c_mktsegment")
     },
 
+    // B66 — revenue concentration (Lorenz/Pareto deciles): how much of
+    // total revenue the top decile of customers carries — the
+    // concentration CURVE behind B42's single Gini number. Customer
+    // revenue is one partial agg over orders; the ntile(10) window runs
+    // over the CUSTOMER-sized aggregate with a unique tie-break
+    // (B53's discipline; B14x sketch cuts at 100 TB); shares are exact
+    // DECIMAL sums closed by one double division against the broadcast
+    // total.
+    QueryDef.sql("q_pareto",
+      """WITH c AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM c),
+        |d AS (SELECT o_custkey, rev,
+        |        ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+        |      FROM c),
+        |g AS (SELECT decile, count(*) AS n_customers, sum(rev) AS rev FROM d GROUP BY 1)
+        |SELECT decile, n_customers,
+        |  CAST(g.rev AS DOUBLE) AS revenue,
+        |  CAST(g.rev AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        |  CAST(sum(g.rev) OVER (ORDER BY decile) AS DOUBLE)
+        |    / CAST(t.total AS DOUBLE) AS cum_share
+        |FROM g CROSS JOIN t ORDER BY decile""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val t = c.agg(sum("rev").as("total"))
+      val dec = c.select(col("o_custkey"), col("rev"),
+        ntile(10).over(Window.orderBy(col("rev").desc, col("o_custkey"))).as("decile"))
+      val g = dec.groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum("rev").as("rev"))
+      g.crossJoin(broadcast(t))
+        .select(col("decile"), col("n_customers"),
+          col("rev").cast("double").as("revenue"),
+          (col("rev").cast("double") / col("total").cast("double")).as("share"),
+          (sum("rev").over(Window.orderBy("decile")).cast("double") /
+            col("total").cast("double")).as("cum_share"))
+        .orderBy("decile")
+    },
+
     // A13x — pre-aggregated mergeable HLL sketches (DataSketches
     // hll_sketch_agg/hll_union_agg): per-DAY sketches of active users are
     // the stored rollup; weekly distincts come from UNIONING the daily
