@@ -202,7 +202,7 @@ object SimilarityQueries {
         .orderBy("label", "dim")
     },
 
-    // E7 — radius (range) search: every corpus vector within cosine ≥ 0.3
+    // E8 — radius (range) search: every corpus vector within cosine ≥ 0.3
     // of each probe — the fixed-threshold sibling of E1's top-k (dedup
     // checks and recall audits want "all within r", not "best k"). Same
     // probe-bounded crossJoin as E1 — the probe set is the SMALL side by
