@@ -181,6 +181,78 @@ object CurationQueries {
           docs.filter(col("doc_id") % 97 === 0),
           "doc_id", "text", 3)
         .orderBy("doc")
+    },
+
+    // H7 — source-interleaved training order: round-robin across sources
+    // in per-source md5 order (the shuffling guarantee a multi-source
+    // pre-training run wants: no long single-source stretches). The
+    // ORACLE materializes the global position with a row_number window;
+    // the SPARK side computes the IDENTICAL position by closed form —
+    // position = Σ_s min(cnt_s, rn−1) + #{s < source : cnt_s ≥ rn} + 1 —
+    // from a 20-row broadcast of per-source counts: a per-source rank
+    // window (hash-distributed) plus a broadcast fan-out/re-agg, NO
+    // global sort or single-partition window anywhere. Two engines, two
+    // mechanisms, one hash — the cross-paradigm check is the point.
+    QueryDef.sql("p_interleave",
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS position,
+        |  doc_id, source, CAST(rn AS BIGINT) AS rn
+        |FROM r ORDER BY position""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val r = docs.select(col("doc_id"), col("source"),
+        row_number().over(w).cast("long").as("rn"))
+      val cnt = docs.groupBy(col("source").as("src2"))
+        .agg(count(lit(1)).as("cnt2"))
+      r.crossJoin(broadcast(cnt))
+        .groupBy("doc_id", "source", "rn")
+        .agg((sum(least(col("cnt2"), col("rn") - 1)) +
+          sum(when(col("cnt2") >= col("rn") && col("src2") < col("source"), 1L)
+            .otherwise(0L)) + 1L).as("position"))
+        .select(col("position"), col("doc_id"), col("source"), col("rn"))
+        .orderBy("position")
+    },
+
+    // H8 — reproducible token-budget selection: the docs filling the
+    // first 20 000 tokens of the corpus in md5 order ("give me exactly a
+    // N-token reproducible subset" — the budget knob every scaling-law /
+    // ablation run turns). Token counts are C1's oracle-proven
+    // tokenizer; the cumulative sum runs over md5-ordered docs. The
+    // global cumulative window is the exactness path at this scale; at
+    // 100 TB the cut comes from per-hash-prefix token totals (prefix
+    // sums over a 4096-row dim) with the exact window only inside the
+    // single cut bin — the same histogram-cut ladder as B14x.
+    QueryDef.sql("p_token_budget", {
+      import graft.functions.TextFunctions
+      val toksSql = TextFunctions.tokensDuck("text")
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY h, doc_id) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions
+      val t = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val w = Window.orderBy(col("h"), col("doc_id"))
+      t.select(col("doc_id"), col("source"), col("n_tokens"),
+          sum("n_tokens").over(w).cast("long").as("cum_tokens"))
+        .filter(col("cum_tokens") <= 20000)
+        .orderBy("doc_id")
     }
   )
 }
