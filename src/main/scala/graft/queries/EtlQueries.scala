@@ -663,6 +663,32 @@ object EtlQueries {
         "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
         "priority_format" -> col("o_orderpriority").rlike("^[1-5]-")),
         uniqueKeys = Seq("o_orderkey"))
+    },
+
+    // G14 — the SQL gateway: ONE ANSI string (the dialect-common subset
+    // both engines parse) registered-temp-view'd and executed VERBATIM
+    // by spark.sql — the same text the oracle runs in DuckDB. This is
+    // the "run the SQL you run today" surface of the engine: the
+    // DataFrame rows prove the operators, this row proves the TEXT
+    // interface reaches the same Catalyst plans (pushdown, broadcast,
+    // partial agg — all free through the parser too).
+    QueryDef.sql("q_sql_gateway", EtlQueries.gatewaySql) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(EtlQueries.gatewaySql)
     }
   )
+
+  /** The G14 shared text: valid and result-identical in Spark SQL AND
+    * DuckDB — the oracle IS the executed query. (A `def`: `all`'s Seq
+    * construction reads it during object init, before a later `val`
+    * would have been assigned.) */
+  private[queries] def gatewaySql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 }

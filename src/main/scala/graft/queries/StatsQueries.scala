@@ -597,6 +597,52 @@ object StatsQueries {
         .orderBy("decile")
     },
 
+    // B67 — 2-D Mahalanobis outliers on (quantity, price): the
+    // MULTIVARIATE complement of B26/B50 — a row can be unremarkable in
+    // each margin yet far off the joint correlation axis, which is what
+    // the cross term catches. Five exact-DECIMAL moments in ONE partial
+    // agg (m_linreg's sufficient-statistics discipline), the 2×2
+    // covariance inverted in closed form inside the same broadcast row,
+    // d² as one fixed expression per row, top-20 via
+    // TakeOrderedAndProject with key tie-breaks.
+    QueryDef.sql("q_mahalanobis",
+      """WITH m AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem),
+        |p AS (SELECT sx/n AS mx, sy/n AS my,
+        |        sxx/n - (sx/n)*(sx/n) AS vx, syy/n - (sy/n)*(sy/n) AS vy,
+        |        sxy/n - (sx/n)*(sy/n) AS cxy FROM m)
+        |SELECT l_orderkey, l_linenumber, l_quantity AS x, l_extendedprice AS y,
+        |  ((l_quantity-mx)*(l_quantity-mx)*vy
+        |    - 2*cxy*(l_quantity-mx)*(l_extendedprice-my)
+        |    + (l_extendedprice-my)*(l_extendedprice-my)*vx)
+        |  / (vx*vy - cxy*cxy) AS d2
+        |FROM lineitem CROSS JOIN p
+        |ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val m = li.agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)").as("sx"),
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)").as("sy"),
+        expr("CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE)").as("sxx"),
+        expr("CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)").as("syy"),
+        expr("CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)").as("sxy"))
+      val p = m.selectExpr("sx/n AS mx", "sy/n AS my",
+        "sxx/n - (sx/n)*(sx/n) AS vx", "syy/n - (sy/n)*(sy/n) AS vy",
+        "sxy/n - (sx/n)*(sy/n) AS cxy")
+      graft.operators.Relational.topKByAgg(
+        li.crossJoin(broadcast(p)).selectExpr(
+          "l_orderkey", "l_linenumber", "l_quantity AS x", "l_extendedprice AS y",
+          """((l_quantity-mx)*(l_quantity-mx)*vy
+            |  - 2*cxy*(l_quantity-mx)*(l_extendedprice-my)
+            |  + (l_extendedprice-my)*(l_extendedprice-my)*vx)
+            |/ (vx*vy - cxy*cxy) AS d2""".stripMargin),
+        20, Seq(col("d2").desc, col("l_orderkey"), col("l_linenumber")))
+    },
+
     // A13x — pre-aggregated mergeable HLL sketches (DataSketches
     // hll_sketch_agg/hll_union_agg): per-DAY sketches of active users are
     // the stored rollup; weekly distincts come from UNIONING the daily
