@@ -356,6 +356,45 @@ object DedupQueries {
       graft.operators.Similarity
         .embeddingNearDupPairs(Tables.embeddings(s, d), "label", 0.4)
         .orderBy("a", "b")
+    },
+
+    // D8 — duplication structure BY SOURCE: the curation diagnostic that
+    // decides WHERE dedup effort goes ("src3 mirrors src7" vs "src5
+    // re-posts itself"). Reuses the D3 verified-pair chain, then joins
+    // each endpoint to the slim (doc_id, source) dim — broadcast at any
+    // corpus scale — and rolls up by the UNORDERED source pair
+    // (least/greatest canonicalization). Mean jaccard per source pair is
+    // a few-term double average — engine-stable at the 9-digit gate.
+    QueryDef.sql("d_dup_rate_by_source",
+      s"""WITH ${idsCte(3)},
+         |${minhashVerifyCte(0.5)},
+         |sp AS (SELECT nd.a, nd.b, nd.jaccard,
+         |         da.source AS sa, db.source AS sb
+         |       FROM nd JOIN documents da ON da.doc_id = nd.a
+         |               JOIN documents db ON db.doc_id = nd.b)
+         |SELECT least(sa, sb) AS source_1, greatest(sa, sb) AS source_2,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+         |  sum(jaccard) / count(*) AS mean_jaccard
+         |FROM sp GROUP BY 1, 2 ORDER BY n_pairs DESC, source_1, source_2""".stripMargin) { (s, d) =>
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d)
+      val docSets = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docSets.count()
+      val nd = Dedup.verifiedJaccard(
+        Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2)),
+        docSets).filter(col("jaccard") >= 0.5)
+      val dim = docs.select(col("doc_id"), col("source"))
+      val sp = nd
+        .join(broadcast(dim.select(col("doc_id").as("a"), col("source").as("sa"))), "a")
+        .join(broadcast(dim.select(col("doc_id").as("b"), col("source").as("sb"))), "b")
+      sp.groupBy(least(col("sa"), col("sb")).as("source_1"),
+          greatest(col("sa"), col("sb")).as("source_2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") === col("sb"), 1).otherwise(0)).cast("long").as("n_within"),
+          (sum("jaccard") / count(lit(1))).as("mean_jaccard"))
+        .orderBy(col("n_pairs").desc, col("source_1"), col("source_2"))
     }
   )
 }

@@ -833,6 +833,53 @@ object TextQueries {
         .select(col("lang"), col("rank"), col("tok"),
           col("a").cast("long").as("n_docs"), col("chi2"))
         .orderBy("lang", "rank")
+    },
+
+    // C22 — corpus composition audit per source: doc/token volume,
+    // dominant language + its share, and language-mix entropy — the
+    // one-page answer to "what is actually in this source?" before it
+    // enters a mix (H2 takes rates; this is where the rates come from).
+    // Everything reduces to the (source, lang) count grid (one partial
+    // agg) plus a token-count agg; entropy is ≤5 ln terms per source.
+    QueryDef.sql("t_source_composition", {
+      val toksSql = tokensDuck("text")
+      s"""WITH sl AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+         |st AS (SELECT source, sum(n) AS nd FROM sl GROUP BY 1),
+         |tok AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |        FROM documents GROUP BY 1),
+         |ent AS (SELECT sl.source,
+         |          sum(-(CAST(sl.n AS DOUBLE)/st.nd) * ln(CAST(sl.n AS DOUBLE)/st.nd)) AS lang_entropy
+         |        FROM sl JOIN st USING (source) GROUP BY 1),
+         |top AS (SELECT source, lang AS top_lang, n FROM (
+         |          SELECT source, lang, n,
+         |            row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk
+         |          FROM sl) WHERE rk = 1)
+         |SELECT st.source, CAST(st.nd AS BIGINT) AS n_docs, tok.n_tokens,
+         |  top.top_lang, CAST(top.n AS DOUBLE) / st.nd AS top_lang_share,
+         |  ent.lang_entropy
+         |FROM st JOIN tok USING (source) JOIN top USING (source)
+         |        JOIN ent USING (source)
+         |ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val sl = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val st = sl.groupBy("source").agg(sum("n").as("nd"))
+      val tok = docs.groupBy("source")
+        .agg(sum(tokenCount(col("text"))).cast("long").as("n_tokens"))
+      val p = col("n").cast("double") / col("nd")
+      val ent = sl.join(broadcast(st), "source")
+        .groupBy("source").agg(sum(-p * log(p)).as("lang_entropy"))
+      val w = Window.partitionBy("source").orderBy(col("n").desc, col("lang"))
+      val top = sl.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("n"))
+      st.join(tok, "source").join(top, "source").join(ent, "source")
+        .select(col("source"), col("nd").cast("long").as("n_docs"),
+          col("n_tokens"), col("top_lang"),
+          (col("n").cast("double") / col("nd")).as("top_lang_share"),
+          col("lang_entropy"))
+        .orderBy("source")
     }
   )
 }

@@ -721,6 +721,35 @@ object TimeSeriesQueries {
           (sum("gap").cast("double") / count(lit(1))).as("avg_gap_days"),
           min("gap").as("min_gap"), max("gap").as("max_gap"))
         .orderBy("c_mktsegment")
+    },
+
+    // B68 — cumulative unique users by day ("total users ever" curve):
+    // the pattern that makes running-distinct LINEAR — a running
+    // count(DISTINCT) re-deduplicates the entire history per day
+    // (quadratic, and distincts don't merge; A21's lesson). Instead:
+    // first-seen day per user (ONE user-keyed partial agg — the only
+    // data-scale stage), new-user counts per day, prefix sum over the
+    // DATE-DIMENSION-sized frame. Integer arithmetic end to end.
+    QueryDef.sql("q_cumulative_users",
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |            FROM events GROUP BY 1),
+        |nu AS (SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY 1),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cum_users
+        |FROM days d LEFT JOIN nu ON nu.day = d.day
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val fs = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("first_day"))
+      val nu = fs.groupBy(col("first_day").as("day")).agg(count(lit(1)).as("new_users"))
+      val days = ev.select(to_date(col("ts")).as("day")).distinct()
+      days.join(broadcast(nu), Seq("day"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("nu0"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("nu0").cast("long").as("new_users"),
+          sum("nu0").over(Window.orderBy(col("day"))).cast("long").as("cum_users"))
+        .orderBy("day")
     }
   )
 }
