@@ -202,6 +202,38 @@ object SimilarityQueries {
         .orderBy("label", "dim")
     },
 
+    // E9 — embedding-store quality audit: per-label count, norm
+    // statistics, zero-vector count, and dimension constancy — the
+    // vector-store intake check before anything indexes or trains on
+    // the column (a zero vector poisons cosine; a stray dimension
+    // breaks every dot product). One narrow projection (norm + length
+    // per row, inside codegen) + one label-keyed partial agg. The norm
+    // is the bit-identical VectorFunctions fold, so min/max agree
+    // exactly; mean_norm is a same-magnitude double sum (9-digit-gate
+    // safe per F15's precedent).
+    QueryDef.sql("s_store_audit", {
+      val nrm = VectorFunctions.normDuck("embedding")
+      s"""SELECT label, count(*) AS n,
+         |  sum($nrm) / count(*) AS mean_norm,
+         |  min($nrm) AS min_norm, max($nrm) AS max_norm,
+         |  CAST(sum(CASE WHEN $nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(min(len(embedding)) AS BIGINT) AS min_dims,
+         |  CAST(max(len(embedding)) AS BIGINT) AS max_dims
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+    }) { (s, d) =>
+      val nrm = VectorFunctions.norm(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("label"), nrm.as("nrm"), size(col("embedding")).as("dims"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          (sum("nrm") / count(lit(1))).as("mean_norm"),
+          min("nrm").as("min_norm"), max("nrm").as("max_norm"),
+          sum(when(col("nrm") === 0, 1).otherwise(0)).cast("long").as("n_zero"),
+          min("dims").cast("long").as("min_dims"),
+          max("dims").cast("long").as("max_dims"))
+        .orderBy("label")
+    },
+
     // E8 — radius (range) search: every corpus vector within cosine ≥ 0.3
     // of each probe — the fixed-threshold sibling of E1's top-k (dedup
     // checks and recall audits want "all within r", not "best k"). Same

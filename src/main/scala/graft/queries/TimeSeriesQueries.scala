@@ -750,6 +750,41 @@ object TimeSeriesQueries {
           col("nu0").cast("long").as("new_users"),
           sum("nu0").over(Window.orderBy(col("day"))).cast("long").as("cum_users"))
         .orderBy("day")
+    },
+
+    // B69 — daily OHLC bars (open/high/low/close + volume + turnover):
+    // the time-series summary every monitoring/market pipeline draws.
+    // The Spark side is ONE partial-aggregated groupBy — open/close via
+    // min_by/max_by over the unique (ts, event_id) struct key (mergeable
+    // like any min — no window, no second pass); the ORACLE gets the
+    // same open/close from rank windows. Two mechanisms, one hash
+    // (H7's cross-paradigm discipline). Turnover is an exact DECIMAL
+    // sum; ties on ts are broken by event_id on both sides.
+    QueryDef.sql("q_ohlc",
+      """WITH r AS (SELECT CAST(ts AS DATE) AS day, value, ts, event_id,
+        |    row_number() OVER (PARTITION BY CAST(ts AS DATE)
+        |                       ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY CAST(ts AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn_z
+        |  FROM events)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_z = 1 THEN value END) AS close,
+        |  count(*) AS volume,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS turnover
+        |FROM r GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("min_by(value, struct(ts, event_id))").as("open"),
+          max("value").as("high"), min("value").as("low"),
+          expr("max_by(value, struct(ts, event_id))").as("close"),
+          count(lit(1)).as("volume"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("turnover"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("turnover"))
+        .orderBy("day")
     }
   )
 }
