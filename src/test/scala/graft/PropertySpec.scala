@@ -112,4 +112,70 @@ class PropertySpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(op == brute)
   }
+
+  // The H7 interleave position is computed by closed form from per-source
+  // counts (no global window); this pins it to the definitional global
+  // row_number over (rn, source) on data with UNEQUAL source sizes —
+  // exactly where the min(cnt, rn−1) truncation and the smaller-source
+  // tie term can go wrong.
+  for (seed <- 1 to 3) {
+    test(s"interleave closed-form position == global row_number (seed $seed)") {
+      import org.apache.spark.sql.expressions.Window
+      val rnd = new Random(3000 + seed)
+      val rows = (0L until 120L).map(i => (i, s"s${rnd.nextInt(5)}"))
+      val df = rows.toDF("doc_id", "source")
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val r = df.select(col("doc_id"), col("source"),
+        row_number().over(w).cast("long").as("rn"))
+      val cnt = df.groupBy(col("source").as("src2")).agg(count(lit(1)).as("cnt2"))
+      val closed = r.crossJoin(broadcast(cnt))
+        .groupBy("doc_id", "source", "rn")
+        .agg((sum(least(col("cnt2"), col("rn") - 1)) +
+          sum(when(col("cnt2") >= col("rn") && col("src2") < col("source"), 1L)
+            .otherwise(0L)) + 1L).as("position"))
+        .select("doc_id", "position").as[(Long, Long)].collect().toMap
+      val windowed = r
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("rn"), col("source"))).cast("long")
+            .as("position"))
+        .as[(Long, Long)].collect().toMap
+      assert(closed == windowed)
+    }
+  }
+
+  // B62's island key: longest streak must match a direct Scala
+  // computation of maximal consecutive runs, including single-day users
+  // and users active every day.
+  test("streak island key == direct consecutive-run computation") {
+    val rnd = new Random(77)
+    val pairs = for {
+      u <- 0L until 25L
+      d <- 0 until 20 if rnd.nextBoolean()
+    } yield (u, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)))
+    val all = pairs ++ Seq(
+      (100L, java.sql.Date.valueOf("2024-01-05")), // single active day
+      (101L, java.sql.Date.valueOf("2024-01-01")), // every-day user
+      (101L, java.sql.Date.valueOf("2024-01-02")),
+      (101L, java.sql.Date.valueOf("2024-01-03")))
+    val df = all.toDF("user_id", "day")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val out = df.distinct()
+      .select(col("user_id"),
+        (datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w)).as("grp"))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("longest"))
+      .as[(Long, Long)].collect().toMap
+    val direct = all.groupBy(_._1).map { case (u, ds) =>
+      val days = ds.map(_._2.toLocalDate.toEpochDay).distinct.sorted
+      val runs = days.foldLeft(List.empty[Long]) {
+        case (len :: rest, d) if days.contains(d - 1) => (len + 1) :: rest
+        case (acc, _) => 1L :: acc
+      }
+      u -> runs.max
+    }
+    assert(out == direct)
+  }
 }
