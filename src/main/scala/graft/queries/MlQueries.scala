@@ -567,6 +567,40 @@ object MlQueries {
           (sum("npos").over(Window.orderBy("decile")).cast("double") /
             col("tpos")).as("cum_capture"))
         .orderBy("decile")
+    },
+
+    // F17 — implicit-feedback collaborative filtering (`ml.recommendation
+    // .ALS`) on the customer × part purchase matrix: top-3 part
+    // recommendations for the first 20 customers. The interaction build
+    // is one join + one partial agg (the only data-scale stages — ALS
+    // itself runs on the interaction matrix, which is |customers ×
+    // purchased parts| — orders of magnitude below the fact table, and
+    // Spark's blocked alternating solves ARE the distributed factorization
+    // at any scale). Iterative stochastic-start estimator ⇒ rows-only;
+    // RegressionSpec pins that observed interactions score decisively
+    // above random non-interactions.
+    QueryDef.rowsOnly("m_als") { (s, d) =>
+      val model = graft.ml.Recommend.alsModel(s, d)
+      val users = alsInteractions(s, d).select("user").distinct()
+        .filter(col("user") <= 20)
+      model.recommendForUserSubset(users, 3)
+        .select(col("user"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
+        .select(col("user").cast("long").as("user"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("rec.item").cast("long").as("item"))
+        .orderBy("user", "rank")
     }
   )
+
+  /** F17's interaction matrix: purchase counts per (customer, part) —
+    * one join + one partial agg over the fact table. Int ids (ALS
+    * requirement); the synthetic keys fit comfortably. */
+  private[graft] def alsInteractions(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(count(lit(1)).cast("float").as("rating"))
 }
