@@ -666,7 +666,7 @@ object TimeSeriesQueries {
         |      FROM daily d JOIN daily f ON f.day = d.day - 7)
         |SELECT count(*) AS n_days,
         |  CAST(sum(aerr) AS DOUBLE) / count(*) AS mae,
-        |  sqrt(CAST(sum(CAST(aerr*aerr AS DECIMAL(38,4))) AS DOUBLE) / count(*)) AS rmse,
+        |  sqrt(sum(CAST(aerr AS DOUBLE) * CAST(aerr AS DOUBLE)) / count(*)) AS rmse,
         |  CAST(sum(aerr) AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS wape,
         |  CAST(sum(err) AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS bias
         |FROM j""".stripMargin) { (s, d) =>
@@ -680,7 +680,12 @@ object TimeSeriesQueries {
         .withColumn("err", col("rev") - col("fc"))
       j.agg(count(lit(1)).as("n_days"),
           (sum("aerr").cast("double") / count(lit(1))).as("mae"),
-          sqrt(sum(expr("CAST(aerr*aerr AS DECIMAL(38,4))")).cast("double")
+          // square in DOUBLE space: a decimal aerr² overflows DuckDB's
+          // int64 decimal multiply once daily revenue has 9+ digits of
+          // cents (seen at sf0.1); aerr itself stays an exact DECIMAL,
+          // its double image is exact, and the same-magnitude positive
+          // double sum is 9-digit-gate safe (F15's precedent)
+          sqrt(sum(expr("CAST(aerr AS DOUBLE) * CAST(aerr AS DOUBLE)"))
             / count(lit(1))).as("rmse"),
           (sum("aerr").cast("double") / sum("rev").cast("double")).as("wape"),
           (sum("err").cast("double") / sum("rev").cast("double")).as("bias"))
