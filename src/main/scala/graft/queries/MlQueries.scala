@@ -401,13 +401,19 @@ object MlQueries {
           TextFunctions.tokens(col("text")).as("toks"), u.as("__u"))
       val tr = base.filter(col("__u") >= 0.3)
       val te = base.filter(col("__u") < 0.3)
-      val trt = tr.select(col("lang"), explode(col("toks")).as("tok"))
-      val ltc = trt.groupBy("lang", "tok").agg(count(lit(1)).as("k"))
+      // The train fold explodes ONCE into the vocabulary-sized (lang,
+      // tok) count table, pinned — totals, |V|, and the vocab probe all
+      // derive from it (deriving them from the exploded stream would
+      // re-tokenize the corpus three more times; the model artifacts
+      // are grid-sized, so the pin is broadcast-cheap).
+      val ltc = tr.select(col("lang"), explode(col("toks")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("k"))
+        .localCheckpoint(true)
       val ltot = ltc.groupBy("lang").agg(sum("k").as("t"))
-      val vocab = trt.select("tok").distinct().agg(count(lit(1)).as("v"))
+      val vt = ltc.select("tok").distinct()
+      val vocab = vt.agg(count(lit(1)).as("v"))
       val prior = tr.groupBy("lang").agg(count(lit(1)).as("nd"))
       val ndoc = tr.agg(count(lit(1)).as("nd_all"))
-      val vt = trt.select("tok").distinct()
       val tet = te.select(col("doc_id"), col("lang").as("true_lang"),
           explode(col("toks")).as("tok"))
         .groupBy("doc_id", "true_lang", "tok").agg(count(lit(1)).as("k"))

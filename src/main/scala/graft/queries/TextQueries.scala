@@ -864,17 +864,23 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val sl = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
-      val st = sl.groupBy("source").agg(sum("n").as("nd"))
-      val tok = docs.groupBy("source")
-        .agg(sum(tokenCount(col("text"))).cast("long").as("n_tokens"))
+      // ONE corpus pass: doc counts AND token totals in the same
+      // (source, lang) partial agg — a separate token aggregate would
+      // tokenize the whole corpus a second time. Everything below runs
+      // on the sources×langs grid, pinned once (localCheckpoint — it
+      // feeds four consumers).
+      val sl = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum(tokenCount(col("text"))).as("tk"))
+        .localCheckpoint(true)
+      val st = sl.groupBy("source")
+        .agg(sum("n").as("nd"), sum("tk").cast("long").as("n_tokens"))
       val p = col("n").cast("double") / col("nd")
-      val ent = sl.join(broadcast(st), "source")
+      val ent = sl.join(broadcast(st.select("source", "nd")), "source")
         .groupBy("source").agg(sum(-p * log(p)).as("lang_entropy"))
       val w = Window.partitionBy("source").orderBy(col("n").desc, col("lang"))
       val top = sl.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("source"), col("lang").as("top_lang"), col("n"))
-      st.join(tok, "source").join(top, "source").join(ent, "source")
+      st.join(top, "source").join(ent, "source")
         .select(col("source"), col("nd").cast("long").as("n_docs"),
           col("n_tokens"), col("top_lang"),
           (col("n").cast("double") / col("nd")).as("top_lang_share"),
