@@ -567,6 +567,39 @@ object AnalyticsQueries {
         .orderBy("bin")
     },
 
+    // B70 — 2-D histogram (10×10 density grid over quantity × price):
+    // the joint-distribution view B18 can't give (and the binned input
+    // B67's Mahalanobis flags outliers AGAINST — heatmap + outlier
+    // score read together). Identical B18 bin arithmetic per axis over
+    // one broadcast bounds row; one narrow projection + one ≤100-key
+    // partial agg; exact DECIMAL per-cell price mass rides along.
+    QueryDef.sql("q_histogram2d",
+      """WITH b AS (SELECT min(l_quantity) AS qmn, max(l_quantity) AS qmx,
+        |             min(l_extendedprice) AS pmn, max(l_extendedprice) AS pmx
+        |           FROM lineitem)
+        |SELECT
+        |  CAST(least(floor((l_quantity - qmn) * 10.0 / (qmx - qmn)), 9) AS BIGINT) AS qbin,
+        |  CAST(least(floor((l_extendedprice - pmn) * 10.0 / (pmx - pmn)), 9) AS BIGINT) AS pbin,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_mass
+        |FROM lineitem CROSS JOIN b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val b = li.agg(min("l_quantity").as("qmn"), max("l_quantity").as("qmx"),
+        min("l_extendedprice").as("pmn"), max("l_extendedprice").as("pmx"))
+      li.crossJoin(broadcast(b))
+        .select(
+          least(floor((col("l_quantity") - col("qmn")) * 10.0 /
+            (col("qmx") - col("qmn"))), lit(9)).cast("long").as("qbin"),
+          least(floor((col("l_extendedprice") - col("pmn")) * 10.0 /
+            (col("pmx") - col("pmn"))), lit(9)).cast("long").as("pbin"),
+          col("l_extendedprice"))
+        .groupBy("qbin", "pbin")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("price_mass"))
+        .orderBy("qbin", "pbin")
+    },
+
     // B19 — Pearson correlation per group, computed from EXACT decimal
     // co-moment sums (order-independent) with the double arithmetic
     // confined to the final closed form — both engines then execute the

@@ -575,6 +575,62 @@ object MlQueries {
         .orderBy("decile")
     },
 
+    // F18 — decision-threshold tuning: the operating point every
+    // deployed scorer needs after F9 proves the ranking — sweep
+    // candidate thresholds, pick the best F1. Same shape as F14's split
+    // search: ONE integer-bin partial agg over the facts, cumulative
+    // window over ~100 bins, closed-form precision/recall/F1 per
+    // candidate from exact cumulative counts, argmax with a lower-bin
+    // tie-break. Predicted-positive = score ≥ threshold ⇒ the ≥-side
+    // cumulative counts come from the broadcast totals minus the
+    // <-side prefix sums.
+    QueryDef.sql("m_threshold_tuning",
+      """WITH b AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS bin,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS neg
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(pos) AS tp_all, sum(neg) AS tn_all FROM b),
+        |c AS (SELECT bin,
+        |        sum(pos) OVER (ORDER BY bin) - pos AS pos_below,
+        |        sum(neg) OVER (ORDER BY bin) - neg AS neg_below
+        |      FROM b),
+        |f AS (SELECT bin, tp_all - pos_below AS tp, tn_all - neg_below AS fp,
+        |        pos_below AS fn
+        |      FROM c CROSS JOIN t)
+        |SELECT CAST(bin AS DOUBLE) AS threshold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+        |  2.0 * tp / (2 * tp + fp + fn) AS f1
+        |FROM f WHERE tp > 0
+        |ORDER BY 2.0 * tp / (2 * tp + fp + fn) DESC, bin LIMIT 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.events(s, d)
+        .groupBy(floor(col("value")).cast("long").as("bin"))
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("pos"),
+          sum(when(col("event_type") === "purchase", 0).otherwise(1)).as("neg"))
+      val t = b.agg(sum("pos").as("tp_all"), sum("neg").as("tn_all"))
+      val w = Window.orderBy("bin")
+      val c = b.select(col("bin"),
+        (sum("pos").over(w) - col("pos")).as("pos_below"),
+        (sum("neg").over(w) - col("neg")).as("neg_below"))
+      val f = c.crossJoin(broadcast(t))
+        .select(col("bin"), (col("tp_all") - col("pos_below")).as("tp"),
+          (col("tn_all") - col("neg_below")).as("fp"), col("pos_below").as("fn"))
+        .filter(col("tp") > 0)
+      val f1 = lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn"))
+      graft.operators.Relational.topKByAgg(
+          f.select(col("bin").cast("double").as("threshold"),
+            col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+            col("fn").cast("long").as("fn"),
+            (col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+            (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+            f1.as("f1"), col("bin")),
+          1, Seq(col("f1").desc, col("bin")))
+        .select("threshold", "tp", "fp", "fn", "prec", "recall", "f1")
+    },
+
     // F17 — implicit-feedback collaborative filtering (`ml.recommendation
     // .ALS`) on the customer × part purchase matrix: top-3 part
     // recommendations for the first 20 customers. The interaction build
