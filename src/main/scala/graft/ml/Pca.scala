@@ -20,7 +20,7 @@ object Pca {
     * `vecCol` is an Array[Float] column of constant dimension. */
   def leadingComponent(df: DataFrame, vecCol: String, iters: Int = 5000)
       : (Double, Array[Double]) = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     val n = df.count()
     require(n >= 2, s"covariance needs at least 2 rows, got $n")
     // mean vector: one narrow posexplode + dim-key partial agg

@@ -113,7 +113,7 @@ object StreamingQueries {
     if (!done.isFile) {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val ev = Tables.events(s, d)
-      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head
+      val bounds = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
       val (mn, mx) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
       def flushRow(hours: Int) = s.range(1)
         .select(lit(-1L - hours).as("event_id"),
@@ -332,7 +332,7 @@ object StreamingQueries {
           .start()
         awaitBounded(q)
       }
-      val maxReal = Tables.events(s, d).agg(max(col("ts"))).head.getTimestamp(0)
+      val maxReal = Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
       s.table(sink)
         .filter(col("session_window.start") <= lit(maxReal))
         .select(col("user_id"),
