@@ -358,7 +358,7 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // D8 — duplication structure BY SOURCE: the curation diagnostic that
+    // D9 — duplication structure BY SOURCE: the curation diagnostic that
     // decides WHERE dedup effort goes ("src3 mirrors src7" vs "src5
     // re-posts itself"). Reuses the D3 verified-pair chain, then joins
     // each endpoint to the slim (doc_id, source) dim — broadcast at any
