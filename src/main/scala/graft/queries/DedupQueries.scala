@@ -139,6 +139,39 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // D10 — threshold-tuning curve: pair counts per 0.1 Jaccard band +
+    // survivors at each candidate threshold, from the SAME staged
+    // candidate table D2/D2c close over (one candidate build, three
+    // consumers — the r6-verdict sharing taken one further). This is the
+    // curve that picks τ before a corpus-scale dedup run: "0.5 removes
+    // 40k pairs, 0.6 removes 9k" read off one report. Bands are integer
+    // floor(10·j) on the exact-count ratio; the descending cumulative
+    // runs over ≤10 rows.
+    QueryDef.sql("d_threshold_curve",
+      s"""WITH ${idsCte(3)},
+         |sizes AS (SELECT doc, count(*) AS n FROM ids GROUP BY doc),
+         |inter AS (SELECT x.doc AS a, y.doc AS b, count(*) AS ic
+         |          FROM ids x JOIN ids y ON x.gid = y.gid AND x.doc < y.doc
+         |          GROUP BY 1, 2),
+         |j AS (SELECT least(CAST(floor(10.0 * ic / (sa.n + sb.n - ic)) AS BIGINT), 9) AS band
+         |      FROM inter JOIN sizes sa ON a = sa.doc JOIN sizes sb ON b = sb.doc),
+         |g AS (SELECT band, count(*) AS n_pairs FROM j GROUP BY 1)
+         |SELECT CAST(band AS DOUBLE) / 10.0 AS threshold, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY band DESC) AS BIGINT) AS n_pairs_ge
+         |FROM g ORDER BY threshold""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val j = stagedOverlap(s, d, 3)
+        .select(least(floor(lit(10.0) * col("inter") /
+            (col("na") + col("nb") - col("inter"))).cast("long"), lit(9)).as("band"))
+      j.groupBy("band").agg(count(lit(1)).as("n_pairs"))
+        .select((col("band").cast("double") / 10.0).as("threshold"),
+          col("n_pairs"),
+          sum("n_pairs").over(Window.orderBy(col("band").desc)).cast("long")
+            .as("n_pairs_ge"), col("band"))
+        .drop("band")
+        .orderBy("threshold")
+    },
+
     // D2 production path — same Jaccard pipeline with the blocking side
     // capped at document frequency ≤ 32: shingles shared by more docs are
     // dropped from candidate GENERATION (not from the Jaccard sizes).

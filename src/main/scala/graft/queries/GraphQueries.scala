@@ -239,6 +239,37 @@ object GraphQueries {
           (col("cn").cast("double") / (col("du") + col("dv") - col("cn"))).as("jaccard"))
       graft.operators.Relational.topKByAgg(scored, 50,
         Seq(col("cn").desc, col("jaccard").desc, col("u"), col("v")))
+    },
+
+    // B71 — degree distribution of the co-purchase graph: the audit that
+    // decides every other graph operator's cost model (B51's orientation
+    // and B64's sparsification are both bets about this histogram's
+    // tail). Same packed-key pair dedup as B51 — the only data-scale
+    // stage — then node degrees and a degree-frequency rollup; the
+    // distribution table is max-degree-sized. Integer end to end.
+    QueryDef.sql("g_degree_dist",
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS dg FROM (
+        |          SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        |        GROUP BY 1)
+        |SELECT dg AS degree, count(*) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select((shiftleft(col("a.l_partkey"), 32) + col("b.l_partkey")).as("uv"))
+        .distinct()
+        .select(shiftright(col("uv"), 32).as("u"),
+          col("uv").bitwiseAND(lit(0xffffffffL)).as("v"))
+      pairs.select(col("u").as("node"))
+        .unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+        .groupBy(col("dg").as("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
     }
   )
 }
