@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors broke that for seven straight rounds:
+// (1) forked-process output is re-logged with an "[info] " prefix — route it
+//     straight through to stdout instead;
+// (2) sbt prints "[success] Total time: ..." AFTER the program's last line —
+//     suppress it. With both, the bare JSON summary is the final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -476,7 +476,8 @@ object StatsQueries {
         |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
         |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS c2
         |  FROM lineitem WHERE l_returnflag IN ('R','N') GROUP BY 1),
-        |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM b),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM b),
         |c AS (SELECT bin,
         |        sum(c1) OVER (ORDER BY bin) AS a1,
         |        sum(c2) OVER (ORDER BY bin) AS a2
@@ -530,8 +531,8 @@ object StatsQueries {
         |    least(greatest(c.c_acctbal, k.p05), k.p95) AS w, k.p05, k.p95
         |  FROM customer c JOIN cuts k USING (c_mktsegment))
         |SELECT c_mktsegment, count(*) AS n,
-        |  sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS n_clipped_low,
-        |  sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS n_clipped_high,
+        |  CAST(sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
         |  max(p05) AS p05, max(p95) AS p95,
         |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_before,
         |  CAST(sum(CAST(w AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_after

@@ -572,10 +572,18 @@ object TextQueries {
          |FROM bfd JOIN freq USING (bg) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import graft.operators.Dedup
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val bfd = docs.select(col("doc_id"),
+      // ONE wide exchange keyed on the bigram: hashpartitioning(bg)
+      // satisfies ClusteredDistribution for the (doc_id,bg) aggregate
+      // (bg ⊆ {doc_id,bg}), for the freq aggregate, AND for the bfd⋈freq
+      // equi-join — so the count, the vocabulary build, and the join all
+      // inherit this partitioning and only the final per-doc reduce
+      // shuffles again (4 exchanges → 2; r7 bench: 6.8 s → target ≤2.5).
+      // Numbered repartition: AQE would otherwise coalesce the post-
+      // explode fan-out back down (the repo-wide fan-out rule, SURVEY §5).
+      val bfd = Tables.documents(s, d)
+        .select(col("doc_id"),
           explode(Dedup.wordNgrams(tokens(col("text")), 2)).as("bg"))
+        .repartition(s.sparkContext.defaultParallelism, col("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
         .persist()
       // UNLIKE the unigram case, the bigram vocabulary GROWS with the

@@ -156,4 +156,23 @@ class PlanSpec extends AnyFunSuite {
         s"$name does not broadcast its bounds row")
     }
   }
+
+  test("graph joins broadcast at spec scale WITHOUT forced hints (r7 verdict #6)") {
+    // g_triangle_count/g_link_predict formerly forced broadcast() on the
+    // degree map, the closing edge probe, and the adjacency/edge sides —
+    // the repo's one plan shape that would OOM (not degrade) at 100×.
+    // The hints are gone; this pins the other half of the contract: at
+    // spec scale the sides are far under the 64 MB threshold, so the
+    // planner must still CHOOSE broadcast from the staged table's
+    // parquet-derived stats. Collect first: AQE finalizes join strategies
+    // at runtime.
+    for (name <- Seq("g_triangle_count", "g_link_predict")) {
+      val df = SparkEntry.queries(name)(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name no longer broadcasts its graph-sized sides at spec scale:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
 }

@@ -31,6 +31,44 @@ def norm_rows(cols, rows):
     out.sort()
     return sorted(c for c in cols), out
 
+# The driver's hash is dtype-sensitive in ways string comparison is not:
+# round 1 (q_sessionize/q_json_extract) and round 7 (q_ks_test/q_winsorize)
+# both shipped "green locally, red at the driver" because a DuckDB
+# sum()/sum(CASE...) output was typed HUGEINT while Spark emitted BIGINT.
+# Classify each column's type into the driver-relevant equivalence class;
+# the driver tolerates integer WIDTH differences (BIGINT vs INTEGER) but
+# not representation-class differences (HUGEINT, DECIMAL-vs-DOUBLE).
+def dtype_class(duck_type_name):
+    t = duck_type_name.upper()
+    if "HUGEINT" in t:
+        return "HUGEINT"  # never acceptable — always a latent driver FAIL
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT") or "INT" in t:
+        return "int"
+    if t.startswith("DECIMAL") or t.startswith("NUMBER"):
+        return "decimal"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"):
+        return "str"
+    return t
+
+def dtype_check(name, scols, sdesc_types, ocols, odesc_types):
+    """Return a list of human-readable dtype divergences (empty = clean)."""
+    stypes = dict(zip(scols, sdesc_types))
+    otypes = dict(zip(ocols, odesc_types))
+    problems = []
+    for c in sorted(set(scols) & set(ocols)):
+        sc, oc = dtype_class(stypes[c]), dtype_class(otypes[c])
+        if oc == "HUGEINT":
+            problems.append(
+                f"{c}: oracle is HUGEINT (un-cast sum()?) — wrap in CAST(... AS BIGINT)")
+        elif sc == "HUGEINT":
+            problems.append(f"{c}: spark output is HUGEINT-class")
+        elif sc != oc:
+            problems.append(f"{c}: spark {stypes[c]}({sc}) vs oracle {otypes[c]}({oc})")
+    return problems
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -46,20 +84,29 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            sdesc = con.execute(
-                f"SELECT * FROM read_parquet({spark_files!r})")
-            scols = [d[0] for d in sdesc.description]
-            srows = sdesc.fetchall()
-            odesc = con.execute(sql)
-            ocols = [d[0] for d in odesc.description]
-            orows = odesc.fetchall()
+            # con.sql (relation API), not con.execute: the DB-API cursor
+            # description collapses every numeric to 'NUMBER', which is
+            # exactly the blindness that let HUGEINT drift ship twice.
+            srel = con.sql(f"SELECT * FROM read_parquet({spark_files!r})")
+            scols = list(srel.columns)
+            stypes = [str(t) for t in srel.types]
+            srows = srel.fetchall()
+            orel = con.sql(sql)
+            ocols = list(orel.columns)
+            otypes = [str(t) for t in orel.types]
+            orows = orel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        dtype_problems = dtype_check(name, scols, stypes, ocols, otypes)
         sc, sr = norm_rows(scols, srows)
         oc, orr = norm_rows(ocols, orows)
-        if sc != oc:
+        if dtype_problems:
+            print(f"FAIL {name}: dtype divergence (driver hash would differ): "
+                  + "; ".join(dtype_problems))
+            n_fail += 1
+        elif sc != oc:
             print(f"FAIL {name}: columns {sc} != {oc}")
             n_fail += 1
         elif len(sr) != len(orr):
