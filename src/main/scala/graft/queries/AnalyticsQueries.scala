@@ -270,16 +270,18 @@ object AnalyticsQueries {
         |      WHERE cnt_ab >= 3)
         |SELECT pa, pb, cnt_ab, cnt_a, cnt_b, conf_ab, lift
         |FROM r ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin) { (s, d) =>
-      val po = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        .persist()
+      // Both data-scale passes come from the shared staged tables
+      // (StagedTables): the (order, part) incidence feeds the support
+      // counts, and the pair explosion IS the co-purchase edge table
+      // (w = orders sharing the pair) that B51/B64/B71 also read — the
+      // r7-verdict sharing extended to the basket family. Only
+      // report-sized rule arithmetic remains below.
+      val po = StagedTables.incidence(s, d)
       val nOrders = broadcast(po.select(countDistinct("o").as("n_orders")))
       val ps = po.groupBy("p").agg(count(lit(1)).as("cnt"))
-      val pp = po.as("a")
-        .join(po.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-        .agg(count(lit(1)).as("cnt_ab"))
-        .filter(col("cnt_ab") >= 3)
+      val pp = StagedTables.coEdges(s, d)
+        .filter(col("w") >= 3)
+        .select(col("u").as("pa"), col("v").as("pb"), col("w").as("cnt_ab"))
       val rules = pp
         .join(ps.select(col("p").as("pa"), col("cnt").as("cnt_a")), "pa")
         .join(ps.select(col("p").as("pb"), col("cnt").as("cnt_b")), "pb")

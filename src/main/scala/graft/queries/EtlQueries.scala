@@ -673,10 +673,17 @@ object EtlQueries {
     // interface reaches the same Catalyst plans (pushdown, broadcast,
     // partial agg — all free through the parser too).
     QueryDef.sql("q_sql_gateway", EtlQueries.gatewaySql) { (s, d) =>
+      // The view names MUST be the bare table names — the whole point is
+      // that the oracle executes the identical text. But leaving them
+      // registered would shadow same-named catalog tables for everything
+      // run later in the shared session, so they are dropped immediately:
+      // spark.sql() resolves relations during analysis (at call time),
+      // after which the returned DataFrame no longer needs the views.
       Tables.orders(s, d).createOrReplaceTempView("orders")
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.nation(s, d).createOrReplaceTempView("nation")
-      s.sql(EtlQueries.gatewaySql)
+      try s.sql(EtlQueries.gatewaySql)
+      finally Seq("orders", "customer", "nation").foreach(s.catalog.dropTempView)
     }
   )
 

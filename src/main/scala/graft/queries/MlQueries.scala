@@ -392,51 +392,70 @@ object MlQueries {
          |SELECT true_lang, pred_lang, count(*) AS n
          |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     }) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       import graft.functions.TextFunctions
       val u = graft.operators.Curation.uniform(col("doc_id"))
+      // Tokenize ONCE, pinned by doc_id: both folds, the model build and
+      // the scoring pass all derive from the cached tokenized corpus (the
+      // r7 plan tokenized the corpus twice and paid ~15 exchange/window
+      // stages; this shape has two data-scale passes over memory and two
+      // report-sized exchanges).
       val base = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"),
           TextFunctions.tokens(col("text")).as("toks"), u.as("__u"))
+        .localCheckpoint(true)
       val tr = base.filter(col("__u") >= 0.3)
       val te = base.filter(col("__u") < 0.3)
       // The train fold explodes ONCE into the vocabulary-sized (lang,
-      // tok) count table, pinned — totals, |V|, and the vocab probe all
-      // derive from it (deriving them from the exploded stream would
-      // re-tokenize the corpus three more times; the model artifacts
-      // are grid-sized, so the pin is broadcast-cheap).
+      // tok) count table, pinned — the model pivot, |V|, and the class
+      // stats all derive from it.
       val ltc = tr.select(col("lang"), explode(col("toks")).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("k"))
         .localCheckpoint(true)
-      val ltot = ltc.groupBy("lang").agg(sum("k").as("t"))
-      val vt = ltc.select("tok").distinct()
-      val vocab = vt.agg(count(lit(1)).as("v"))
-      val prior = tr.groupBy("lang").agg(count(lit(1)).as("nd"))
-      val ndoc = tr.agg(count(lit(1)).as("nd_all"))
+      // Class list, per-class token totals and doc priors are
+      // class-count-sized — collected once to the driver (the dim-sized
+      // PCA collect precedent) so the model compiles into ONE vocab-row
+      // table carrying a fixed-width per-class log-prob array, and the
+      // per-(doc,class) argmax becomes a scalar projection instead of a
+      // window over a doc×class fan-out.
+      val ltot = ltc.groupBy("lang").agg(sum("k").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val prior = tr.groupBy("lang").agg(count(lit(1)).as("nd")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val classes = prior.keys.toSeq.sorted
+      val ndAll = prior.values.sum
+      val v = ltc.select("tok").distinct().count()
+      // tok → [ln P(tok|class)] for each class, Laplace-smoothed exactly
+      // as the oracle: ln((kc + 1) / (t_class + |V|)). Vocabulary-sized;
+      // the scoring join is left to the threshold + AQE (broadcast while
+      // the vocab fits, shuffle when it outgrows — the engine-wide rule).
+      val model = ltc.groupBy("tok").pivot("lang", classes).agg(first("k"))
+        .select(col("tok"), array(classes.map(c =>
+          log((coalesce(col(s"`$c`"), lit(0L)) + 1.0) / (ltot(c) + v))): _*).as("lp"))
+      // Score: per-(doc,tok) counts (k·ln form, matching the oracle's
+      // arithmetic), model probe, then per-doc per-class sums as |C|
+      // parallel aggregates — every step inherits hashpartitioning(doc_id)
+      // from the checkpointed base, so nothing re-shuffles until the
+      // report-sized confusion rollup.
       val tet = te.select(col("doc_id"), col("lang").as("true_lang"),
           explode(col("toks")).as("tok"))
         .groupBy("doc_id", "true_lang", "tok").agg(count(lit(1)).as("k"))
-      val cand = tet
-        .join(broadcast(vt), "tok")
-        .crossJoin(broadcast(prior.select(col("lang").as("class"))))
-        .join(broadcast(ltc.select(col("lang").as("class"), col("tok"),
-          col("k").as("kc0"))), Seq("class", "tok"), "left")
-        .select(col("doc_id"), col("true_lang"), col("k"), col("class"),
-          coalesce(col("kc0"), lit(0L)).as("kc"))
-      val sc = cand
-        .join(broadcast(ltot.select(col("lang").as("class"), col("t"))), "class")
-        .crossJoin(broadcast(vocab))
-        .groupBy("doc_id", "true_lang", "class")
-        .agg(sum(col("k") * log((col("kc") + 1.0) / (col("t") + col("v")))).as("ll"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy((log(col("nd").cast("double") / col("nd_all")) + col("ll")).desc,
-          col("class"))
-      sc.join(broadcast(prior.select(col("lang").as("class"), col("nd"))), "class")
-        .crossJoin(broadcast(ndoc))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("true_lang"), col("class").as("pred_lang"))
+      val llCols = classes.indices.map(i =>
+        sum(col("k") * element_at(col("lp"), i + 1)).as(s"ll_$i"))
+      val perDoc = tet.join(model, "tok")
+        .groupBy("doc_id", "true_lang")
+        .agg(llCols.head, llCols.tail: _*)
+      // argmax(prior + ll) with ties to the lexicographically first class:
+      // classes is sorted, and array_position returns the FIRST max —
+      // the oracle's (score DESC, class ASC) row_number ordering.
+      val scores = array(classes.zipWithIndex.map { case (c, i) =>
+        lit(math.log(prior(c).toDouble / ndAll)) + col(s"ll_$i") }: _*)
+      val classArr = array(classes.map(lit(_)): _*)
+      perDoc
+        .select(col("true_lang"),
+          element_at(classArr, array_position(scores, array_max(scores)).cast("int"))
+            .as("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
         .agg(count(lit(1)).as("n"))
         .orderBy("true_lang", "pred_lang")
     },

@@ -63,8 +63,18 @@ object StreamingQueries {
     * immutable — keyed by sfDir, staged once per JVM. `doubled = true`
     * writes every event twice (two identical files) — the planted-
     * duplicate input for the streaming dedup query. */
+  // JVM-wide staging lock (ADVICE r7): two threads racing a stager before
+  // its done-marker exists would both stage — harmless for an idempotent
+  // parquet write, but stagedLateEvents pins FILE MODIFICATION TIMES to
+  // order the replay, and a second staging pass re-pins them with a new t0
+  // while the first thread may already be streaming — scrambling the
+  // batch order the late-arrival semantics depend on. One lock serializes
+  // every check-then-stage; staging happens once per JVM, so contention
+  // is a non-issue.
+  private val stagingLock = new Object
+
   private def stagedEvents(s: org.apache.spark.sql.SparkSession, d: String,
-                           doubled: Boolean = false, flush: Boolean = false): String = {
+                           doubled: Boolean = false, flush: Boolean = false): String = stagingLock.synchronized {
     val key = Integer.toHexString(d.hashCode) +
       (if (doubled) "x2" else "") + (if (flush) "fl" else "")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_$key"
@@ -106,7 +116,7 @@ object StreamingQueries {
     *    max ts + 2 h whose event time pushes the final watermark over
     *    every real window end (f_stream_session's heartbeat trick).
     * Immutable per sfDir, staged once per JVM. */
-  private def stagedLateEvents(s: org.apache.spark.sql.SparkSession, d: String): String = {
+  private def stagedLateEvents(s: org.apache.spark.sql.SparkSession, d: String): String = stagingLock.synchronized {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_" +
       Integer.toHexString(d.hashCode) + "late3"
     val done = new java.io.File(s"$dir/_STAGED")

@@ -571,20 +571,26 @@ object TextQueries {
          |  ln(max(nn)) - sum(k * ln(CAST(n AS DOUBLE))) / sum(k) AS ce
          |FROM bfd JOIN freq USING (bg) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import graft.operators.Dedup
-      // ONE wide exchange keyed on the bigram: hashpartitioning(bg)
-      // satisfies ClusteredDistribution for the (doc_id,bg) aggregate
-      // (bg ⊆ {doc_id,bg}), for the freq aggregate, AND for the bfd⋈freq
-      // equi-join — so the count, the vocabulary build, and the join all
-      // inherit this partitioning and only the final per-doc reduce
-      // shuffles again (4 exchanges → 2; r7 bench: 6.8 s → target ≤2.5).
-      // Numbered repartition: AQE would otherwise coalesce the post-
-      // explode fan-out back down (the repo-wide fan-out rule, SURVEY §5).
+      // Three narrow exchanges instead of the r7 plan's four wide ones,
+      // and the expensive stage (tokenize + bigram explode) both native
+      // (graft_shingles: one compiled byte-scan per doc vs ~20 CPU-s of
+      // interpreted HOF evaluation — ShingleExpr, spec'd bit-identical)
+      // and pinned at cluster parallelism:
+      //  (1) docs repartition by doc_id — parallelizes shingling (the
+      //      scan is one input split; un-repartitioned, the whole explode
+      //      runs on a single task — measured 9 s of the query);
+      //  (2) the (doc_id,bg) count then needs NO exchange (doc_id ⊆ keys),
+      //      and the AGGREGATED bfd repartitions once by bg — after which
+      //      hashpartitioning(bg) satisfies the freq aggregate AND the
+      //      bfd⋈freq equi-join, so neither shuffles;
+      //  (3) only the final per-doc reduce exchanges again.
+      val fan = s.sparkContext.defaultParallelism
       val bfd = Tables.documents(s, d)
+        .repartition(fan, col("doc_id"))
         .select(col("doc_id"),
-          explode(Dedup.wordNgrams(tokens(col("text")), 2)).as("bg"))
-        .repartition(s.sparkContext.defaultParallelism, col("bg"))
+          explode(call_function("graft_shingles", col("text"), lit(2))).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+        .repartition(fan, col("bg"))
         .persist()
       // UNLIKE the unigram case, the bigram vocabulary GROWS with the
       // corpus (new word pairs keep appearing) — a forced broadcast here
@@ -817,14 +823,22 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val dt = docs
-        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-        .distinct()
-      val lt = dt.groupBy("lang", "tok").agg(count(lit(1)).as("a"))
+      // Doc-frequency via per-row array_distinct, not a global (doc, tok)
+      // DISTINCT: doc_id is unique per row, so deduping a token WITHIN its
+      // document is a narrow per-row operation — the corpus-wide exchange
+      // the r7 plan paid for the same answer was pure waste. One tokenize
+      // pass, one vocabulary-sized exchange; pinned because both the df
+      // band filter and the contingency cells close over it (un-pinned,
+      // the whole tokenize subtree planned — and ran — twice).
+      val lt = docs
+        .select(col("lang"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("a"))
+        .localCheckpoint(true)
       val dfreq = lt.groupBy("tok").agg(sum("a").as("df"))
         .filter(col("df").between(5, 400))
       val nl = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
-      val nn = docs.agg(count(lit(1)).as("n"))
+      // total docs = Σ per-class docs — derived, not a third corpus scan
+      val nn = nl.agg(sum("nl").as("n"))
       val cells = lt.join(dfreq, "tok")
         .join(broadcast(nl), "lang").crossJoin(broadcast(nn))
         .select(col("lang"), col("tok"), col("a"),
