@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.{SnapshotTable, Tables}
+
+/** SURVEY §2 group G16 — the snapshot-table (table-format) surface as
+  * driver-gated queries: a fixed three-commit scenario over `orders`
+  * (create → merge → delete) staged once per JVM, then read back at
+  * different versions. The mutations are deterministic functions of the
+  * base table, so every post-mutation state is reproducible as plain SQL
+  * over `orders` — which is exactly what the oracles do. Aggregated
+  * outputs keep the gate row-count-stable while still pinning every row
+  * of the state (counts + exact DECIMAL sums per status).
+  *
+  * Scenario (all arithmetic exact in double):
+  *  - v0 `create`: orders projected to (o_orderkey, o_orderstatus, price).
+  *  - v1 `merge`:  keys with o_orderkey % 7 == 3 get price + 100.0
+  *                 (matched updates), plus fresh rows keyed
+  *                 o_orderkey + 100000000 for o_orderkey % 101 == 5 with
+  *                 status 'N', price 50.0 (inserts).
+  *  - v2 `delete`: status 'P' rows removed.
+  */
+object TableQueries {
+
+  /** Build the scenario table once per (input dir) per JVM — the staged
+    * idiom; SnapshotTable's own commit markers make the check cheap. */
+  private def scenario(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snaptable_" +
+      Integer.toHexString(d.hashCode)
+    if (SnapshotTable.latestVersion(dir) < 2) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").as("price"))
+      SnapshotTable.create(s, dir, base, "o_orderkey")
+      val updates = base.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("price") + 100.0).as("price"))
+      val inserts = base.filter(col("o_orderkey") % 101 === 5)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(50.0).as("price"))
+      SnapshotTable.merge(s, dir, updates.unionByName(inserts), "o_orderkey")
+      SnapshotTable.delete(s, dir, col("o_orderstatus") === "P", "o_orderkey")
+    }
+    dir
+  }
+
+  /** The per-status state fingerprint both engines aggregate to. */
+  private def stateAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("price").cast("decimal(18,2)")).cast("double").as("price_sum"))
+      .orderBy("o_orderstatus")
+
+  private val mergedCte =
+    """base AS (SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders),
+      |upd AS (SELECT o_orderkey, o_orderstatus, price + 100.0 AS price
+      |        FROM base WHERE o_orderkey % 7 = 3),
+      |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+      |          'N' AS o_orderstatus, 50.0 AS price
+      |        FROM base WHERE o_orderkey % 101 = 5),
+      |v1 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 3
+      |       UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |v2 AS (SELECT * FROM v1 WHERE o_orderstatus <> 'P')""".stripMargin
+
+  private val aggSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM %s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // G16a — MERGE INTO + DELETE, read latest: the upsert-in-place
+    // surface end to end. The oracle replays the same mutations as set
+    // algebra over the base table; the snapshot table must land on the
+    // identical state through file-level copy-on-write.
+    QueryDef.sql("q_table_merge",
+      s"WITH $mergedCte\n${aggSql.format("v2")}") { (s, d) =>
+      stateAgg(SnapshotTable.read(s, scenario(s, d)))
+    },
+
+    // G16b — time travel: after both mutations, a version-0 read must
+    // reproduce the ORIGINAL state bit for bit (the snapshot-isolation
+    // contract; also the audit/rollback read path).
+    QueryDef.sql("q_time_travel",
+      s"WITH $mergedCte\n${aggSql.format("base")}") { (s, d) =>
+      stateAgg(SnapshotTable.read(s, scenario(s, d), version = 0))
+    },
+
+    // G16c — the commit log: version → (op, row count). Row counts come
+    // from manifest stats alone (no data scan); the oracle recomputes
+    // each version's cardinality from the base table.
+    QueryDef.sql("q_table_history",
+      s"""WITH $mergedCte
+         |SELECT * FROM (
+         |  SELECT 0 AS version, 'create' AS op,
+         |         (SELECT count(*) FROM base) AS n_rows
+         |  UNION ALL SELECT 1, 'merge', (SELECT count(*) FROM v1)
+         |  UNION ALL SELECT 2, 'delete', (SELECT count(*) FROM v2))
+         |ORDER BY version""".stripMargin) { (s, d) =>
+      SnapshotTable.history(s, scenario(s, d))
+        .select(col("version"), col("op"), col("n_rows"))
+    }
+  )
+}

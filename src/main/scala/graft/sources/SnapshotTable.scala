@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G16 — copy-on-write snapshot table: the table-format surface (ACID
+  * upsert-in-place, deletes, time travel, history) the r7 verdict listed
+  * as the one forward-looking gap. Scope is the Delta/Iceberg *mechanism*
+  * re-expressed minimally and Spark-first — not a wire-compatible clone:
+  *
+  *  - **Layout**: `<dir>/data/v{N}-{i}.parquet` immutable data files;
+  *    `<dir>/_log/v{N}/` a PARQUET manifest per version (file name, row
+  *    count, key min/max, op). The log is itself a Spark-readable table —
+  *    no bespoke JSON machinery, and a 100k-file manifest is just another
+  *    small DataFrame.
+  *  - **Commit protocol**: data files land first, then the manifest, whose
+  *    `_SUCCESS` marker IS the commit — a reader resolves max committed N
+  *    and sees either the old or the new version, never a torn one.
+  *    (On an object store the marker write becomes the one conditional
+  *    put / metastore swap, exactly where Delta puts its log entry; a
+  *    JVM-wide lock serializes local committers.)
+  *  - **Copy-on-write MERGE**: update keys are stat-pruned against the
+  *    manifest's per-file key ranges (file-count-sized table, broadcast),
+  *    then exactly the files CONTAINING a matched key are rewritten;
+  *    untouched files carry over by reference. Matched rows are replaced,
+  *    unmatched update rows append as inserts. Stats are range-complete,
+  *    so the candidate scan is also the complete matched/insert split —
+  *    no full-table scan (at 100 TB the rewrite cost is proportional to
+  *    files touched, the whole point of COW).
+  *  - **DELETE**: predicate rows are removed by rewriting only the files
+  *    that contain them (SQL semantics: NULL-predicate rows are kept).
+  *  - **Time travel**: `read(s, dir, version)` pins any committed
+  *    manifest; `history` reads the full log.
+  *
+  * Files within a commit are bucketed by fixed-width key ranges computed
+  * from the commit's exact key bounds — deterministic (no sampling), and
+  * it gives every file a tight disjoint key range, which is what makes
+  * the min/max pruning in MERGE (and SnapshotTableSpec's scan-pruning
+  * assertion) effective.
+  */
+object SnapshotTable {
+
+  private val commitLock = new Object
+
+  private def logDir(dir: String) = s"$dir/_log"
+  private def manifestDir(dir: String, v: Int) = s"${logDir(dir)}/v$v"
+
+  /** Largest committed version, or -1 for "not a table". */
+  def latestVersion(dir: String): Int = {
+    val log = new java.io.File(logDir(dir))
+    val vs = Option(log.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").isFile)
+      .map(_.getName.drop(1).toInt)
+    if (vs.isEmpty) -1 else vs.max
+  }
+
+  /** The version-N manifest: (file, rows, key_min, key_max, op). */
+  def manifest(s: SparkSession, dir: String, v: Int): DataFrame =
+    s.read.parquet(manifestDir(dir, v))
+
+  /** Land `df` as `filesPerCommit` data files for version `v`, bucketed
+    * by fixed-width key ranges over the commit's exact bounds, each file
+    * sorted by key. Returns the manifest entries. A small driver loop
+    * writes one file per bucket — file-layout control is inherently
+    * per-file work (a cluster committer does the same); buckets are a
+    * small constant. */
+  private def landFiles(s: SparkSession, dir: String, df: DataFrame,
+                        key: String, v: Int, op: String,
+                        filesPerCommit: Int): DataFrame = {
+    import s.implicits._
+    val b = df.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
+    if (b.isNullAt(0)) return Seq.empty[(String, Long, Long, Long, String)]
+      .toDF("file", "rows", "key_min", "key_max", "op")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val width = math.max(1L, (hi - lo) / filesPerCommit + 1)
+    val bucketed = df.withColumn("__b",
+      ((col(key).cast("long") - lo) / width).cast("int")).persist()
+    bucketed.count()
+    val entries = (0 until filesPerCommit).flatMap { i =>
+      val slice = bucketed.filter(col("__b") === i).drop("__b")
+        .coalesce(1).sortWithinPartitions(key)
+      val tmp = s"$dir/_tmp_v$v-$i"
+      slice.write.mode("overwrite").parquet(tmp)
+      val part = {
+        val st = Files.list(Paths.get(tmp))
+        try st.filter(_.toString.endsWith(".parquet")).findFirst()
+        finally st.close()
+      }
+      val out = if (part.isPresent) {
+        val name = s"v$v-$i.parquet"
+        Files.createDirectories(Paths.get(s"$dir/data"))
+        Files.move(part.get, Paths.get(s"$dir/data/$name"),
+          StandardCopyOption.REPLACE_EXISTING)
+        Some(name)
+      } else None // empty bucket → no file
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      out
+    }
+    bucketed.unpersist()
+    if (entries.isEmpty) return Seq.empty[(String, Long, Long, Long, String)]
+      .toDF("file", "rows", "key_min", "key_max", "op")
+    // per-file stats from the files as written (what a reader will see)
+    s.read.parquet(entries.map(n => s"$dir/data/$n"): _*)
+      .groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(key)).cast("long").as("key_min"),
+        max(col(key)).cast("long").as("key_max"))
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("rows"), col("key_min"), col("key_max"), lit(op).as("op"))
+  }
+
+  private def commit(s: SparkSession, dir: String, v: Int,
+                     entries: DataFrame): Unit =
+    // manifest LAST; its _SUCCESS is the commit point
+    entries.coalesce(1).write.mode("overwrite").parquet(manifestDir(dir, v))
+
+  /** Create version 0 from `df`, keyed (for stats + merge) on the long
+    * column `key`. */
+  def create(s: SparkSession, dir: String, df: DataFrame, key: String,
+             filesPerCommit: Int = 4): Unit = commitLock.synchronized {
+    require(latestVersion(dir) < 0, s"$dir is already a snapshot table")
+    commit(s, dir, 0, landFiles(s, dir, df, key, 0, "create", filesPerCommit))
+  }
+
+  /** Snapshot read. `version < 0` = latest. Filters/projections push into
+    * the parquet scans as usual; only the manifest's files are listed. */
+  def read(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
+    val v = if (version >= 0) version else latestVersion(dir)
+    require(v >= 0, s"$dir has no committed version")
+    val files = manifest(s, dir, v).select("file").collect().map(_.getString(0))
+    if (files.isEmpty) s.read.parquet() // empty table → empty relation
+    else s.read.parquet(files.map(n => s"$dir/data/$n"): _*)
+  }
+
+  /** The data files (full paths) actually selected for a read of
+    * `version` after pruning to key range [lo, hi] via manifest stats —
+    * the file-skipping a format's stats exist for. */
+  def prunedFiles(s: SparkSession, dir: String, lo: Long, hi: Long,
+                  version: Int = -1): Seq[String] = {
+    val v = if (version >= 0) version else latestVersion(dir)
+    manifest(s, dir, v)
+      .filter(col("key_min") <= hi && col("key_max") >= lo)
+      .select("file").collect().map(r => s"$dir/data/${r.getString(0)}").toSeq
+  }
+
+  /** MERGE INTO (upsert): rows of `updates` whose key exists replace the
+    * stored row; the rest insert. Copy-on-write at file granularity. */
+  def merge(s: SparkSession, dir: String, updates: DataFrame, key: String,
+            filesPerCommit: Int = 4): Unit = commitLock.synchronized {
+    val v = latestVersion(dir)
+    require(v >= 0, s"$dir has no committed version")
+    val man = manifest(s, dir, v).persist()
+    man.count()
+    val updKeys = updates.select(col(key)).distinct()
+    // Phase 1 — stat pruning: files whose [key_min, key_max] contains at
+    // least one update key. The manifest is file-count-sized → broadcast
+    // side of a range join against the (possibly huge) update key set.
+    val candNames = updKeys
+      .join(broadcast(man),
+        col(key) >= col("key_min") && col(key) <= col("key_max"), "inner")
+      .select("file").distinct().collect().map(_.getString(0))
+    val candPaths = candNames.map(n => s"$dir/data/$n")
+    // Phase 2 — exact: scan ONLY candidates; stats are range-complete, so
+    // this scan decides both the affected-file set and the matched/insert
+    // split of the updates. The file name is captured in a projection
+    // DIRECTLY over the scan — input_file_name() is only defined in the
+    // scan stage and silently returns "" after a join.
+    val cand = if (candPaths.isEmpty) null
+      else s.read.parquet(candPaths: _*)
+        .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+        .persist()
+    val affectedNames: Set[String] = if (cand == null) Set.empty
+      else cand.join(updKeys, Seq(key), "left_semi")
+        .select("__file").distinct().collect().map(_.getString(0)).toSet
+    val survivors = if (affectedNames.isEmpty) None
+      else Some(cand.filter(col("__file").isin(affectedNames.toSeq: _*))
+        .drop("__file").join(updKeys, Seq(key), "left_anti"))
+    val matched = if (cand == null) None
+      else Some(updates.join(cand.select(col(key)), Seq(key), "left_semi"))
+    val inserts = if (cand == null) updates
+      else updates.join(cand.select(col(key)), Seq(key), "left_anti")
+    val cols = read(s, dir, v).columns.map(col)
+    val newData = (survivors.toSeq ++ matched.toSeq :+ inserts)
+      .map(_.select(cols: _*)).reduce(_ unionByName _)
+    val fresh = landFiles(s, dir, newData, key, v + 1, "merge", filesPerCommit)
+    val carried = man.filter(!col("file").isin(affectedNames.toSeq: _*))
+      .select(col("file"), col("rows"), col("key_min"), col("key_max"),
+        lit("merge").as("op"))
+    commit(s, dir, v + 1, carried.unionByName(fresh))
+    if (cand != null) cand.unpersist()
+    man.unpersist()
+  }
+
+  /** DELETE WHERE `cond` (SQL semantics: NULL-predicate rows are kept),
+    * rewriting only files that contain matching rows. */
+  def delete(s: SparkSession, dir: String, cond: Column, key: String,
+             filesPerCommit: Int = 4): Unit = commitLock.synchronized {
+    val v = latestVersion(dir)
+    require(v >= 0, s"$dir has no committed version")
+    val man = manifest(s, dir, v).persist()
+    man.count()
+    val all = read(s, dir, v)
+    val affectedNames = all.filter(cond)
+      .select(input_file_name().as("p")).distinct()
+      .collect().map(r => r.getString(0).split('/').last).toSet
+    val fresh = if (affectedNames.isEmpty)
+      landFiles(s, dir, all.limit(0), key, v + 1, "delete", filesPerCommit)
+    else {
+      val affectedPaths = affectedNames.toSeq.sorted.map(n => s"$dir/data/$n")
+      val kept = s.read.parquet(affectedPaths: _*)
+        .filter(!coalesce(cond, lit(false)))
+      landFiles(s, dir, kept, key, v + 1, "delete", filesPerCommit)
+    }
+    val carried = man.filter(!col("file").isin(affectedNames.toSeq: _*))
+      .select(col("file"), col("rows"), col("key_min"), col("key_max"),
+        lit("delete").as("op"))
+    commit(s, dir, v + 1, carried.unionByName(fresh))
+    man.unpersist()
+  }
+
+  /** The commit log: one row per version — op and total row count (from
+    * manifest stats, no data scan). */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    val latest = latestVersion(dir)
+    require(latest >= 0, s"$dir has no committed version")
+    (0 to latest).map { v =>
+      manifest(s, dir, v)
+        .groupBy(lit(v).as("version"))
+        .agg(first(col("op")).as("op"), count(lit(1)).as("n_files"),
+          coalesce(sum("rows"), lit(0L)).as("n_rows"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** G16 — the table-format contracts the oracle gate can't see:
+  * copy-on-write minimality, snapshot isolation, manifest-stat pruning,
+  * and SQL NULL-predicate delete semantics. */
+class SnapshotTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDir(tag: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_snapspec_$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    d
+  }
+
+  private def mk(tag: String, n: Int = 1000): String = {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir(tag)
+    val df = spark.range(n).select(col("id").as("k"),
+      (col("id") % 10).cast("string").as("grp"),
+      (col("id") * 2.0).as("v"))
+    SnapshotTable.create(spark, dir, df, "k", filesPerCommit = 4)
+    dir
+  }
+
+  test("create + read round-trips; manifest stats match the data") {
+    val dir = mk("rt")
+    val back = SnapshotTable.read(spark, dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("k")).head().getLong(0) == 499500L)
+    val man = SnapshotTable.manifest(spark, dir, 0)
+    assert(man.agg(sum("rows")).head().getLong(0) == 1000L)
+    // bucketed by key range → per-file ranges are disjoint
+    val rows = man.select("key_min", "key_max").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax < bMin)
+      case _ =>
+    }
+  }
+
+  test("merge is copy-on-write: files without matched keys carry over untouched") {
+    val dir = mk("cow")
+    val before = SnapshotTable.manifest(spark, dir, 0)
+      .select("file").collect().map(_.getString(0)).toSet
+    // all update keys land in the first key-range bucket
+    val upd = spark.range(5).select(col("id").as("k"),
+      lit("x").as("grp"), lit(-1.0).as("v"))
+    SnapshotTable.merge(spark, dir, upd, "k", filesPerCommit = 4)
+    val after = SnapshotTable.manifest(spark, dir, 1)
+      .select("file").collect().map(_.getString(0)).toSet
+    val carried = before.intersect(after)
+    // 3 of the 4 v0 files contain no updated key and MUST carry over
+    assert(carried.size == 3, s"expected 3 carried files, got $carried")
+    // state: 5 rows replaced, none inserted
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 1000)
+    assert(now.filter(col("v") === -1.0).count() == 5)
+  }
+
+  test("merge inserts unmatched keys and replaces matched ones in one commit") {
+    val dir = mk("ins")
+    val upd = spark.range(3).select((col("id") + 999L).as("k"), // 999 matched; 1000,1001 inserts
+      lit("z").as("grp"), lit(7.0).as("v"))
+    SnapshotTable.merge(spark, dir, upd, "k")
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 1002)
+    assert(now.filter(col("v") === 7.0).count() == 3)
+    assert(now.filter(col("k") === 999L && col("grp") === "z").count() == 1)
+  }
+
+  test("time travel: v0 read is unchanged after merge and delete") {
+    val dir = mk("tt")
+    SnapshotTable.merge(spark, dir,
+      spark.range(10).select(col("id").as("k"), lit("x").as("grp"), lit(0.0).as("v")), "k")
+    SnapshotTable.delete(spark, dir, col("grp") === "3", "k")
+    val v0 = SnapshotTable.read(spark, dir, version = 0)
+    assert(v0.count() == 1000)
+    assert(v0.filter(col("v") === 0.0 && col("k") =!= 0L).count() == 0)
+    assert(v0.filter(col("grp") === "3").count() == 100)
+    // latest reflects both mutations
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.filter(col("grp") === "3").count() == 0)
+  }
+
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val dir = freshDir("nul")
+    val df = spark.range(10).select(col("id").as("k"),
+      when(col("id") < 5, col("id").cast("string")).as("grp"), // 5 NULL grp rows
+      lit(1.0).as("v"))
+    SnapshotTable.create(spark, dir, df, "k")
+    SnapshotTable.delete(spark, dir, col("grp") === "2", "k")
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.count() == 9) // only grp='2' deleted; NULLs kept
+    assert(now.filter(col("grp").isNull).count() == 5)
+  }
+
+  test("manifest stats prune key-range reads to the overlapping files") {
+    val dir = mk("prune")
+    val all = SnapshotTable.manifest(spark, dir, 0).count()
+    assert(all == 4)
+    // a range inside one bucket must select exactly one file
+    val hit = SnapshotTable.prunedFiles(spark, dir, 10, 20)
+    assert(hit.size == 1, s"expected 1 file for [10,20], got $hit")
+    // and the pruned read still returns the right rows
+    val rows = spark.read.parquet(hit: _*).filter(col("k").between(10, 20))
+    assert(rows.count() == 11)
+  }
+
+  test("history reports one row per version with manifest-derived counts") {
+    val dir = mk("hist", n = 100)
+    SnapshotTable.merge(spark, dir,
+      spark.range(2).select((col("id") + 100L).as("k"), lit("n").as("grp"),
+        lit(0.0).as("v")), "k")
+    SnapshotTable.delete(spark, dir, col("k") < 10, "k")
+    val h = SnapshotTable.history(spark, dir)
+      .select("version", "op", "n_rows").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(h.toSeq == Seq((0, "create", 100L), (1, "merge", 102L), (2, "delete", 92L)))
+  }
+}
