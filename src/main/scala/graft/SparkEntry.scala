@@ -12,7 +12,7 @@ object SparkEntry {
       DedupQueries.all ++ SimilarityQueries.all ++ MlQueries.all ++
       PipelineQueries.all ++ StreamingQueries.all ++ CurationQueries.all ++
       TimeSeriesQueries.all ++ StatsQueries.all ++ GraphQueries.all ++
-      GeoQueries.all ++ TableQueries.all
+      GeoQueries.all ++ TableQueries.all ++ TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * This is the reference's query1 (airflow.py:655-662) analog. */

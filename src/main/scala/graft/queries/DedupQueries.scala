@@ -428,6 +428,42 @@ object DedupQueries {
           sum(when(col("sa") === col("sb"), 1).otherwise(0)).cast("long").as("n_within"),
           (sum("jaccard") / count(lit(1))).as("mean_jaccard"))
         .orderBy(col("n_pairs").desc, col("source_1"), col("source_2"))
+    },
+
+    // D11 — substring-window dedup (the Lee et al. exact-substring idea
+    // at window granularity): docs sharing any 64-char window hash
+    // (stride 32 — every 64-char duplicate span ≥ 96 chars long contains
+    // a full stride-aligned window, and shorter overlaps still collide
+    // when aligned) are near-dup candidates, scored by shared-window
+    // count. Catches copied PARAGRAPHS inside otherwise-different docs —
+    // the case whole-doc MinHash (D3) dilutes away. Scale shape: the
+    // window hash IS the blocking key (equi-join, never all-pairs), text
+    // never moves past the hash projection, and the per-doc window list
+    // is length/32-sized. Hot boilerplate windows get the D2x df-cap in
+    // production; the oracle keeps the plain join. The oracle's offset
+    // range is a constant that must dominate max doc length (4096 ≫ 553
+    // here); the Spark side derives offsets from each doc's own length —
+    // same set, because o > len-63 contributes nothing.
+    QueryDef.sql("d_substring_dedup",
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, md5(substr(text, CAST(o AS INTEGER), 64)) AS h
+        |  FROM documents CROSS JOIN unnest(range(1, 4096, 32)) AS g(o)
+        |  WHERE len(text) >= o + 63)
+        |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+        |FROM w x JOIN w y USING (h) WHERE x.doc_id < y.doc_id
+        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, length(text)-63, 32)")).as("o"))
+        .select(col("doc_id"), md5(expr("substring(text, o, 64)")).as("h"))
+        .distinct()
+        .persist()
+      val xa = w.select(col("h"), col("doc_id").as("a"))
+      val xb = w.select(col("h"), col("doc_id").as("b"))
+      xa.join(xb, "h").filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+        .orderBy("a", "b")
     }
   )
 }

@@ -670,6 +670,52 @@ object MlQueries {
           (col("pos") + 1).cast("long").as("rank"),
           col("rec.item").cast("long").as("item"))
         .orderBy("user", "rank")
+    },
+
+    // F19 — precision-recall AUC (average precision): the ranking metric
+    // that, unlike F9's ROC-AUC, doesn't saturate under class imbalance —
+    // the regime every quality-filter threshold lives in. Scores are
+    // bucketed into 200 fixed-width bins first (F10's identical-double
+    // bin arithmetic), so the threshold sweep is a window over a
+    // REPORT-sized 200-row table, never a data-scale sort — the exact
+    // per-score sweep would be a single-partition window over every
+    // distinct double at 100 TB. AP = Σ ΔTP·precision / P over bins in
+    // descending score order; each term re-enters DECIMAL before the
+    // cross-bin sum so bin ordering can't perturb the float total.
+    QueryDef.sql("m_pr_auc",
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |s AS (SELECT CAST(least(floor((value - mn) * 200.0 / (mx - mn)), 199) AS BIGINT) AS bin,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |      FROM events CROSS JOIN b),
+        |g AS (SELECT bin, CAST(sum(y) AS BIGINT) AS npos_b, count(*) AS n_b
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT bin, npos_b, n_b,
+        |        CAST(sum(npos_b) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
+        |        CAST(sum(n_b) OVER (ORDER BY bin DESC) AS BIGINT) AS cnt
+        |      FROM g),
+        |a AS (SELECT CAST(sum(CAST(npos_b * (CAST(tp AS DOUBLE)/cnt) AS DECIMAL(38,12))) AS DOUBLE) AS ap_num,
+        |        CAST(sum(npos_b) AS BIGINT) AS npos, CAST(sum(n_b) AS BIGINT) AS n
+        |      FROM c)
+        |SELECT npos, n - npos AS nneg, ap_num / npos AS pr_auc FROM a""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val b = ev.agg(min("value").as("mn"), max("value").as("mx"))
+      val g = ev.crossJoin(broadcast(b))
+        .select(
+          least(floor((col("value") - col("mn")) * 200.0 / (col("mx") - col("mn"))), lit(199))
+            .cast("long").as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("bin")
+        .agg(sum("y").cast("long").as("npos_b"), count(lit(1)).as("n_b"))
+      // 200-row table: the window is report-sized by construction
+      val w = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("tp", sum("npos_b").over(w).cast("long"))
+        .withColumn("cnt", sum("n_b").over(w).cast("long"))
+        .agg(
+          expr("CAST(sum(CAST(npos_b * (CAST(tp AS DOUBLE)/cnt) AS DECIMAL(38,12))) AS DOUBLE)").as("ap_num"),
+          sum("npos_b").cast("long").as("npos"), sum("n_b").cast("long").as("n"))
+        .selectExpr("npos", "n - npos AS nneg", "ap_num / npos AS pr_auc")
     }
   )
 

@@ -666,6 +666,52 @@ object StatsQueries {
         .agg(sum("n_events").as("n_events"),
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
         .orderBy("week")
+    },
+
+    // B84 — one-way ANOVA F-test: does mean order value differ across
+    // market segments? The B59 (Welch) two-sample test generalized to k
+    // groups. Two aggregation levels, both exact: per-group (n, Σx, Σx²)
+    // in DECIMAL, then the cross-group reduce ALSO sums DECIMAL-cast
+    // terms (each group's Σx²/n quotient is double, but the 5-term sum
+    // re-enters decimal) so neither engine's group ordering can perturb
+    // the float sum. One closed-form F at the end. The segment lookup is
+    // a 2-column projection of customer with no broadcast hint — AQE
+    // broadcasts it while it fits and falls back to a shuffled join at
+    // the scale where customer is no longer dimension-sized.
+    QueryDef.sql("q_anova",
+      """WITH g AS (
+        |  SELECT c_mktsegment,
+        |    count(*) AS n_g,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s_g,
+        |    CAST(sum(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS q_g
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(CAST(s_g*s_g/n_g AS DECIMAL(38,6))) AS DOUBLE) AS sb_term,
+        |    CAST(sum(CAST(s_g AS DECIMAL(28,6))) AS DOUBLE) AS s_tot,
+        |    CAST(sum(CAST(q_g AS DECIMAL(38,6))) AS DOUBLE) AS q_tot
+        |  FROM g)
+        |SELECT k, n,
+        |  sb_term - s_tot*s_tot/n AS ss_between,
+        |  q_tot - sb_term AS ss_within,
+        |  ((sb_term - s_tot*s_tot/n)/(k-1)) / ((q_tot - sb_term)/(n-k)) AS f_stat
+        |FROM r""".stripMargin) { (s, d) =>
+      val seg = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      val g = Tables.orders(s, d)
+        .join(seg, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_g"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("s_g"),
+          expr("CAST(sum(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4))) AS DOUBLE)").as("q_g"))
+      g.agg(count(lit(1)).as("k"), sum("n_g").cast("long").as("n"),
+          expr("CAST(sum(CAST(s_g*s_g/n_g AS DECIMAL(38,6))) AS DOUBLE)").as("sb_term"),
+          expr("CAST(sum(CAST(s_g AS DECIMAL(28,6))) AS DOUBLE)").as("s_tot"),
+          expr("CAST(sum(CAST(q_g AS DECIMAL(38,6))) AS DOUBLE)").as("q_tot"))
+        .selectExpr("k", "n",
+          "sb_term - s_tot*s_tot/n AS ss_between",
+          "q_tot - sb_term AS ss_within",
+          "((sb_term - s_tot*s_tot/n)/(k-1)) / ((q_tot - sb_term)/(n-k)) AS f_stat")
     }
   )
 }
