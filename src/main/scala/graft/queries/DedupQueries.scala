@@ -431,31 +431,36 @@ object DedupQueries {
     },
 
     // D11 — substring-window dedup (the Lee et al. exact-substring idea
-    // at window granularity): docs sharing any 64-char window hash
-    // (stride 32 — every 64-char duplicate span ≥ 96 chars long contains
-    // a full stride-aligned window, and shorter overlaps still collide
-    // when aligned) are near-dup candidates, scored by shared-window
-    // count. Catches copied PARAGRAPHS inside otherwise-different docs —
-    // the case whole-doc MinHash (D3) dilutes away. Scale shape: the
-    // window hash IS the blocking key (equi-join, never all-pairs), text
-    // never moves past the hash projection, and the per-doc window list
-    // is length/32-sized. Hot boilerplate windows get the D2x df-cap in
-    // production; the oracle keeps the plain join. The oracle's offset
-    // range is a constant that must dominate max doc length (4096 ≫ 553
-    // here); the Spark side derives offsets from each doc's own length —
-    // same set, because o > len-63 contributes nothing.
+    // at window granularity): docs sharing any CONTENT-ANCHORED 64-char
+    // window hash are near-dup candidates, scored by shared-window
+    // count — the copied-PARAGRAPH detector whole-doc MinHash (D3)
+    // dilutes away. Anchoring is content-defined (CDC-chunking style): a
+    // window starts wherever md5 of the local 8-gram begins with '0'
+    // (expected every 16 chars), so a duplicated span places its anchors
+    // at the SAME content positions in both docs — a fixed stride would
+    // only collide when both copies happen to share alignment phase.
+    // Scale shape: the window hash IS the blocking key (equi-join, never
+    // all-pairs); the anchor scan is a projection-only per-char fan-out
+    // (a native one-pass byte-scan expression is the production path,
+    // graft_shingles' pattern); hot boilerplate windows get the D2x
+    // df-cap in production. The oracle's offset range is a constant that
+    // must dominate max doc length (4096 ≫ 553 here); the Spark side
+    // derives offsets from each doc's own length — same set, because
+    // o > len-63 contributes nothing.
     QueryDef.sql("d_substring_dedup",
       """WITH w AS (
         |  SELECT DISTINCT doc_id, md5(substr(text, CAST(o AS INTEGER), 64)) AS h
-        |  FROM documents CROSS JOIN unnest(range(1, 4096, 32)) AS g(o)
-        |  WHERE len(text) >= o + 63)
+        |  FROM documents CROSS JOIN unnest(range(1, 4096)) AS g(o)
+        |  WHERE len(text) >= o + 63
+        |    AND md5(substr(text, CAST(o AS INTEGER), 8)) LIKE '0%')
         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
         |FROM w x JOIN w y USING (h) WHERE x.doc_id < y.doc_id
         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin) { (s, d) =>
       val w = Tables.documents(s, d)
         .filter(length(col("text")) >= 64)
         .select(col("doc_id"), col("text"),
-          explode(expr("sequence(1, length(text)-63, 32)")).as("o"))
+          explode(expr("sequence(1, length(text)-63)")).as("o"))
+        .filter(expr("md5(substring(text, o, 8)) LIKE '0%'"))
         .select(col("doc_id"), md5(expr("substring(text, o, 64)")).as("h"))
         .distinct()
         .persist()

@@ -349,6 +349,98 @@ object StreamingQueries {
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // F1h as a driver-visible query: streaming CDC APPLY — foreachBatch
+    // MERGE into the G16 snapshot table. The replay is three ts-range
+    // tercile files paced one per micro-batch; each batch reduces to
+    // latest-per-user (mergeable max_by over the (ts, event_id) struct —
+    // no window) and MERGEs into the copy-on-write table, so
+    // "updates win" across batches composes to overall-latest because
+    // the tercile split makes every user's event times non-decreasing
+    // across batches — exactly the contract a partitioned CDC feed
+    // (Kafka keyed by user) gives a real deployment. The oracle derives
+    // the same latest-per-user through a rank window over the ORIGINAL
+    // batch table: two mechanisms (3 incremental MERGEs vs one window),
+    // one hash. At 100 TB each MERGE rewrites only files whose key range
+    // intersects the batch's users (manifest stat pruning) — refresh
+    // cost tracks the delta, not the table.
+    QueryDef.sql("f_stream_upsert",
+      """SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+        |FROM (SELECT user_id, ts, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      import graft.sources.SnapshotTable
+      val src = stagedEventTerciles(s, d)
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_stream_upsert_" +
+        s"${Integer.toHexString(d.hashCode)}_${upsertRun.incrementAndGet()}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      val q = Events.readEventStreamPaced(s, src, 1).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val latest = batch.groupBy("user_id")
+            .agg(max_by(struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+              struct(col("ts"), col("event_id"))).as("e"))
+            .select(col("user_id"), col("e.ts").as("last_ts"),
+              col("e.event_type").as("last_type"), col("e.value").as("last_value"))
+          if (SnapshotTable.latestVersion(table) < 0)
+            SnapshotTable.create(s, table, latest, "user_id", filesPerCommit = 2)
+          else SnapshotTable.merge(s, table, latest, "user_id", filesPerCommit = 2)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitBounded(q)
+      SnapshotTable.read(s, table)
+        .select("user_id", "last_ts", "last_type", "last_value")
+        .orderBy("user_id")
     }
   )
+
+  private val upsertRun = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Stage events as THREE ts-range tercile files with pinned ascending
+    * modification times — a deterministic 3-batch CDC replay where every
+    * batch's event times follow the previous batch's (global ts sort ⇒
+    * per-user monotone trivially). Immutable per sfDir, staged once per
+    * JVM (same lock discipline as the other stagers). */
+  private def stagedEventTerciles(s: org.apache.spark.sql.SparkSession, d: String): String =
+    stagingLock.synchronized {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events_" +
+        Integer.toHexString(d.hashCode) + "ter3"
+      val done = new java.io.File(s"$dir/_STAGED")
+      if (!done.isFile) {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        // single-partition sort, THEN the id: on one partition
+        // monotonically_increasing_id is 0..n-1 in sort order (after a
+        // distributed orderBy the ids would be partition-offset encoded —
+        // monotone but not contiguous, breaking the n/3 cuts)
+        val one = Tables.events(s, d).coalesce(1)
+          .sortWithinPartitions("ts", "event_id")
+          .withColumn("__rn", monotonically_increasing_id())
+          .persist()
+        val n = one.count()
+        def slice(lo: Long, hi: Long) = one.filter(col("__rn") >= lo && col("__rn") < hi).drop("__rn")
+        def onePart(df: org.apache.spark.sql.DataFrame, tmp: String): java.nio.file.Path = {
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val st = Files.list(Paths.get(tmp))
+          try st.filter(_.toString.endsWith(".parquet")).findFirst.get finally st.close()
+        }
+        val cut1 = n / 3
+        val cut2 = 2 * n / 3
+        val parts = Seq(
+          "00_t0.parquet" -> onePart(slice(0, cut1), s"$dir/_tmp_a"),
+          "01_t1.parquet" -> onePart(slice(cut1, cut2), s"$dir/_tmp_b"),
+          "02_t2.parquet" -> onePart(slice(cut2, n), s"$dir/_tmp_c"))
+        Files.createDirectories(Paths.get(dir))
+        val t0 = System.currentTimeMillis()
+        parts.zipWithIndex.foreach { case ((name, src), i) =>
+          Files.copy(src, Paths.get(s"$dir/$name"), StandardCopyOption.REPLACE_EXISTING)
+          new java.io.File(s"$dir/$name").setLastModified(t0 - 180000 + i * 60000)
+        }
+        one.unpersist()
+        Seq("_tmp_a", "_tmp_b", "_tmp_c").foreach(t =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/$t")))
+        done.createNewFile()
+      }
+      dir
+    }
 }

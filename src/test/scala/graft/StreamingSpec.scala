@@ -186,4 +186,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.contains((1L, 2L))) // the first two events formed one session
     } finally q.stop()
   }
+
+  test("streaming foreachBatch MERGE composes to batch latest-per-user (F1h)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sfDir
+    val out = SparkEntry.queries("f_stream_upsert")(spark, d)
+      .selectExpr("user_id", "last_ts", "last_type", "last_value")
+      .collect()
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = sources.Tables.events(spark, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .selectExpr("user_id", "ts AS last_ts", "event_type AS last_type", "value AS last_value")
+      .orderBy("user_id").collect()
+    assert(out.toSeq == expected.toSeq,
+      "three incremental MERGEs must equal the one-shot window reduction")
+  }
 }
