@@ -192,6 +192,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashExpr(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_cdc_windows"),
+      new ExpressionInfo(classOf[CdcWindowsExpr].getName, "graft_cdc_windows"),
+      (children: Seq[Expression]) => CdcWindowsExpr(children.head, children(1), children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => {

@@ -456,12 +456,12 @@ object DedupQueries {
         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
         |FROM w x JOIN w y USING (h) WHERE x.doc_id < y.doc_id
         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin) { (s, d) =>
+      // graft_cdc_windows = the declarative explode→filter→md5 chain in
+      // one compiled byte-scan (bit-identity spec'd in ShingleExprSpec):
+      // only surviving anchor hashes fan out, not one row per character
       val w = Tables.documents(s, d)
-        .filter(length(col("text")) >= 64)
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(1, length(text)-63)")).as("o"))
-        .filter(expr("md5(substring(text, o, 8)) LIKE '0%'"))
-        .select(col("doc_id"), md5(expr("substring(text, o, 64)")).as("h"))
+        .select(col("doc_id"),
+          explode(expr("graft_cdc_windows(text, 64, 8)")).as("h"))
         .distinct()
         .persist()
       val xa = w.select(col("h"), col("doc_id").as("a"))

@@ -59,4 +59,25 @@ class ShingleExprSpec extends AnyFunSuite {
       .collect()
     assert(out(0).isNullAt(0) && !out(1).isNullAt(0))
   }
+
+  test("graft_cdc_windows matches the declarative explode/filter/md5 chain (incl. multi-byte text)") {
+    val rng = new scala.util.Random(7)
+    val alphabet = "abc XYZ 019.,!é漢" // exercises 2- and 3-byte UTF-8
+    val texts = Seq.fill(120)(
+      (0 until (64 + rng.nextInt(200)))
+        .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString) ++
+      Seq("", "short", "x" * 64, "y" * 63)
+    val df = texts.toDF("text")
+    val hof = df
+      .select(col("text"), explode(expr(
+        "CASE WHEN length(text) >= 64 THEN sequence(1, length(text)-63) ELSE array() END")).as("o"))
+      .filter(expr("md5(substring(text, o, 8)) LIKE '0%'"))
+      .select(col("text"), md5(expr("substring(text, o, 64)")).as("h"))
+      .groupBy("text").agg(collect_list("h").as("hof"))
+    val ex = df.select(col("text"),
+      call_function("graft_cdc_windows", col("text"), lit(64), lit(8)).as("ex"))
+    val joined = ex.join(hof, Seq("text"), "left")
+      .select(col("ex"), coalesce(col("hof"), array()).as("hof"))
+    assert(joined.filter(col("ex") =!= col("hof")).count() == 0)
+  }
 }
