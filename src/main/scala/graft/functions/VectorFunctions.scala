@@ -27,6 +27,10 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(foldSum(transform(toD(a), x => x * x)))
 
+  /** Squared L2 distance (PQ codebook assignment metric). */
+  def l2sq(a: Column, b: Column): Column =
+    foldSum(zip_with(toD(a), toD(b), (x, y) => (x - y) * (x - y)))
+
   /** HOF formulation — kept as the cross-check twin of [[CosineF32]]
     * (the spec asserts bit-identical outputs). HOF lambdas evaluate
     * interpreted, so the hot paths use the codegen expression instead. */

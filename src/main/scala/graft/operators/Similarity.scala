@@ -81,6 +81,40 @@ object Similarity {
       }
   }
 
+  /** E10 — train product-quantization codebooks: the vector is split into
+    * `m` contiguous subspaces and each gets its own `ksub`-centroid
+    * KMeans codebook (fixed per-subspace seed), so a d-dim float vector
+    * compresses to m small codes (m·log2(ksub) bits) while distances
+    * decompose into per-subspace table lookups — the standard
+    * memory-bound ANN compression (IVF-PQ's second stage). Same
+    * driver-bounded sampling contract as [[trainIvfCentroids]]: codebook
+    * shapes need a sample, not the corpus, and the returned
+    * m × ksub × (d/m) float array ships to executors as literals. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, dims: Int, m: Int,
+                       ksub: Int, sampleCap: Long = 100000L,
+                       seed: Long = 42L): Array[Array[Array[Float]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val dsub = dims / m
+    val n = corpus.count()
+    val sampled =
+      if (n <= sampleCap) corpus
+      else corpus.sample(withReplacement = false, sampleCap.toDouble / n, seed)
+    val subCols = (0 until m).map(si =>
+      array_to_vector(slice(col(vecCol), si * dsub + 1, dsub).cast("array<float>"))
+        .as(s"sub$si"))
+    // one pass materializes every subspace's training column together
+    val subs = sampled.select(subCols: _*).persist()
+    subs.count()
+    try (0 until m).toArray.map { si =>
+      new KMeans().setK(ksub).setSeed(seed + si).setMaxIter(10)
+        .setFeaturesCol(s"sub$si")
+        .fit(subs).clusterCenters
+        .map(_.toArray.map(_.toFloat))
+    } finally subs.unpersist()
+  }
+
   /** Nearest-centroid ids for a vector, best first. The per-centroid
     * cosine runs through the codegen expression against LITERAL centroid
     * arrays — no weight-matrix join or broadcast variable; ties break to

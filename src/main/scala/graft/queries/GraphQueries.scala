@@ -264,6 +264,23 @@ object GraphQueries {
         .groupBy("node").agg(count(lit(1)).as("dg"))
         .groupBy(col("dg").as("degree")).agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
+    },
+
+    // B85 — k-core decomposition (k=4) of the co-purchase graph: the
+    // densest-cohesion filter under the B71 histogram (degree says how
+    // many neighbors a node has; coreness says how many SURVIVE when
+    // weakly-attached nodes peel away — the standard community-core
+    // preprocessing before expensive per-cluster work). Iterative peel
+    // over the STAGED edge table (operators.KCore — each round one degree
+    // aggregate + two semi-joins, checkpointed; round count = the graph's
+    // degeneracy depth, a handful in practice). Recursive deletion is not
+    // monotone-CTE-expressible in the oracle engine ⇒ rows-only;
+    // PropertySpec proves parallel whole-graph peeling equals a
+    // sequential brute-force peel on random graphs — the property that
+    // makes the distributed algorithm correct at any scale.
+    QueryDef.rowsOnly("g_kcore") { (s, d) =>
+      graft.operators.KCore.kcore(stagedCoEdges(s, d).select("u", "v"), k = 4)
+        .orderBy("node")
     }
   )
 }

@@ -260,8 +260,53 @@ object SimilarityQueries {
           VectorFunctions.cosine(col("qv"), col("nv")).as("cos"))
         .filter(col("cos") >= 0.3)
         .orderBy("q", "n")
+    },
+
+    // E10 — product quantization audit (IVF-PQ's compression stage,
+    // complementing E5's scalar int8): 64 dims → 8 subspaces × 16
+    // centroids = 8 4-bit codes (64 B float vector → 4 B, 64×). Output
+    // is the per-subspace codebook report — vectors, distortion (mean
+    // min-L2², the assignment residual PQ search error is bounded by),
+    // codes actually used. Assignment is a per-subspace argmin over
+    // LITERAL centroids (m_kmeans' discipline: scoring any corpus size
+    // is a narrow projection, no join); codebooks are memoized per
+    // dataset like E3's quantizer. KMeans estimator ⇒ rows-only;
+    // SimilaritySpec pins the properties that make PQ usable: every
+    // subspace's distortion beats the 1-centroid (mean-only) baseline,
+    // and assignment is deterministic across runs.
+    QueryDef.rowsOnly("s_pq_quantize") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val books = pqCodebooksFor(emb, d)
+      val m = books.length
+      val dsub = 64 / m
+      val best = (0 until m).map { si =>
+        val sub = slice(col("embedding"), si * dsub + 1, dsub)
+        val scored = books(si).zipWithIndex.map { case (c, i) =>
+          struct(VectorFunctions.l2sq(sub, typedlit(c.map(_.toDouble))).as("d2"),
+            lit(i).as("code"))
+        }
+        sort_array(array(scored.toIndexedSeq: _*), asc = true)(0).as(s"b$si")
+      }
+      val assigned = emb.select(best: _*)
+      val stacked = assigned.select(posexplode(
+        array((0 until m).map(si => col(s"b$si")): _*)).as(Seq("subspace", "b")))
+      stacked.groupBy("subspace")
+        .agg(count(lit(1)).as("n_vectors"),
+          (sum(expr("CAST(b.d2 AS DECIMAL(28,12))")).cast("double") / count(lit(1)))
+            .as("distortion"),
+          countDistinct(col("b.code")).as("codes_used"))
+        .orderBy("subspace")
     }
   )
+
+  private val pqCodebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
+
+  /** Memoized per-dataset PQ codebooks (train once, serve many — the E3
+    * quantizer discipline; training is deterministic). */
+  def pqCodebooksFor(emb: org.apache.spark.sql.DataFrame, d: String): Array[Array[Array[Float]]] =
+    pqCodebookCache.getOrElseUpdate(d,
+      Similarity.trainPqCodebooks(emb, "embedding", dims = 64, m = 8, ksub = 16))
 
   /** E4's oracle CTE chain ending in `cm(true_label, pred_label, n)` —
     * shared by s_knn_classify (which just selects it) and

@@ -101,6 +101,41 @@ object TableQueries {
          |ORDER BY version""".stripMargin) { (s, d) =>
       SnapshotTable.history(s, scenario(s, d))
         .select(col("version"), col("op"), col("n_rows"))
+    },
+
+    // G17 — COMPACT: the lake-maintenance rewrite (G12) as a versioned
+    // table operation. A separate scenario dir replays create → merge →
+    // delete → compact; the latest read must land on the IDENTICAL v2
+    // state (same oracle as G16a — compaction moves bytes, never rows),
+    // while SnapshotTableSpec pins what the hash can't see: fewer files
+    // after, pre-compaction versions still readable, history shows the
+    // op with unchanged row count.
+    QueryDef.sql("q_table_compact",
+      s"WITH $mergedCte\n${aggSql.format("v2")}") { (s, d) =>
+      stateAgg(SnapshotTable.read(s, compactScenario(s, d)))
     }
   )
+
+  /** The G17 scenario: the G16 three commits plus a compaction. Staged in
+    * its OWN dir so the shared G16 history stays three versions. */
+  private def compactScenario(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snaptable_c_" +
+      Integer.toHexString(d.hashCode)
+    if (SnapshotTable.latestVersion(dir) < 3) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").as("price"))
+      SnapshotTable.create(s, dir, base, "o_orderkey")
+      val updates = base.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("price") + 100.0).as("price"))
+      val inserts = base.filter(col("o_orderkey") % 101 === 5)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(50.0).as("price"))
+      SnapshotTable.merge(s, dir, updates.unionByName(inserts), "o_orderkey")
+      SnapshotTable.delete(s, dir, col("o_orderstatus") === "P", "o_orderkey")
+      SnapshotTable.compact(s, dir, "o_orderkey", targetFiles = 2)
+    }
+    dir
+  }
 }

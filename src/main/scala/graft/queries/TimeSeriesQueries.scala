@@ -790,6 +790,70 @@ object TimeSeriesQueries {
           col("open"), col("high"), col("low"), col("close"),
           col("volume"), col("turnover"))
         .orderBy("day")
+    },
+
+    // B86 — Kaplan-Meier survival of the inter-order spell (B65's gaps
+    // promoted to a real survival analysis WITH censoring): each
+    // consecutive-order gap is an observed spell; the open tail from a
+    // customer's last order to the dataset horizon is a CENSORED spell —
+    // dropping it (what a naive mean-gap does) biases survival low,
+    // which is exactly the mistake KM exists to fix. Pipeline: one
+    // customer-keyed lead window over orders (data-scale, many
+    // partitions), spell rollup to a distinct-length table (bounded by
+    // the date range — report-sized), reverse-cumulative risk set,
+    // survival as exp(Σ ln(1−d/n)) — the SAME closed form both engines
+    // (Spark has no product aggregate; DuckDB's would be a different
+    // float path). The terminal all-die factor guards to NULL EXPLICITLY
+    // in both engines (Spark's log(0) is NULL but DuckDB's ln(0) RAISES
+    // — the engines must agree by construction, not accident), and the
+    // output keeps only event lengths with survivors (d>0 AND n>d).
+    QueryDef.sql("q_survival_km",
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmx FROM orders),
+        |s1 AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d0,
+        |         CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey) AS DATE) AS nxt
+        |       FROM orders),
+        |sp AS (SELECT CAST(date_diff('day', d0, coalesce(nxt, gmx)) AS BIGINT) AS len,
+        |              CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+        |       FROM s1 CROSS JOIN mx),
+        |g AS (SELECT len, CAST(sum(ev) AS BIGINT) AS d, count(*) AS c
+        |      FROM sp GROUP BY 1),
+        |r AS (SELECT len, d,
+        |        CAST(sum(c) OVER (ORDER BY len DESC) AS BIGINT) AS n_risk
+        |      FROM g),
+        |km AS (SELECT len, d, n_risk,
+        |         exp(sum(CASE WHEN n_risk > d
+        |                      THEN ln(1 - CAST(d AS DOUBLE)/n_risk) END)
+        |             OVER (ORDER BY len)) AS survival
+        |       FROM r)
+        |SELECT len AS t_days, d AS d_events, n_risk, survival
+        |FROM km WHERE d > 0 AND n_risk > d ORDER BY t_days""".stripMargin) { (s, d) =>
+      val wLead = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val mx = Tables.orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("gmx"))
+      val sp = Tables.orders(s, d)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d0"),
+          to_date(lead(col("o_orderdate"), 1).over(wLead)).as("nxt"))
+        .crossJoin(broadcast(mx))
+        .select(datediff(coalesce(col("nxt"), col("gmx")), col("d0"))
+            .cast("long").as("len"),
+          when(col("nxt").isNull, 0L).otherwise(1L).as("ev"))
+      val g = sp.groupBy("len")
+        .agg(sum("ev").cast("long").as("d"), count(lit(1)).as("c"))
+      // distinct-length table: bounded by the calendar range, so the
+      // unpartitioned windows below run over a report-sized frame
+      val wRisk = Window.orderBy(col("len").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSurv = Window.orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("n_risk", sum("c").over(wRisk).cast("long"))
+        .withColumn("survival",
+          exp(sum(when(col("n_risk") > col("d"),
+            log(lit(1.0) - col("d").cast("double") / col("n_risk")))).over(wSurv)))
+        .filter(col("d") > 0 && col("n_risk") > col("d"))
+        .select(col("len").as("t_days"), col("d").as("d_events"),
+          col("n_risk"), col("survival"))
+        .orderBy("t_days")
     }
   )
 }

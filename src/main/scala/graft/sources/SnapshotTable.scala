@@ -220,6 +220,21 @@ object SnapshotTable {
     man.unpersist()
   }
 
+  /** COMPACT (G12's small-files maintenance as a table operation): rewrite
+    * the current version's data into `targetFiles` fresh key-bucketed
+    * files and commit the result as a new version — same rows, fewer,
+    * larger, stat-tight files. Read-side cost (file listing, per-file
+    * open overhead, manifest size) drops; time travel to pre-compaction
+    * versions still resolves because old data files are immutable and
+    * referenced by their manifests. */
+  def compact(s: SparkSession, dir: String, key: String,
+              targetFiles: Int = 2): Unit = commitLock.synchronized {
+    val v = latestVersion(dir)
+    require(v >= 0, s"$dir has no committed version")
+    commit(s, dir, v + 1,
+      landFiles(s, dir, read(s, dir, v), key, v + 1, "compact", targetFiles))
+  }
+
   /** The commit log: one row per version — op and total row count (from
     * manifest stats, no data scan). */
   def history(s: SparkSession, dir: String): DataFrame = {

@@ -67,6 +67,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
 
+    test(s"parallel k-core peel == sequential brute-force peel (seed $seed)") {
+      val rnd = new Random(3000 + seed)
+      val n = 30
+      val edges = (0 until 70)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      for (k <- Seq(2, 3)) {
+        val out = graft.operators.KCore.kcore(edges.toDF("u", "v"), k)
+          .as[(Long, Long)].collect().toMap
+        // sequential reference: peel ONE minimum-degree sub-k node at a time
+        var adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (x, ys) => x -> ys.map(_._2).toSet }
+        var done = false
+        while (!done) {
+          adj.find { case (_, nb) => nb.size < k } match {
+            case Some((x, _)) =>
+              adj = (adj - x).map { case (y, nb) => y -> (nb - x) }
+            case None => done = true
+          }
+        }
+        val expected = adj.map { case (x, nb) => x -> nb.size.toLong }
+        assert(out == expected, s"k=$k")
+      }
+    }
+
     test(s"saltedJoin == plain join (seed $seed)") {
       val rnd = new Random(2000 + seed)
       // heavily skewed keys on the big side — the case salting exists for

@@ -169,4 +169,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agree > nApprox / nLabels,
       s"LSH-exact agreement $agree/$nApprox at or below the 1/$nLabels chance baseline")
   }
+
+  test("PQ codebooks beat the mean-only baseline in every subspace and assign deterministically (E10)") {
+    val d = TestSpark.sfDir
+    val out1 = SparkEntry.queries("s_pq_quantize")(spark, d).collect()
+    assert(out1.length == 8)
+    // 1-centroid baseline distortion per subspace = mean ||x - mean||²
+    val emb = sources.Tables.embeddings(spark, d)
+    out1.foreach { r =>
+      val si = r.getAs[Int]("subspace")
+      val sub = slice(col("embedding"), si * 8 + 1, 8).cast("array<double>")
+      val withSub = emb.select(sub.as("s")).persist()
+      val meanVec = (0 until 8).map(i =>
+        withSub.agg(avg(col("s")(i))).head().getDouble(0))
+      val baseline = withSub.select(
+          graft.functions.VectorFunctions.l2sq(col("s"),
+            typedlit(meanVec)).as("d2"))
+        .agg(avg("d2")).head().getDouble(0)
+      withSub.unpersist()
+      val pq = r.getAs[Double]("distortion")
+      assert(pq < baseline,
+        s"subspace $si: PQ distortion $pq not below 1-centroid baseline $baseline")
+      val used = r.getAs[Long]("codes_used")
+      assert(used > 1 && used <= 16)
+    }
+    val out2 = SparkEntry.queries("s_pq_quantize")(spark, d).collect()
+    assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq,
+      "PQ assignment must be deterministic across runs")
+  }
 }

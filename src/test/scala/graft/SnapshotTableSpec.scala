@@ -122,4 +122,24 @@ class SnapshotTableSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     assert(h.toSeq == Seq((0, "create", 100L), (1, "merge", 102L), (2, "delete", 92L)))
   }
+
+  test("compact collapses files, preserves every row, and keeps old versions readable (G17)") {
+    val dir = mk("compact", n = 1000) // 4 files at v0
+    val before = SnapshotTable.read(spark, dir).orderBy("k").collect()
+    val filesBefore = SnapshotTable.manifest(spark, dir, 0).count()
+    SnapshotTable.compact(spark, dir, "k", targetFiles = 2)
+    val filesAfter = SnapshotTable.manifest(spark, dir, 1).count()
+    assert(filesAfter < filesBefore, s"$filesAfter files after vs $filesBefore before")
+    val after = SnapshotTable.read(spark, dir).orderBy("k").collect()
+    assert(after.toSeq == before.toSeq, "compaction must move bytes, never rows")
+    // pre-compaction version still resolves (immutable data files)
+    assert(SnapshotTable.read(spark, dir, version = 0).count() == 1000L)
+    val h = SnapshotTable.history(spark, dir)
+      .select("version", "op", "n_rows").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(h.toSeq == Seq((0, "create", 1000L), (1, "compact", 1000L)))
+    // stats stay range-complete: a key-range read prunes to <= all files
+    val pruned = SnapshotTable.prunedFiles(spark, dir, 0L, 10L)
+    assert(pruned.nonEmpty && pruned.size <= filesAfter)
+  }
 }
