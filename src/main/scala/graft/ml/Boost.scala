@@ -1,0 +1,91 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gradient-boosted regression stumps (F20): squared-error boosting where
+  * each round fits a one-split stump to the current residuals and the
+  * prediction advances by `lr` times the stump output — the smallest real
+  * member of the GBM family, built entirely on aggregates.
+  *
+  * The per-round fit is the F14 (decision stump) split search made
+  * residual-aware: bin the feature (integer bins — the feature values
+  * are integral), one partial agg gives per-bin (n, Σresidual), a
+  * cumulative scan over the ≤`nBins` bins scores every threshold by the
+  * SSE-reduction closed form Σl²/nl + Σr²/nr, and the argmax (lowest
+  * threshold on ties) defines the stump. Leaf values are residual means.
+  * Everything driver-side is bin-count-sized; the data-scale work per
+  * round is ONE scan computing the binned residual stats — predictions
+  * and residuals stay COLUMN EXPRESSIONS (literal thresholds/leaves
+  * folded in by codegen), never materialized columns, so R rounds cost R
+  * aggregate scans and zero shuffles of the fact table.
+  *
+  * Deterministic by construction (exact DECIMAL residual sums, integer
+  * bins, fixed tie-break), so the memo/spec contract is the m_kmeans
+  * "same inputs → same model" one without a seed.
+  */
+object Boost {
+
+  /** One fitted stump: predict `muLeft` where feature <= `split`,
+    * else `muRight`. */
+  final case class Stump(split: Int, muLeft: Double, muRight: Double)
+
+  final case class Round(round: Int, split: Int, muLeft: Double,
+                         muRight: Double, trainMse: Double)
+
+  /** Fit `rounds` boosted stumps of `target` on integer-valued
+    * `feature`. Returns the per-round trace (including train MSE after
+    * each round — the spec's monotonicity witness). */
+  def fitStumps(df: DataFrame, feature: String, target: String,
+                rounds: Int, lr: Double = 0.5): Seq[Round] = {
+    val base = df.select(col(feature).cast("int").as("x"),
+      col(target).cast("double").as("y"))
+    var pred: org.apache.spark.sql.Column = lit(0.0)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Round]
+    for (r <- 1 to rounds) {
+      val resid = col("y") - pred
+      // the only data-scale stage of the round: binned residual stats
+      val stats = base
+        .groupBy(col("x").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(resid.cast("decimal(28,6)")).cast("double").as("s"))
+        .orderBy("bin")
+        .collect()
+        .map(row => (row.getAs[Int]("bin"), row.getAs[Long]("n"), row.getAs[Double]("s")))
+      val totalN = stats.map(_._2).sum
+      val totalS = stats.map(_._3).sum
+      // score every threshold from one cumulative pass over the bins
+      var nl = 0L
+      var sl = 0.0
+      var best: Option[(Double, Stump)] = None
+      stats.dropRight(1).foreach { case (bin, n, sCum) =>
+        nl += n; sl += sCum
+        val nr = totalN - nl
+        if (nl > 0 && nr > 0) {
+          val sr = totalS - sl
+          val score = sl * sl / nl + sr * sr / nr
+          if (best.forall(_._1 < score)) // strict: ties keep the LOWEST threshold
+            best = Some((score, Stump(bin, sl / nl, sr / nr)))
+        }
+      }
+      val stump = best.map(_._2).getOrElse(Stump(stats.head._1, totalS / totalN, totalS / totalN))
+      pred = pred + lit(lr) * when(col("x") <= stump.split, stump.muLeft)
+        .otherwise(stump.muRight)
+      val mse = base.select(avg(pow(col("y") - pred, 2)).as("mse"))
+        .head().getDouble(0)
+      trace += Round(r, stump.split, stump.muLeft, stump.muRight, mse)
+    }
+    trace.toSeq
+  }
+
+  /** The F20 driver-facing report over lineitem: boost l_extendedprice on
+    * integer l_quantity. */
+  def gbmReport(s: SparkSession, df: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    fitStumps(df, "l_quantity", "l_extendedprice", rounds)
+      .toDF().orderBy("round")
+      .select(col("round"), col("split").cast("long").as("split_qty"),
+        col("muLeft").as("mu_left"), col("muRight").as("mu_right"),
+        col("trainMse").as("train_mse"))
+  }
+}

@@ -716,6 +716,21 @@ object MlQueries {
           expr("CAST(sum(CAST(npos_b * (CAST(tp AS DOUBLE)/cnt) AS DECIMAL(38,12))) AS DOUBLE)").as("ap_num"),
           sum("npos_b").cast("long").as("npos"), sum("n_b").cast("long").as("n"))
         .selectExpr("npos", "n - npos AS nneg", "ap_num / npos AS pr_auc")
+    },
+
+    // F20 — gradient-boosted regression stumps (ml.Boost): the smallest
+    // real GBM, three rounds of residual stump fits of l_extendedprice
+    // on integer l_quantity with lr=0.5. Per round, the only data-scale
+    // stage is ONE binned-residual partial agg (≤50 bins collected);
+    // split search and leaves are closed-form over the bins, and
+    // predictions stay literal-folded column expressions — R rounds = R
+    // aggregate scans, zero fact-table shuffles. Deterministic without a
+    // seed (exact DECIMAL residual sums, integer bins, lowest-threshold
+    // tie-break), but the multi-round trace isn't single-query SQL ⇒
+    // rows-only; MetricsSpec pins strictly decreasing train MSE and the
+    // round-1 stump against a hand-checked split.
+    QueryDef.rowsOnly("m_gbm_stumps") { (s, d) =>
+      graft.ml.Boost.gbmReport(s, Tables.lineitem(s, d), rounds = 3)
     }
   )
 

@@ -47,6 +47,24 @@ class MetricsSpec extends AnyFunSuite {
       s"AP $ap must sit between the positive base rate $base and 1")
   }
 
+  test("boosted stumps strictly reduce train MSE each round and find the obvious split (F20)") {
+    // y is a step function of x: any sane stump splits at x = 5
+    val df = Seq.tabulate(100)(i => (i % 10 + 1, if (i % 10 + 1 <= 5) 10.0 else 50.0))
+      .toDF("l_quantity", "l_extendedprice")
+    val trace = graft.ml.Boost.fitStumps(df, "l_quantity", "l_extendedprice", rounds = 3)
+    assert(trace.head.split == 5, s"round-1 split ${trace.head.split} != 5")
+    assert(math.abs(trace.head.muLeft - 10.0) < 1e-9 &&
+      math.abs(trace.head.muRight - 50.0) < 1e-9)
+    val mses = trace.map(_.trainMse)
+    assert(mses.zip(mses.tail).forall { case (a, b) => b < a },
+      s"train MSE not strictly decreasing: $mses")
+    // the real-data report is deterministic across runs
+    val d = TestSpark.sfDir
+    val r1 = SparkEntry.queries("m_gbm_stumps")(spark, d).collect().map(_.toString).toSeq
+    val r2 = SparkEntry.queries("m_gbm_stumps")(spark, d).collect().map(_.toString).toSeq
+    assert(r1 == r2)
+  }
+
   test("d_substring_dedup pairs docs sharing a planted paragraph at DIFFERENT offsets (content anchoring)") {
     // The shared paragraph sits at offset 111 in doc 1 and offset 1 in
     // doc 2 — a fixed-stride window scheme would never collide these
