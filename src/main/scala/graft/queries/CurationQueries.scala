@@ -253,6 +253,42 @@ object CurationQueries {
           sum("n_tokens").over(w).cast("long").as("cum_tokens"))
         .filter(col("cum_tokens") <= 20000)
         .orderBy("doc_id")
+    },
+
+    // H9 — temperature-scaled source mixture (the multilingual/multi-
+    // source data-recipe staple: sampling weight ∝ n^α with α<1 upweights
+    // small sources without swamping large ones; α=0.7 is the standard
+    // multilingual setting). Report per source: natural share, the
+    // α-tempered share, the upsample factor H2's rate map would encode,
+    // and the planned doc count at corpus size. One source-keyed partial
+    // agg (report-sized from there); the pow() terms re-enter DECIMAL
+    // before the cross-source normalizer sum so source ordering can't
+    // perturb the float total (B84 discipline).
+    QueryDef.sql("p_mix_temperature",
+      """WITH g AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |    CAST(sum(CAST(pow(n_docs, 0.7) AS DECIMAL(28,12))) AS DOUBLE) AS z
+        |  FROM g)
+        |SELECT source, n_docs, n_chars,
+        |  CAST(n_docs AS DOUBLE)/total AS natural_share,
+        |  pow(n_docs, 0.7)/z AS temp_share,
+        |  (pow(n_docs, 0.7)/z) / (CAST(n_docs AS DOUBLE)/total) AS upsample_factor,
+        |  CAST(round(total * pow(n_docs, 0.7)/z) AS BIGINT) AS planned_docs
+        |FROM g CROSS JOIN t ORDER BY source""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("n_chars"))
+      val t = g.agg(sum("n_docs").cast("long").as("total"),
+        sum(expr("CAST(pow(n_docs, 0.7) AS DECIMAL(28,12))")).cast("double").as("z"))
+      g.crossJoin(broadcast(t))
+        .selectExpr("source", "n_docs", "n_chars",
+          "CAST(n_docs AS DOUBLE)/total AS natural_share",
+          "pow(n_docs, 0.7)/z AS temp_share",
+          "(pow(n_docs, 0.7)/z) / (CAST(n_docs AS DOUBLE)/total) AS upsample_factor",
+          "CAST(round(total * pow(n_docs, 0.7)/z) AS BIGINT) AS planned_docs")
+        .orderBy("source")
     }
   )
 }

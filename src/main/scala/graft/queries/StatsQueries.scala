@@ -712,6 +712,77 @@ object StatsQueries {
           "sb_term - s_tot*s_tot/n AS ss_between",
           "q_tot - sb_term AS ss_within",
           "((sb_term - s_tot*s_tot/n)/(k-1)) / ((q_tot - sb_term)/(n-k)) AS f_stat")
+    },
+
+    // B89 — bootstrap CI for mean order value, DETERMINISTIC where RNG
+    // bootstraps are not: the Poissonized bootstrap (each row enters
+    // replicate r with multiplicity ~ Poisson(1), the standard
+    // one-pass/streaming resample) with the multiplicity drawn by
+    // inverse-CDF ladder from the md5 fraction of (key, r) — H6's
+    // engine-identical uniform, so both engines materialize the SAME 20
+    // resamples. Scale shape: the ×B explode is projection-only and
+    // collapses immediately into a B-keyed partial agg (map-side
+    // combine — raw rows never shuffle); replicate means are exact
+    // DECIMAL ratios; the final spread re-enters DECIMAL before the
+    // cross-replicate sum (B84's ordering discipline). Normal-interval
+    // CI = boot_mean ± 1.96·boot_se — closed form, no percentile rank
+    // games over 20 values.
+    QueryDef.sql("q_bootstrap_ci", {
+      val u = graft.operators.Curation.uniformDuck(
+        "CAST(o_orderkey AS VARCHAR) || '_' || CAST(g.r AS VARCHAR)")
+      s"""WITH reps AS (
+         |  SELECT o_totalprice, CAST(g.r AS INTEGER) AS r,
+         |    (CASE WHEN $u < 0.3678794412 THEN 0
+         |          WHEN $u < 0.7357588823 THEN 1
+         |          WHEN $u < 0.9196986029 THEN 2
+         |          WHEN $u < 0.9810118431 THEN 3
+         |          WHEN $u < 0.9963401532 THEN 4
+         |          WHEN $u < 0.9994058152 THEN 5 ELSE 6 END) AS w
+         |  FROM orders CROSS JOIN unnest(range(0, 20)) AS g(r)),
+         |m AS (
+         |  SELECT r,
+         |    CAST(sum(CAST(w*o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+         |      / CAST(sum(w) AS BIGINT) AS mean_r
+         |  FROM reps GROUP BY 1),
+         |b AS (
+         |  SELECT count(*) AS nb,
+         |    CAST(sum(CAST(mean_r AS DECIMAL(28,12))) AS DOUBLE) AS sm,
+         |    CAST(sum(CAST(mean_r*mean_r AS DECIMAL(38,12))) AS DOUBLE) AS sq
+         |  FROM m),
+         |f AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS mean
+         |  FROM orders)
+         |SELECT n, mean, sm/nb AS boot_mean,
+         |  sqrt((sq - sm*sm/nb)/(nb-1)) AS boot_se,
+         |  sm/nb - 1.96*sqrt((sq - sm*sm/nb)/(nb-1)) AS ci_lo,
+         |  sm/nb + 1.96*sqrt((sq - sm*sm/nb)/(nb-1)) AS ci_hi
+         |FROM f CROSS JOIN b""".stripMargin
+    }) { (s, d) =>
+      val uu = graft.operators.Curation.uniform(
+        concat(col("o_orderkey").cast("string"), lit("_"), col("r").cast("string")))
+      val reps = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(expr("sequence(0, 19)")).as("r"))
+        .select(col("o_totalprice"), col("r"),
+          when(uu < 0.3678794412, 0).when(uu < 0.7357588823, 1)
+            .when(uu < 0.9196986029, 2).when(uu < 0.9810118431, 3)
+            .when(uu < 0.9963401532, 4).when(uu < 0.9994058152, 5)
+            .otherwise(6).as("w"))
+      val m = reps.groupBy("r")
+        .agg((sum(expr("CAST(w*o_totalprice AS DECIMAL(28,6))")).cast("double") /
+          sum("w").cast("long")).as("mean_r"))
+      val b = m.agg(count(lit(1)).as("nb"),
+        sum(expr("CAST(mean_r AS DECIMAL(28,12))")).cast("double").as("sm"),
+        sum(expr("CAST(mean_r*mean_r AS DECIMAL(38,12))")).cast("double").as("sq"))
+      val f = Tables.orders(s, d).agg(count(lit(1)).as("n"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("mean"))
+      f.crossJoin(broadcast(b))
+        .selectExpr("n", "mean", "sm/nb AS boot_mean",
+          "sqrt((sq - sm*sm/nb)/(nb-1)) AS boot_se",
+          "sm/nb - 1.96*sqrt((sq - sm*sm/nb)/(nb-1)) AS ci_lo",
+          "sm/nb + 1.96*sqrt((sq - sm*sm/nb)/(nb-1)) AS ci_hi")
     }
   )
 }
