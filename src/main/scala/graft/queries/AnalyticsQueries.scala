@@ -327,6 +327,23 @@ object AnalyticsQueries {
         .orderBy("day", "event_type")
     },
 
+    // B90 — SLIDING (hopping) window aggregation (1 day window, 6 h
+    // hop): the overlapping-window shape B5's tumbling can't express —
+    // every event contributes to window/hop = 4 windows. Spark's
+    // window(ts, w, hop) does the fan-out INSIDE the expression (no
+    // explode in the plan); the oracle reproduces the epoch-aligned
+    // window starts by integer hop arithmetic (epoch_ms // hop − k), so
+    // both engines assign windows by exact integer division, no float
+    // boundaries. Batch twin of the F1i streaming row (same oracle).
+    QueryDef.sql("q_events_sliding", slidingOracleSql) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum("value", 18, 2).as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // B6 — gap-based sessionization (30 min) — see operators.Sessionize.
     QueryDef.sql("q_sessionize",
       """SELECT user_id, session_id, count(*) AS n_events,
@@ -779,4 +796,15 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }
   )
+
+  /** B90/F1i shared oracle: epoch-aligned 1-day windows hopping every
+    * 6 h, each event fanned to its 4 covering windows by integer hop
+    * arithmetic. */
+  private[queries] def slidingOracleSql: String =
+    """SELECT strftime(make_timestamp(((epoch_ms(ts)//21600000 - g.k)*21600000)*1000),
+      |         '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events CROSS JOIN unnest(range(0, 4)) AS g(k)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -392,6 +392,28 @@ object StreamingQueries {
       SnapshotTable.read(s, table)
         .select("user_id", "last_ts", "last_type", "last_value")
         .orderBy("user_id")
+    },
+
+    // F1i — streaming SLIDING windows (1 day / 6 h hop), the overlapping
+    // complement of F1a's tumbling: state is windows-in-flight × types ×
+    // overlap (4×), fan-out happens inside the window() expression.
+    // Complete mode + AvailableNow (the batch-refresh deployment, like
+    // F1a); shares B90's integer-hop-arithmetic oracle — the streaming
+    // run must land on the identical window assignment.
+    QueryDef.sql("f_stream_sliding", AnalyticsQueries.slidingOracleSql) { (s, d) =>
+      val counts = Events.slidingCounts(Events.readEventStream(s, stagedEvents(s, d)))
+      val sink = "f_stream_sliding_sink"
+      withStatePartitions(s, 8) {
+        val q = counts.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      }
+      s.table(sink)
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_start", "event_type")
     }
   )
 

@@ -69,6 +69,19 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
+  /** F1i — SLIDING (hopping) window aggregation: each event lands in
+    * windowDuration/slideDuration overlapping windows (4 at the 1 day /
+    * 6 h default). State is windows-in-flight × types, like tumbling but
+    * ×overlap — the fan-out happens inside the window() expression, no
+    * explode in the plan. */
+  def slidingCounts(events: DataFrame, window_ : String = "1 day",
+                    slide: String = "6 hours",
+                    watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
   /** F1e — declarative gap sessionization with the built-in
     * `session_window` (vs [[sessionize]]'s explicit
     * flatMapGroupsWithState): per (user, merged-gap-window) event count.
