@@ -718,6 +718,30 @@ object MlQueries {
         .selectExpr("npos", "n - npos AS nneg", "ap_num / npos AS pr_auc")
     },
 
+    // F21 — ridge regression in closed form (F2 with an L2 penalty —
+    // the λ→0 limit IS the OLS slope, and the shrinkage column shows
+    // exactly how much the penalty pulled the fit): centered co-moments
+    // from the SAME six exact-DECIMAL aggregates as F2 (one scan, no new
+    // data-scale work), slope_ridge = Sxy_c/(Sxx_c + λ) with the
+    // intercept unpenalized (the standard convention — penalizing it
+    // would make the fit depend on the y offset). λ=1000 fixed.
+    QueryDef.sql("m_ridge",
+      s"""WITH $olsCte
+         |SELECT n,
+         |  (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope_ols,
+         |  ((sxy - sx*sy/n)) / ((sxx - sx*sx/n) + 1000.0) AS slope_ridge,
+         |  sy/n - (((sxy - sx*sy/n)) / ((sxx - sx*sx/n) + 1000.0)) * sx/n AS intercept_ridge,
+         |  (((sxy - sx*sy/n)) / ((sxx - sx*sx/n) + 1000.0)) /
+         |    ((n*sxy - sx*sy)/(n*sxx - sx*sx)) AS shrinkage
+         |FROM f""".stripMargin) { (s, d) =>
+      Regression.exactOlsAggregates(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
+        .selectExpr("n",
+          "(n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope_ols",
+          "((sxy - sx*sy/n)) / ((sxx - sx*sx/n) + 1000.0) AS slope_ridge",
+          "sy/n - (((sxy - sx*sy/n)) / ((sxx - sx*sx/n) + 1000.0)) * sx/n AS intercept_ridge",
+          "(((sxy - sx*sy/n)) / ((sxx - sx*sx/n) + 1000.0)) / ((n*sxy - sx*sy)/(n*sxx - sx*sx)) AS shrinkage")
+    },
+
     // F20 — gradient-boosted regression stumps (ml.Boost): the smallest
     // real GBM, three rounds of residual stump fits of l_extendedprice
     // on integer l_quantity with lr=0.5. Per round, the only data-scale

@@ -783,6 +783,63 @@ object StatsQueries {
           "sqrt((sq - sm*sm/nb)/(nb-1)) AS boot_se",
           "sm/nb - 1.96*sqrt((sq - sm*sm/nb)/(nb-1)) AS ci_lo",
           "sm/nb + 1.96*sqrt((sq - sm*sm/nb)/(nb-1)) AS ci_hi")
+    },
+
+    // B91 — Wald-Wolfowitz runs test on the daily revenue sequence: is
+    // above/below-median alternation random, or does revenue trend/mean-
+    // revert? (The nonparametric complement of B43's autocorrelation —
+    // no distributional assumption at all.) Daily rollup is the only
+    // data-scale stage; median is the exact lower order statistic with a
+    // (rev, day) tie-broken rank; the median day itself is excluded
+    // (standard practice — and the only value that can EQUAL the median
+    // in doubles); run boundaries from one lag window over the
+    // date-dimension-sized daily table; closed-form normal approximation
+    // z = (R − μ)/σ from the integer run/sign counts.
+    QueryDef.sql("q_runs_test",
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT rev AS m FROM (
+        |    SELECT rev, row_number() OVER (ORDER BY rev, day) AS rn,
+        |           count(*) OVER () AS n FROM dly)
+        |  WHERE rn = (n+1)//2),
+        |sgn AS (SELECT day, rev > m AS above FROM dly CROSS JOIN med WHERE rev <> m),
+        |r AS (SELECT above, lag(above) OVER (ORDER BY day) AS prev FROM sgn),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN prev IS NULL OR above <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+        |    CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2 FROM r)
+        |SELECT runs, n1, n2,
+        |  1.0 + 2.0*n1*n2/(n1+n2) AS mu,
+        |  sqrt((2.0*n1*n2*(2.0*n1*n2 - n1 - n2)) / ((n1+n2)*(n1+n2)*(n1+n2-1.0))) AS sigma,
+        |  (runs - (1.0 + 2.0*n1*n2/(n1+n2))) /
+        |    sqrt((2.0*n1*n2*(2.0*n1*n2 - n1 - n2)) / ((n1+n2)*(n1+n2)*(n1+n2-1.0))) AS z
+        |FROM agg""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dly = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      // exact lower-median order statistic over the date-dim-sized rollup
+      val ranked = dly
+        .withColumn("rn", row_number().over(Window.orderBy(col("rev"), col("day"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val med = ranked.filter(col("rn") === expr("(n+1) div 2")).select(col("rev").as("m"))
+      val sgn = dly.crossJoin(broadcast(med))
+        .filter(col("rev") =!= col("m"))
+        .select(col("day"), (col("rev") > col("m")).as("above"))
+      val r = sgn.withColumn("prev", lag(col("above"), 1).over(Window.orderBy("day")))
+      r.agg(
+          sum(when(col("prev").isNull || col("above") =!= col("prev"), 1).otherwise(0))
+            .cast("long").as("runs"),
+          sum(when(col("above"), 1).otherwise(0)).cast("long").as("n1"),
+          sum(when(col("above"), 0).otherwise(1)).cast("long").as("n2"))
+        .selectExpr("runs", "n1", "n2",
+          // double-D literals: Spark types bare 1.0/2.0 as DECIMAL and
+          // the whole closed form would go decimal (dtype-gate find)
+          "1.0D + 2.0D*n1*n2/(n1+n2) AS mu",
+          "sqrt((2.0D*n1*n2*(2.0D*n1*n2 - n1 - n2)) / ((n1+n2)*(n1+n2)*(n1+n2-1.0D))) AS sigma",
+          """(runs - (1.0D + 2.0D*n1*n2/(n1+n2))) /
+            | sqrt((2.0D*n1*n2*(2.0D*n1*n2 - n1 - n2)) / ((n1+n2)*(n1+n2)*(n1+n2-1.0D))) AS z""".stripMargin)
     }
   )
 }
