@@ -785,6 +785,58 @@ object StatsQueries {
           "sm/nb + 1.96*sqrt((sq - sm*sm/nb)/(nb-1)) AS ci_hi")
     },
 
+    // B92 — Mann-Whitney U (two-sample rank-sum, urgent vs low priority
+    // order value): the nonparametric counterpart of B59's Welch t —
+    // detects a location shift with no normality assumption, and its U
+    // statistic IS F9's AUC numerator (U = AUC·n1·n2), tying the test
+    // family to the ranking family. Ranks come from F9's distributed
+    // machinery (dense ids via range-partitioned surrogate keys, per-
+    // value groups carry min-rank + tie count — no global single-sort
+    // window); average ranks are exact halves, so every rank term
+    // re-enters DECIMAL losslessly and the rank sum is EXACT in both
+    // engines (not an FP-order truce). Tie-corrected normal
+    // approximation; Σ(t³−t) falls out per row as nt²−1.
+    QueryDef.sql("q_mann_whitney",
+      """WITH s AS (SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT','5-LOW')),
+        |r AS (SELECT v, g1, rank() OVER (ORDER BY v) AS rk,
+        |        count(*) OVER (PARTITION BY v) AS nt FROM s),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN g1 = 1
+        |         THEN CAST(rk + (nt-1)/2.0 AS DECIMAL(28,6)) END) AS DOUBLE) AS r1,
+        |    CAST(sum(g1) AS BIGINT) AS n1, count(*) AS n,
+        |    CAST(sum(nt*nt - 1) AS BIGINT) AS tsum
+        |  FROM r)
+        |SELECT n1, n - n1 AS n2,
+        |  r1 - n1*(n1+1)/2.0 AS u1,
+        |  (r1 - n1*(n1+1)/2.0) / (n1*(n - n1)) AS auc,
+        |  (r1 - n1*(n1+1)/2.0 - n1*(n - n1)/2.0)
+        |    / sqrt( (CAST(n1 AS DOUBLE)*(n - n1)/12.0)
+        |            * ((n + 1) - CAST(tsum AS DOUBLE)/(n*(n-1.0))) ) AS z
+        |FROM a""".stripMargin) { (s, d) =>
+      import graft.operators.Relational
+      val sc = Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_totalprice").as("v"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g1"))
+      val ranked = Relational.surrogateKey(sc, "rid", Seq(col("v")))
+      val per = ranked.groupBy("v")
+        .agg((min(col("rid")) + 1L).as("minrk"), count(lit(1)).as("nt"),
+          sum("g1").as("n1v"))
+      per.agg(
+          sum(expr("CAST(n1v * (minrk + (nt-1)/2.0D) AS DECIMAL(28,6))"))
+            .cast("double").as("r1"),
+          sum("n1v").cast("long").as("n1"), sum("nt").cast("long").as("n"),
+          sum(expr("nt*(nt*nt - 1)")).cast("long").as("tsum"))
+        .selectExpr("n1", "n - n1 AS n2",
+          "r1 - n1*(n1+1)/2.0D AS u1",
+          "(r1 - n1*(n1+1)/2.0D) / (n1*(n - n1)) AS auc",
+          """(r1 - n1*(n1+1)/2.0D - n1*(n - n1)/2.0D)
+            |  / sqrt( (CAST(n1 AS DOUBLE)*(n - n1)/12.0D)
+            |          * ((n + 1) - CAST(tsum AS DOUBLE)/(n*(n-1.0D))) ) AS z""".stripMargin)
+    },
+
     // B91 — Wald-Wolfowitz runs test on the daily revenue sequence: is
     // above/below-median alternation random, or does revenue trend/mean-
     // revert? (The nonparametric complement of B43's autocorrelation —
