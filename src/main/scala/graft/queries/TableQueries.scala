@@ -103,6 +103,38 @@ object TableQueries {
         .select(col("version"), col("op"), col("n_rows"))
     },
 
+    // G18 — SCHEMA EVOLUTION: merge with a column the table never had
+    // (discount, set on the matched rows only). Add-column must cost
+    // manifest metadata, never a table rewrite: untouched files carry
+    // over WITHOUT the column and their rows read it as NULL through the
+    // mergeSchema read. The oracle replays the same state as set algebra
+    // with a CASE-typed NULL column; the per-status fingerprint counts
+    // non-null discounts and sums them, so a dropped column, a
+    // mis-defaulted NULL, or a rewritten untouched row all break the
+    // hash.
+    QueryDef.sql("q_table_evolve",
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders),
+        |v1 AS (SELECT o_orderkey, o_orderstatus, price,
+        |         CASE WHEN o_orderkey % 7 = 3 THEN CAST(0.05 AS DOUBLE) END AS discount
+        |       FROM base)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+        |  CAST(count(discount) AS BIGINT) AS n_disc,
+        |  CAST(sum(CAST(coalesce(discount, 0) AS DECIMAL(18,4))) AS DOUBLE) AS disc_sum
+        |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = evolveScenario(s, d)
+      SnapshotTable.read(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("price").cast("decimal(18,2)")).cast("double").as("price_sum"),
+          count(col("discount")).as("n_disc"),
+          sum(coalesce(col("discount"), lit(0.0)).cast("decimal(18,4)"))
+            .cast("double").as("disc_sum"))
+        .orderBy("o_orderstatus")
+    },
+
     // G17 — COMPACT: the lake-maintenance rewrite (G12) as a versioned
     // table operation. A separate scenario dir replays create → merge →
     // delete → compact; the latest read must land on the IDENTICAL v2
@@ -115,6 +147,23 @@ object TableQueries {
       stateAgg(SnapshotTable.read(s, compactScenario(s, d)))
     }
   )
+
+  /** The G18 scenario: create, then a schema-EVOLVING merge that adds a
+    * discount column on the matched keys only. Own dir (two versions). */
+  private def evolveScenario(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snaptable_e_" +
+      Integer.toHexString(d.hashCode)
+    if (SnapshotTable.latestVersion(dir) < 1) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").as("price"))
+      SnapshotTable.create(s, dir, base, "o_orderkey")
+      val updates = base.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("discount", lit(0.05))
+      SnapshotTable.merge(s, dir, updates, "o_orderkey", evolve = true)
+    }
+    dir
+  }
 
   /** The G17 scenario: the G16 three commits plus a compaction. Staged in
     * its OWN dir so the shared G16 history stays three versions. */

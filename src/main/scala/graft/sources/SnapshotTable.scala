@@ -125,13 +125,18 @@ object SnapshotTable {
   }
 
   /** Snapshot read. `version < 0` = latest. Filters/projections push into
-    * the parquet scans as usual; only the manifest's files are listed. */
+    * the parquet scans as usual; only the manifest's files are listed.
+    * `mergeSchema` is on: after a schema-evolving merge the carried-over
+    * files legitimately lack the new columns (they read as NULL — the
+    * evolution contract); the footer-merge cost is per-file-count, which
+    * the manifest already bounds. */
   def read(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version >= 0) version else latestVersion(dir)
     require(v >= 0, s"$dir has no committed version")
     val files = manifest(s, dir, v).select("file").collect().map(_.getString(0))
     if (files.isEmpty) s.read.parquet() // empty table → empty relation
-    else s.read.parquet(files.map(n => s"$dir/data/$n"): _*)
+    else s.read.option("mergeSchema", "true")
+      .parquet(files.map(n => s"$dir/data/$n"): _*)
   }
 
   /** The data files (full paths) actually selected for a read of
@@ -146,11 +151,23 @@ object SnapshotTable {
   }
 
   /** MERGE INTO (upsert): rows of `updates` whose key exists replace the
-    * stored row; the rest insert. Copy-on-write at file granularity. */
+    * stored row; the rest insert. Copy-on-write at file granularity.
+    *
+    * `evolve = true` permits SCHEMA EVOLUTION: columns present only in
+    * `updates` are APPENDED to the table schema; untouched files carry
+    * over without rewrite (their rows read the new columns as NULL via
+    * the mergeSchema read — add-column costs manifest metadata, never a
+    * table rewrite). Columns may only be added, never dropped or
+    * retyped; with `evolve = false` (default) extra update columns are
+    * rejected rather than silently dropped. */
   def merge(s: SparkSession, dir: String, updates: DataFrame, key: String,
-            filesPerCommit: Int = 4): Unit = commitLock.synchronized {
+            filesPerCommit: Int = 4, evolve: Boolean = false): Unit = commitLock.synchronized {
     val v = latestVersion(dir)
     require(v >= 0, s"$dir has no committed version")
+    val baseCols = read(s, dir, v).columns
+    val extraCols = updates.columns.filterNot(baseCols.contains)
+    require(evolve || extraCols.isEmpty,
+      s"updates carry new columns ${extraCols.mkString(",")}; pass evolve=true to add them")
     val man = manifest(s, dir, v).persist()
     man.count()
     val updKeys = updates.select(col(key)).distinct()
@@ -181,9 +198,15 @@ object SnapshotTable {
       else Some(updates.join(cand.select(col(key)), Seq(key), "left_semi"))
     val inserts = if (cand == null) updates
       else updates.join(cand.select(col(key)), Seq(key), "left_anti")
-    val cols = read(s, dir, v).columns.map(col)
+    // evolved schema = base columns ++ update-only columns (append-only);
+    // frames lacking a column (survivors during evolution) take NULL
+    val outCols = baseCols ++ extraCols
+    def conform(df: DataFrame): DataFrame = df.select(outCols.map { c =>
+      if (df.columns.contains(c)) col(c)
+      else lit(null).cast(updates.schema(c).dataType).as(c)
+    }.toIndexedSeq: _*)
     val newData = (survivors.toSeq ++ matched.toSeq :+ inserts)
-      .map(_.select(cols: _*)).reduce(_ unionByName _)
+      .map(conform).reduce(_ unionByName _)
     val fresh = landFiles(s, dir, newData, key, v + 1, "merge", filesPerCommit)
     val carried = man.filter(!col("file").isin(affectedNames.toSeq: _*))
       .select(col("file"), col("rows"), col("key_min"), col("key_max"),

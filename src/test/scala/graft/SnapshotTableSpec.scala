@@ -142,4 +142,30 @@ class SnapshotTableSpec extends AnyFunSuite {
     val pruned = SnapshotTable.prunedFiles(spark, dir, 0L, 10L)
     assert(pruned.nonEmpty && pruned.size <= filesAfter)
   }
+
+  test("schema-evolving merge appends the column without rewriting untouched files (G18)") {
+    import org.apache.spark.sql.functions._
+    val dir = mk("evolve", n = 1000)
+    val filesBefore = SnapshotTable.manifest(spark, dir, 0)
+      .select("file").collect().map(_.getString(0)).toSet
+    // non-evolving merge must REJECT new columns, never drop them
+    val upd = SnapshotTable.read(spark, dir).filter(col("k") < 100)
+      .withColumn("flag", lit(1))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, dir, upd, "k")
+    }
+    SnapshotTable.merge(spark, dir, upd, "k", evolve = true)
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.columns.contains("flag"))
+    assert(after.filter(col("k") < 100 && col("flag") === 1).count() == 100)
+    assert(after.filter(col("k") >= 100).filter(col("flag").isNotNull).count() == 0,
+      "untouched rows read the new column as NULL")
+    // untouched files carried over by reference (no rewrite)
+    val carried = SnapshotTable.manifest(spark, dir, 1)
+      .select("file").collect().map(_.getString(0)).toSet
+    assert((carried intersect filesBefore).nonEmpty,
+      "at least one pre-evolution file must survive unrewritten")
+    // and the old version still reads with the old schema
+    assert(!SnapshotTable.read(spark, dir, version = 0).columns.contains("flag"))
+  }
 }
