@@ -718,6 +718,54 @@ object MlQueries {
         .selectExpr("npos", "n - npos AS nneg", "ap_num / npos AS pr_auc")
     },
 
+    // F22 — weight-of-evidence / information value per score bin (the
+    // credit-scoring feature audit: WoE linearizes a feature against the
+    // log-odds target, IV summarizes its predictive power). F10's fixed
+    // 10-bin arithmetic, per-bin positive/negative counts in one partial
+    // agg, 0.5 smoothing on BOTH count sides so empty cells stay finite
+    // (the standard adjustment, applied identically in both engines);
+    // WoE is one ln() of a ratio of smoothed shares; the IV terms
+    // re-enter DECIMAL before the cross-bin sum (B84 discipline).
+    QueryDef.sql("m_woe_iv",
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |s AS (SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |      FROM events CROSS JOIN b),
+        |g AS (SELECT bin, CAST(sum(y) AS BIGINT) AS npos,
+        |        CAST(sum(1 - y) AS BIGINT) AS nneg FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(npos) AS DOUBLE) AS tp, CAST(sum(nneg) AS DOUBLE) AS tn,
+        |        count(*) AS nb FROM g),
+        |w AS (SELECT bin, npos, nneg,
+        |        ln(((npos + 0.5)/(tp + 0.5*nb)) / ((nneg + 0.5)/(tn + 0.5*nb))) AS woe,
+        |        ((npos + 0.5)/(tp + 0.5*nb) - (nneg + 0.5)/(tn + 0.5*nb))
+        |          * ln(((npos + 0.5)/(tp + 0.5*nb)) / ((nneg + 0.5)/(tn + 0.5*nb))) AS iv_term
+        |      FROM g CROSS JOIN t)
+        |SELECT bin, npos, nneg, woe,
+        |  (SELECT CAST(sum(CAST(iv_term AS DECIMAL(28,12))) AS DOUBLE) FROM w) AS iv_total
+        |FROM w ORDER BY bin""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val b = ev.agg(min("value").as("mn"), max("value").as("mx"))
+      val g = ev.crossJoin(broadcast(b))
+        .select(
+          least(floor((col("value") - col("mn")) * 10.0 / (col("mx") - col("mn"))), lit(9))
+            .cast("long").as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("bin")
+        .agg(sum("y").cast("long").as("npos"),
+          sum(lit(1L) - col("y")).cast("long").as("nneg"))
+      val t = g.agg(sum("npos").cast("double").as("tp"),
+        sum("nneg").cast("double").as("tn"), count(lit(1)).as("nb"))
+      val w = g.crossJoin(broadcast(t))
+        .selectExpr("bin", "npos", "nneg",
+          "ln(((npos + 0.5D)/(tp + 0.5D*nb)) / ((nneg + 0.5D)/(tn + 0.5D*nb))) AS woe",
+          """((npos + 0.5D)/(tp + 0.5D*nb) - (nneg + 0.5D)/(tn + 0.5D*nb))
+            |  * ln(((npos + 0.5D)/(tp + 0.5D*nb)) / ((nneg + 0.5D)/(tn + 0.5D*nb))) AS iv_term""".stripMargin)
+      val iv = w.agg(sum(expr("CAST(iv_term AS DECIMAL(28,12))")).cast("double").as("iv_total"))
+      w.crossJoin(broadcast(iv))
+        .select(col("bin"), col("npos"), col("nneg"), col("woe"), col("iv_total"))
+        .orderBy("bin")
+    },
+
     // F21 — ridge regression in closed form (F2 with an L2 penalty —
     // the λ→0 limit IS the OLS slope, and the shrinkage column shows
     // exactly how much the penalty pulled the fit): centered co-moments

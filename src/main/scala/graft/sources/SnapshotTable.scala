@@ -258,16 +258,45 @@ object SnapshotTable {
       landFiles(s, dir, read(s, dir, v), key, v + 1, "compact", targetFiles))
   }
 
+  /** VACUUM (G19): physically delete data files referenced ONLY by
+    * versions older than the newest `retainVersions`, then drop those
+    * versions' manifests. Time travel works within the retention window
+    * and not before — the standard storage-reclamation contract. Never
+    * touches files any retained manifest references, so concurrent
+    * readers of retained versions are safe; returns the deleted file
+    * names. */
+  def vacuum(s: SparkSession, dir: String,
+             retainVersions: Int = 2): Seq[String] = commitLock.synchronized {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val latest = latestVersion(dir)
+    require(latest >= 0, s"$dir has no committed version")
+    val cutoff = math.max(0, latest - retainVersions + 1)
+    if (cutoff == 0) return Seq.empty
+    val retained = (cutoff to latest).flatMap(v =>
+      manifest(s, dir, v).select("file").collect().map(_.getString(0))).toSet
+    val expired = (0 until cutoff).flatMap(v =>
+      manifest(s, dir, v).select("file").collect().map(_.getString(0)))
+      .distinct.filterNot(retained)
+    expired.foreach(n =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/data/$n")))
+    (0 until cutoff).foreach(v =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(manifestDir(dir, v))))
+    expired
+  }
+
   /** The commit log: one row per version — op and total row count (from
     * manifest stats, no data scan). */
   def history(s: SparkSession, dir: String): DataFrame = {
     val latest = latestVersion(dir)
     require(latest >= 0, s"$dir has no committed version")
-    (0 to latest).map { v =>
-      manifest(s, dir, v)
-        .groupBy(lit(v).as("version"))
-        .agg(first(col("op")).as("op"), count(lit(1)).as("n_files"),
-          coalesce(sum("rows"), lit(0L)).as("n_rows"))
-    }.reduce(_ unionByName _).orderBy("version")
+    // vacuumed versions drop out of the log (their manifests are gone)
+    (0 to latest)
+      .filter(v => new java.io.File(manifestDir(dir, v), "_SUCCESS").isFile)
+      .map { v =>
+        manifest(s, dir, v)
+          .groupBy(lit(v).as("version"))
+          .agg(first(col("op")).as("op"), count(lit(1)).as("n_files"),
+            coalesce(sum("rows"), lit(0L)).as("n_rows"))
+      }.reduce(_ unionByName _).orderBy("version")
   }
 }

@@ -168,4 +168,26 @@ class SnapshotTableSpec extends AnyFunSuite {
     // and the old version still reads with the old schema
     assert(!SnapshotTable.read(spark, dir, version = 0).columns.contains("flag"))
   }
+
+  test("vacuum reclaims only files outside the retention window; retained versions still read (G19)") {
+    import org.apache.spark.sql.functions._
+    val dir = mk("vacuum", n = 1000)
+    SnapshotTable.merge(spark, dir,
+      SnapshotTable.read(spark, dir).filter(col("k") < 200)
+        .withColumn("v", col("v") + 1.0), "k") // v1 rewrites some files
+    SnapshotTable.compact(spark, dir, "k", targetFiles = 2) // v2
+    val before = SnapshotTable.read(spark, dir).orderBy("k").collect()
+    val deleted = SnapshotTable.vacuum(spark, dir, retainVersions = 2)
+    assert(deleted.nonEmpty, "v0-only files should be reclaimed")
+    // latest and v1 still read fully; v0 is gone from the log
+    assert(SnapshotTable.read(spark, dir).orderBy("k").collect().toSeq == before.toSeq)
+    assert(SnapshotTable.read(spark, dir, version = 1).count() == 1000L)
+    val versions = SnapshotTable.history(spark, dir)
+      .select("version").collect().map(_.getInt(0)).toSeq
+    assert(versions == Seq(1, 2), s"expected v0 vacuumed, got $versions")
+    // no retained manifest references a deleted file
+    val referenced = Seq(1, 2).flatMap(v =>
+      SnapshotTable.manifest(spark, dir, v).select("file").collect().map(_.getString(0))).toSet
+    assert(deleted.toSet.intersect(referenced).isEmpty)
+  }
 }
