@@ -770,9 +770,14 @@ object TextQueries {
       val tf = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
+      // Distributed top-k FIRST (TakeOrderedAndProject — per-partition
+      // heaps, no global sort), then rank only the 1000 survivors with
+      // the single-partition window. Ranking the full vocabulary-sized
+      // tf table in one window task was this query's 2 s hotspot; the
+      // window input is now a constant 1000 rows at any corpus scale.
       val top = tf
+        .orderBy(col("n").desc, col("tok")).limit(1000)
         .select(col("n"), row_number().over(Window.orderBy(col("n").desc, col("tok"))).as("rk"))
-        .filter(col("rk") <= 1000)
         .select(log(col("rk").cast("double")).as("x"), log(col("n").cast("double")).as("y"))
       val st = top.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))

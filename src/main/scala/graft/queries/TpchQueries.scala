@@ -362,6 +362,101 @@ object TpchQueries {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("numcust"), dsum("c_acctbal", 18, 2).as("totacctbal"))
         .orderBy("c_nationkey")
+    },
+
+    // B92 — TPC-H Q20 shape: suppliers holding an outsized share of a
+    // part's flow (correlated-aggregate threshold → aggregate twice +
+    // join back, then a semi-join chain up to the supplier dim). The
+    // partsupp stand-in is the 1996 (part, supplier) shipped-quantity
+    // incidence over name-filtered parts; a supplier qualifies when its
+    // share of some part exceeds half that part's total. The share test
+    // is `qty*2 > total` — BOTH sides stay exact DECIMAL (a 0.5 literal
+    // would promote the comparison to binary double in one engine and
+    // decimal in the other). Scale shape: the selective part filter
+    // broadcasts into lineitem BEFORE the first aggregate, sq/pt are
+    // incidence-/part-sized (lineitem never re-scanned), and the final
+    // joins against supplier/nation are dim-sized.
+    QueryDef.sql("q20_excess_share",
+      """WITH sq AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(qty) AS total FROM sq GROUP BY 1),
+        |qual AS (SELECT DISTINCT l_suppkey
+        |         FROM sq JOIN pt USING (l_partkey) WHERE qty*2 > total)
+        |SELECT s_name, n_name, s_acctbal
+        |FROM supplier JOIN qual ON l_suppkey = s_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |ORDER BY s_name""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d)
+        .filter(col("p_name").startsWith("red")).select("p_partkey")
+      val sq = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val pt = sq.groupBy("l_partkey").agg(sum("qty").as("total"))
+      val qual = sq.join(pt, "l_partkey")
+        .filter(col("qty") * 2 > col("total"))
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(qual, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    },
+
+    // B93 — TPC-H Q21 shape: the sole-blocking-supplier query — a self
+    // SEMI-join and a self ANTI-join over the same fact with different
+    // predicates (was another supplier in the order at all? was another
+    // supplier ALSO late?). Lateness proxy for this schema (no
+    // receipt/commit dates): shipped >180 days after the order date, on
+    // finished ('F') orders. Scale shape: both self-joins are equi-joins
+    // on l_orderkey with a residual supplier inequality — shuffle on the
+    // order key, per-order fan-out bounded by lines-per-order; supplier
+    // is a broadcast dim; top-100 is TakeOrderedAndProject.
+    QueryDef.sql("q21_waiting_supplier",
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 180 DAY),
+        |blk AS (
+        |  SELECT l_orderkey, l_suppkey FROM late l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_suppkey <> l1.l_suppkey))
+        |SELECT s_name, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS numwait
+        |FROM blk JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val fOrders = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+      val late = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fOrders, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAY"))
+        .select("l_orderkey", "l_suppkey")
+      val other = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val otherLate = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      val blk = late
+        .join(other, col("o2") === col("l_orderkey") &&
+                     col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(otherLate, col("o3") === col("l_orderkey") &&
+                         col("s3") =!= col("l_suppkey"), "left_anti")
+      graft.operators.Relational.topKByAgg(
+        blk.join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name")
+          .agg(count_distinct(col("l_orderkey")).as("numwait")),
+        100, Seq(col("numwait").desc, col("s_name")))
     }
   )
 }

@@ -96,4 +96,54 @@ class TpchSpec extends AnyFunSuite {
     assert(values.sameElements(values.sorted(Ordering[Double].reverse)),
       "ordered by value desc")
   }
+
+  test("q20 every qualifying supplier really holds >half of some red part's 1996 flow (B93)") {
+    import org.apache.spark.sql.functions._
+    val out = run("q20_excess_share").collect()
+    assert(out.nonEmpty)
+    // recompute the per-(part,supp) shares independently and check set equality
+    val li = sources.Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(sources.Tables.part(spark, d).filter(col("p_name").startsWith("red")),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum("l_quantity").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val totals = li.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).sum }
+    val expect = li.filter { case (p, _, q) => q * 2 > totals(p) }.map(_._2).toSet
+    val suppName = sources.Tables.supplier(spark, d)
+      .collect().map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    assert(out.map(_.getAs[String]("s_name")).toSet == expect.map(suppName))
+    assert(plan("q20_excess_share").contains("BroadcastHashJoin"),
+      "selective part filter should broadcast into lineitem")
+  }
+
+  test("q21 blocking supplier is late, not alone in the order, and the ONLY late one (B94)") {
+    import org.apache.spark.sql.functions._
+    val out = run("q21_waiting_supplier").collect()
+    assert(out.nonEmpty)
+    // brute-force the blocked set at spec scale
+    val li = sources.Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val late = sources.Tables.lineitem(spark, d)
+      .join(sources.Tables.orders(spark, d).filter(col("o_orderstatus") === "F"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAY"))
+      .select("l_orderkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byOrder = li.groupBy(_._1)
+    val lateByOrder = late.groupBy(_._1)
+    val blk = late.filter { case (o, s) =>
+      byOrder(o).exists(_._2 != s) && lateByOrder(o).forall(_._2 == s)
+    }
+    val suppName = sources.Tables.supplier(spark, d)
+      .collect().map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    val expect = blk.groupBy(_._2).map { case (s, os) =>
+      suppName(s) -> os.map(_._1).toSet.size.toLong
+    }
+    val got = out.map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait")).toMap
+    // top-100 cap: every reported pair must match the brute count exactly
+    got.foreach { case (n, c) => assert(expect(n) == c, s"$n: got $c want ${expect(n)}") }
+    assert(plan("q21_waiting_supplier").contains("TakeOrderedAndProject"))
+  }
 }
