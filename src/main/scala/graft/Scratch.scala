@@ -52,6 +52,41 @@ object Scratch {
       time("cand from warm cache")(Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ds, 8), 4, 2)).count())
       spark.stop(); return
     }
+    if (qname == "probe6") {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      def time(label: String)(f: => Any): Unit = {
+        val t = System.nanoTime()
+        val n = f
+        println(f"[probe] $label%-34s ${(System.nanoTime() - t) / 1e9}%6.2f s  out=$n")
+      }
+      val daily = Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE)").as("rev"))
+      time("daily rollup")(daily.count())
+      val a = daily.select(col("day").as("aday"), col("rev").as("arev"))
+      val b = daily.select(col("day").as("bday"), col("rev").as("brev"))
+      val slopes = a.join(b, col("aday") < col("bday"))
+        .select(((col("brev") - col("arev")) /
+          datediff(col("bday"), col("aday")).cast("double")).as("s"))
+      time("pairs count")(slopes.count())
+      time("percentile direct")(slopes.agg(expr("percentile(s, 0.5D)")).collect()(0))
+      time("percentile after repart")(slopes.repartition(64).agg(expr("percentile(s, 0.5D)")).collect()(0))
+      val st = daily.cache(); st.count()
+      val a2 = st.select(col("day").as("aday"), col("rev").as("arev"))
+      val b2 = st.select(col("day").as("bday"), col("rev").as("brev"))
+      val sl2 = a2.join(b2, col("aday") < col("bday"))
+        .select(((col("brev") - col("arev")) /
+          datediff(col("bday"), col("aday")).cast("double")).as("s"))
+      time("percentile from cached daily")(sl2.agg(expr("percentile(s, 0.5D)")).collect()(0))
+      time("sort-based median")({
+        val n = sl2.count()
+        val k = ((n + 1) / 2).toInt
+        val lo = sl2.orderBy(col("s")).limit(k + 1).orderBy(col("s").desc).limit(2).collect()
+        lo.map(_.getDouble(0)).sum / 2
+      })
+      spark.stop(); return
+    }
     if (qname == "probe5") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}

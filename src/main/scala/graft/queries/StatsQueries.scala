@@ -892,6 +892,104 @@ object StatsQueries {
           "sqrt((2.0D*n1*n2*(2.0D*n1*n2 - n1 - n2)) / ((n1+n2)*(n1+n2)*(n1+n2-1.0D))) AS sigma",
           """(runs - (1.0D + 2.0D*n1*n2/(n1+n2))) /
             | sqrt((2.0D*n1*n2*(2.0D*n1*n2 - n1 - n2)) / ((n1+n2)*(n1+n2)*(n1+n2-1.0D))) AS z""".stripMargin)
+    },
+
+    // B95 — EXACT Kendall tau-b over the full fact table, at any scale:
+    // the O(n²) pair statistic collapses onto the (x, y) CONTINGENCY
+    // table when both variables are low-cardinality (quantity has 50
+    // values, discount 11 → 550 cells, fixed by the value domain, not
+    // the data volume). Concordant/discordant pair counts come from one
+    // cell×cell pass (550² — a bounded broadcast nested-loop, the SAME
+    // bounded-domain argument as the B18 histogram); tie terms from the
+    // marginals. Every count is an exact BIGINT; tau is one closed-form
+    // double expression over their images (the (n0−n1)(n0−n2) product
+    // would overflow int64 at ~1e6 rows, so each factor casts to DOUBLE
+    // BEFORE the multiply — in both engines).
+    QueryDef.sql("q_kendall_tau",
+      """WITH ct AS (
+        |  SELECT l_quantity AS x, l_discount AS y, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN a.y < b.y THEN a.c*b.c ELSE 0 END) AS BIGINT) AS conc,
+        |    CAST(sum(CASE WHEN a.y > b.y THEN a.c*b.c ELSE 0 END) AS BIGINT) AS disc
+        |  FROM ct a JOIN ct b ON a.x < b.x),
+        |tx AS (SELECT CAST(sum(cx*(cx-1)) AS BIGINT) AS t2x
+        |       FROM (SELECT sum(c) AS cx FROM ct GROUP BY x)),
+        |ty AS (SELECT CAST(sum(cy*(cy-1)) AS BIGINT) AS t2y
+        |       FROM (SELECT sum(c) AS cy FROM ct GROUP BY y)),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct)
+        |SELECT n, conc, disc,
+        |  (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) /
+        |  sqrt( (CAST(n AS DOUBLE)*(n-1)/2 - CAST(t2x AS DOUBLE)/2)
+        |      * (CAST(n AS DOUBLE)*(n-1)/2 - CAST(t2y AS DOUBLE)/2) ) AS tau
+        |FROM cd, tx, ty, nn""".stripMargin) { (s, d) =>
+      val ct = Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val a = ct.select(col("x").as("ax"), col("y").as("ay"), col("c").as("ac"))
+      val b = ct.select(col("x").as("bx"), col("y").as("by"), col("c").as("bc"))
+      val cd = a.join(b, col("ax") < col("bx")) // 550×550 cells: bounded BNLJ
+        .agg(
+          sum(when(col("ay") < col("by"), col("ac") * col("bc")).otherwise(0L)).as("conc"),
+          sum(when(col("ay") > col("by"), col("ac") * col("bc")).otherwise(0L)).as("disc"))
+      val tx = ct.groupBy("x").agg(sum("c").as("cx"))
+        .agg(sum(col("cx") * (col("cx") - 1)).as("t2x"))
+      val ty = ct.groupBy("y").agg(sum("c").as("cy"))
+        .agg(sum(col("cy") * (col("cy") - 1)).as("t2y"))
+      val nn = ct.agg(sum("c").as("n"))
+      cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty)).crossJoin(broadcast(nn))
+        .selectExpr("n", "conc", "disc",
+          """(CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) /
+            |sqrt( (CAST(n AS DOUBLE)*(n-1)/2 - CAST(t2x AS DOUBLE)/2)
+            |    * (CAST(n AS DOUBLE)*(n-1)/2 - CAST(t2y AS DOUBLE)/2) ) AS tau""".stripMargin)
+    },
+
+    // B96 — mutual information + normalized MI between customer segment
+    // and order priority (the categorical-association audit chi² (B58)
+    // ranks but can't SIZE: MI is in nats, comparable across pairs). One
+    // data-scale contingency pass; marginals and entropies derive from
+    // the 25-cell table. Ordering discipline: each p·ln term re-enters
+    // DECIMAL(28,18) before its sum (B84), so neither engine's cell
+    // order can perturb the total; the 1-row n/marginal factors
+    // broadcast.
+    QueryDef.sql("q_mutual_info",
+      """WITH j AS (
+        |  SELECT c_mktsegment AS sgm, o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+        |mx AS (SELECT sgm, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY 1),
+        |my AS (SELECT pri, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY 1),
+        |mit AS (SELECT CAST(sum(CAST((CAST(c AS DOUBLE)/n)
+        |          * ln(CAST(c AS DOUBLE)*n/(CAST(cx AS DOUBLE)*cy)) AS DECIMAL(28,18))) AS DOUBLE) AS mi
+        |        FROM j JOIN mx USING (sgm) JOIN my USING (pri) CROSS JOIN nn),
+        |ex AS (SELECT CAST(sum(CAST(-(CAST(cx AS DOUBLE)/n)
+        |          * ln(CAST(cx AS DOUBLE)/n) AS DECIMAL(28,18))) AS DOUBLE) AS hx
+        |       FROM mx CROSS JOIN nn),
+        |ey AS (SELECT CAST(sum(CAST(-(CAST(cy AS DOUBLE)/n)
+        |          * ln(CAST(cy AS DOUBLE)/n) AS DECIMAL(28,18))) AS DOUBLE) AS hy
+        |       FROM my CROSS JOIN nn)
+        |SELECT n, mi, hx, hy, mi/sqrt(hx*hy) AS nmi FROM mit, ex, ey, nn""".stripMargin) { (s, d) =>
+      val j = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("sgm"), col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("c"))
+      val nn = j.agg(sum("c").as("n"))
+      val mx = j.groupBy("sgm").agg(sum("c").as("cx"))
+      val my = j.groupBy("pri").agg(sum("c").as("cy"))
+      val mit = j.join(broadcast(mx), "sgm").join(broadcast(my), "pri")
+        .crossJoin(broadcast(nn))
+        .agg(expr("""CAST(sum(CAST((CAST(c AS DOUBLE)/n)
+          * ln(CAST(c AS DOUBLE)*n/(CAST(cx AS DOUBLE)*cy)) AS DECIMAL(28,18))) AS DOUBLE)""").as("mi"))
+      val ex = mx.crossJoin(broadcast(nn))
+        .agg(expr("""CAST(sum(CAST(-(CAST(cx AS DOUBLE)/n)
+          * ln(CAST(cx AS DOUBLE)/n) AS DECIMAL(28,18))) AS DOUBLE)""").as("hx"))
+      val ey = my.crossJoin(broadcast(nn))
+        .agg(expr("""CAST(sum(CAST(-(CAST(cy AS DOUBLE)/n)
+          * ln(CAST(cy AS DOUBLE)/n) AS DECIMAL(28,18))) AS DOUBLE)""").as("hy"))
+      mit.crossJoin(broadcast(ex)).crossJoin(broadcast(ey)).crossJoin(broadcast(nn))
+        .selectExpr("n", "mi", "hx", "hy", "mi/sqrt(hx*hy) AS nmi")
     }
   )
 }

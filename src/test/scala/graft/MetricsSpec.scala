@@ -87,4 +87,69 @@ class MetricsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), "planted shared paragraph must collide despite offset shift")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "disjoint doc must not pair")
   }
+
+  test("q_kendall_tau equals the brute-force O(n²) pair count at spec scale (B95)") {
+    val r = SparkEntry.queries("q_kendall_tau")(spark, TestSpark.sfDir).head()
+    val xy = sources.Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_quantity", "l_discount").collect()
+      .map(row => (row.getDouble(0), row.getDouble(1)))
+    var conc = 0L; var disc = 0L
+    var i = 0
+    while (i < xy.length) {
+      var j = i + 1
+      while (j < xy.length) {
+        val dx = java.lang.Double.compare(xy(i)._1, xy(j)._1)
+        val dy = java.lang.Double.compare(xy(i)._2, xy(j)._2)
+        if (dx * dy > 0) conc += 1 else if (dx * dy < 0) disc += 1
+        j += 1
+      }
+      i += 1
+    }
+    assert(r.getAs[Long]("n") == xy.length.toLong)
+    assert(r.getAs[Long]("conc") == conc, s"conc: got ${r.getAs[Long]("conc")} want $conc")
+    assert(r.getAs[Long]("disc") == disc, s"disc: got ${r.getAs[Long]("disc")} want $disc")
+    val tau = r.getAs[Double]("tau")
+    assert(tau >= -1.0 && tau <= 1.0)
+  }
+
+  test("q_mutual_info obeys the information inequalities and matches a driver recompute (B96)") {
+    val r = SparkEntry.queries("q_mutual_info")(spark, TestSpark.sfDir).head()
+    val (mi, hx, hy) = (r.getAs[Double]("mi"), r.getAs[Double]("hx"), r.getAs[Double]("hy"))
+    assert(mi >= -1e-12, "MI is non-negative")
+    assert(mi <= math.min(hx, hy) + 1e-12, "MI bounded by min marginal entropy")
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= -1e-12 && nmi <= 1.0 + 1e-12)
+    // independent driver recompute from the raw contingency
+    val cells = sources.Tables.orders(spark, TestSpark.sfDir)
+      .join(sources.Tables.customer(spark, TestSpark.sfDir), expr("c_custkey = o_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count().collect()
+      .map(row => ((row.getString(0), row.getString(1)), row.getLong(2)))
+    val n = cells.map(_._2).sum.toDouble
+    val px = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum / n }
+    val py = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum / n }
+    val brute = cells.map { case ((x, y), c) =>
+      (c / n) * math.log((c / n) / (px(x) * py(y)))
+    }.sum
+    assert(math.abs(mi - brute) < 1e-9, s"MI: got $mi brute $brute")
+  }
+
+  test("q_theil_sen pairs the full date dimension and the slope is a real pairwise slope (B97)") {
+    val r = SparkEntry.queries("q_theil_sen")(spark, TestSpark.sfDir).head()
+    val daily = sources.Tables.lineitem(spark, TestSpark.sfDir)
+      .select(expr("CAST(l_shipdate AS DATE)").as("day"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rv"))
+      .groupBy("day").agg(sum("rv").as("rev")).collect()
+      .map(row => (row.getDate(0).toLocalDate.toEpochDay, row.getDouble(1)))
+    val d = daily.length.toLong
+    assert(r.getAs[Long]("n_pairs") == d * (d - 1) / 2)
+    val slope = r.getAs[Double]("slope")
+    // the median slope must lie within the pairwise-slope envelope
+    var lo = Double.MaxValue; var hi = Double.MinValue
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val s = (daily(j)._2 - daily(i)._2) / (daily(j)._1 - daily(i)._1).toDouble
+      lo = math.min(lo, s); hi = math.max(hi, s)
+    }
+    assert(slope >= lo && slope <= hi, s"slope $slope outside [$lo, $hi]")
+    assert(!r.getAs[Double]("intercept").isNaN)
+  }
 }
