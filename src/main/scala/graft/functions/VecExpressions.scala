@@ -215,5 +215,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_strip_accents"),
       new ExpressionInfo(classOf[StripAccentsExpr].getName, "graft_strip_accents"),
       (children: Seq[Expression]) => StripAccentsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinklerExpr(children.head, children(1))))
   }
 }

@@ -491,4 +491,33 @@ object Dedup {
         levenshtein(col("pa"), col("pb")).cast("long").as("lev"))
       .filter(col("lev") <= maxLev)
   }
+
+  /** D12 — prefix-blocked Jaro-Winkler near-dup pairs (entity-resolution
+    * flavor: transposition-tolerant, prefix-weighted — the measure that
+    * rates "small ring"/"small rings" 0.98 where edit distance treats a
+    * 1-char suffix and a 1-char mid-string flip identically). Same
+    * blocking scheme and hot-block cap as [[levenshteinPairs]]; the
+    * similarity is the native `graft_jaro_winkler` codegen expression
+    * (functions/JaroWinklerExpr.scala), pinned to DuckDB's variant.
+    * At corpus scale: candidate pairs are an equi-join on the block key,
+    * never all-pairs, and hot blocks are capped. */
+  def jaroWinklerPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockPrefix: Int = 12, jwPrefix: Int = 80,
+                       minJw: Double = 0.9, maxBlock: Int = 64): DataFrame = {
+    require(blockPrefix > 0 && jwPrefix >= blockPrefix,
+      "need 0 < blockPrefix <= jwPrefix")
+    val p = docs.select(col(idCol).as("doc"),
+      substring(col(textCol), 1, blockPrefix).as("blk"),
+      substring(col(textCol), 1, jwPrefix).as("p"))
+    val capped = p
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("blk")))
+      .filter(col("bn") <= maxBlock)
+    val a = capped.select(col("doc").as("doc_a"), col("blk"), col("p").as("pa"))
+    val b = capped.select(col("doc").as("doc_b"), col("blk"), col("p").as("pb"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_jaro_winkler(pa, pb)").as("jw"))
+      .filter(col("jw") >= minJw)
+  }
 }

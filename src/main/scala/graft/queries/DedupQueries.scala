@@ -377,6 +377,24 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // D12 — prefix-blocked Jaro-Winkler near-dup pairs via the native
+    // `graft_jaro_winkler` codegen expression, hash-matched against
+    // DuckDB's built-in jaro_winkler_similarity — a cross-engine proof
+    // the native implementation reproduces the reference variant
+    // (0.7 boost threshold, window max/2−1, prefix cap 4) pair-for-pair.
+    QueryDef.sql("d_jaro_winkler",
+      """WITH p AS (SELECT doc_id, substr(text,1,12) AS blk, substr(text,1,80) AS p80 FROM documents),
+        |c AS (SELECT * FROM (SELECT p.*, count(*) OVER (PARTITION BY blk) AS bn FROM p) t WHERE bn <= 64)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       jaro_winkler_similarity(a.p80, b.p80) AS jw
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE jaro_winkler_similarity(a.p80, b.p80) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      Dedup.jaroWinklerPairs(Tables.documents(s, d), "doc_id", "text",
+          blockPrefix = 12, jwPrefix = 80, minJw = 0.9, maxBlock = 64)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // D5 — embedding-cosine near-dup pairs ≥ 0.4, blocked by cluster label.
     QueryDef.sql("d_embed_neardup", {
       val cos = graft.functions.VectorFunctions.cosineDuck("x.embedding", "y.embedding")

@@ -112,4 +112,39 @@ class TextFunctionsSpec extends AnyFunSuite {
       .as[(Option[String], Option[String])].collect().toSeq
     assert(got == Seq((None, None), (Some("\u00e1"), Some("a"))))
   }
+
+  test("graft_jaro_winkler reproduces the DuckDB variant on the discriminating probes (D12)") {
+    // expected values are DuckDB jaro_winkler_similarity outputs, which
+    // pin: the 0.7 boost threshold (abcdef/abxxxx keeps raw jaro despite
+    // a 2-char prefix), window max/2-1 (ab/ba -> 0), prefix cap 4
+    // (prefixzz/prefixaa -> 0.9, not 0.93), and empty -> 0 even for ""/"".
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("abc", "xyz", 0.0),
+      ("abcdef", "abxxxx", 0.5555555555555555),
+      ("a", "a", 1.0),
+      ("a", "", 0.0),
+      ("", "", 0.0),
+      ("prefixzz", "prefixaa", 0.9),
+      ("ab", "ba", 0.0),
+      ("red widget", "red gadget", 0.895),
+      ("small ring", "small rings", 0.9818181818181818))
+    // interpreted path
+    cases.foreach { case (a, b, want) =>
+      val got = graft.functions.JaroWinklerImpl.jw(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(math.abs(got - want) < 1e-12, s"jw($a, $b): got $got want $want")
+    }
+    // codegen path through the registered SQL function, plus null safety
+    val df = (cases.map { case (a, b, w) => (Option(a), Option(b), w) } :+
+      ((None: Option[String]), Option("x"), -1.0)).toDF("a", "b", "w")
+    val rows = df.selectExpr("graft_jaro_winkler(a, b) AS jw", "w").collect()
+    rows.foreach { r =>
+      if (r.getDouble(1) < 0) assert(r.isNullAt(0), "null input must yield null")
+      else assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
 }
