@@ -803,6 +803,148 @@ object MlQueries {
     // round-1 stump against a hand-checked split.
     QueryDef.rowsOnly("m_gbm_stumps") { (s, d) =>
       graft.ml.Boost.gbmReport(s, Tables.lineitem(s, d), rounds = 3)
+    },
+
+    // F23 — isotonic regression of purchase rate on score (the calibration
+    // FIT m_calibration only reports): PAV's pooled solution expressed in
+    // its CLOSED minimax form iso(i) = max_{j≤i} min_{k≥i} mean(j..k),
+    // which needs no sequential pooling loop and is therefore fully
+    // SQL-expressible — the whole fit becomes three bounded joins over the
+    // bin-DIMENSION-sized rollup (10 bins → ≤10³ intermediate rows at ANY
+    // event volume; the one data-scale stage is the binned partial agg).
+    // Prefix sums make mean(j..k) one subtraction + one division from
+    // exact integer counts, identical doubles in both engines.
+    QueryDef.sql("m_isotonic",
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |bins AS (
+        |  SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS sy
+        |  FROM events CROSS JOIN b GROUP BY 1),
+        |cum AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cn,
+        |               sum(sy) OVER (ORDER BY bin) AS cy FROM bins),
+        |pm AS (
+        |  SELECT j.bin AS jb, k.bin AS kb,
+        |         (k.cy - coalesce(jp.cy, 0)) * 1.0 / (k.cn - coalesce(jp.cn, 0)) AS mean_jk
+        |  FROM cum j JOIN cum k ON j.bin <= k.bin
+        |  LEFT JOIN cum jp ON jp.bin = j.bin - 1),
+        |im AS (
+        |  SELECT i.bin AS ib, pm.jb, min(pm.mean_jk) AS mn
+        |  FROM bins i JOIN pm ON pm.jb <= i.bin AND pm.kb >= i.bin
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT ib AS bin, max(mn) AS iso_rate FROM im GROUP BY 1)
+        |SELECT bins.bin, n, CAST(sy AS DOUBLE)/n AS pos_rate, iso_rate
+        |FROM bins JOIN iso ON iso.bin = bins.bin ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val b = ev.agg(min("value").as("mn"), max("value").as("mx"))
+      val bins = ev.crossJoin(broadcast(b))
+        .select(
+          least(floor((col("value") - col("mn")) * 10.0 / (col("mx") - col("mn"))), lit(9))
+            .cast("long").as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      // everything below is bin-dim-sized (≤10 rows): the report window
+      // and bounded inequality joins never see the fact table
+      val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bins.select(col("bin"), sum("n").over(w).as("cn"), sum("sy").over(w).as("cy"))
+      val j = cum.select(col("bin").as("jb"))
+      val jp = cum.select((col("bin") + 1).as("jb"), col("cn").as("pcn"), col("cy").as("pcy"))
+      val k = cum.select(col("bin").as("kb"), col("cn").as("kcn"), col("cy").as("kcy"))
+      val pm = j.join(k, col("jb") <= col("kb"))
+        .join(jp, Seq("jb"), "left")
+        .select(col("jb"), col("kb"),
+          ((col("kcy") - coalesce(col("pcy"), lit(0L))) * lit(1.0) /
+           (col("kcn") - coalesce(col("pcn"), lit(0L)))).as("mean_jk"))
+      val im = bins.select(col("bin").as("ib"))
+        .join(pm, col("jb") <= col("ib") && col("kb") >= col("ib"))
+        .groupBy("ib", "jb").agg(min("mean_jk").as("mn"))
+      val iso = im.groupBy(col("ib").as("bin")).agg(max("mn").as("iso_rate"))
+      bins.join(iso, "bin")
+        .select(col("bin"), col("n"),
+          (col("sy").cast("double") / col("n")).as("pos_rate"), col("iso_rate"))
+        .orderBy("bin")
+    },
+
+    // F24 — logistic regression by Newton-Raphson ON AGGREGATES (urgent
+    // priority ~ intercept + ln(totalprice) + finished-status): per
+    // iteration the data-scale work is ONE partial-aggregate scan
+    // computing the 3-vector gradient and 3×3 Hessian (9 sums + the
+    // log-likelihood); the solve is a driver-side 3×3 elimination and the
+    // new coefficients re-enter the next scan as FOLDED LITERALS — the
+    // GLM analog of F20's boosting loop: R iterations = R scans, zero
+    // fact shuffles, and at 1000 executors each scan is an embarrassing
+    // map + 10-number reduce. Every sum term re-enters DECIMAL(38,18)
+    // (B84 discipline) so partition order can't perturb the trajectory —
+    // the full iteration path is bit-deterministic. Iterative ⇒ not
+    // single-query SQL ⇒ rows-only; MetricsSpec pins convergence
+    // (‖grad‖≈0), a log-likelihood above the intercept-only baseline,
+    // and the intercept-only closed form on a degenerate fit.
+    QueryDef.rowsOnly("m_logreg_newton") { (s, d) =>
+      val data = Tables.orders(s, d).select(
+        when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("y"),
+        log(col("o_totalprice")).as("x1"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("x2"))
+      def dsum18(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,18))) AS DOUBLE)"
+      var beta = Array(0.0, 0.0, 0.0)
+      var ll = 0.0; var gnorm = 0.0
+      val iters = 6
+      var it = 0
+      while (it < iters) {
+        val eta = s"(${beta(0)}D + ${beta(1)}D*x1 + ${beta(2)}D*x2)"
+        val p = s"(1.0D / (1.0D + exp(-$eta)))"
+        val r = data.selectExpr(s"y", s"x1", s"x2", s"$p AS p")
+          .selectExpr(
+            dsum18("y - p") + " AS g0",
+            dsum18("(y - p)*x1") + " AS g1",
+            dsum18("(y - p)*x2") + " AS g2",
+            dsum18("p*(1.0D-p)") + " AS h00",
+            dsum18("p*(1.0D-p)*x1") + " AS h01",
+            dsum18("p*(1.0D-p)*x2") + " AS h02",
+            dsum18("p*(1.0D-p)*x1*x1") + " AS h11",
+            dsum18("p*(1.0D-p)*x1*x2") + " AS h12",
+            dsum18("p*(1.0D-p)*x2*x2") + " AS h22",
+            dsum18("CASE WHEN y = 1.0D THEN ln(p) ELSE ln(1.0D-p) END") + " AS ll")
+          .head()
+        val g = Array(r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        val h = Array(
+          Array(r.getDouble(3), r.getDouble(4), r.getDouble(5)),
+          Array(r.getDouble(4), r.getDouble(6), r.getDouble(7)),
+          Array(r.getDouble(5), r.getDouble(7), r.getDouble(8)))
+        ll = r.getDouble(9)
+        gnorm = math.sqrt(g.map(x => x * x).sum)
+        // driver 3×3 Gaussian elimination with partial pivoting
+        val a = Array.tabulate(3, 4)((i, c) => if (c < 3) h(i)(c) else g(i))
+        var col0 = 0
+        while (col0 < 3) {
+          var piv = col0
+          var rI = col0 + 1
+          while (rI < 3) { if (math.abs(a(rI)(col0)) > math.abs(a(piv)(col0))) piv = rI; rI += 1 }
+          val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+          rI = col0 + 1
+          while (rI < 3) {
+            val f = a(rI)(col0) / a(col0)(col0)
+            var c = col0
+            while (c < 4) { a(rI)(c) -= f * a(col0)(c); c += 1 }
+            rI += 1
+          }
+          col0 += 1
+        }
+        val delta = new Array[Double](3)
+        var rI = 2
+        while (rI >= 0) {
+          var acc = a(rI)(3)
+          var c = rI + 1
+          while (c < 3) { acc -= a(rI)(c) * delta(c); c += 1 }
+          delta(rI) = acc / a(rI)(rI)
+          rI -= 1
+        }
+        beta = Array(beta(0) + delta(0), beta(1) + delta(1), beta(2) + delta(2))
+        it += 1
+      }
+      import s.implicits._
+      Seq((beta(0), beta(1), beta(2), ll, gnorm, iters.toLong))
+        .toDF("beta0", "beta1", "beta2", "loglik", "grad_norm", "n_iter")
     }
   )
 

@@ -152,4 +152,49 @@ class MetricsSpec extends AnyFunSuite {
     assert(slope >= lo && slope <= hi, s"slope $slope outside [$lo, $hi]")
     assert(!r.getAs[Double]("intercept").isNaN)
   }
+
+  test("m_isotonic equals brute-force PAV, is monotone, and preserves the weighted mean (F23)") {
+    val rows = SparkEntry.queries("m_isotonic")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Double]("pos_rate"), r.getAs[Double]("iso_rate")))
+    assert(rows.nonEmpty)
+    val iso = rows.map(_._4)
+    iso.sliding(2).foreach { case Array(a, b) => assert(a <= b + 1e-12, "monotone") case _ => }
+    val wIso = rows.map(r => r._2 * r._4).sum / rows.map(_._2).sum
+    val wRaw = rows.map(r => r._2 * r._3).sum / rows.map(_._2).sum
+    assert(math.abs(wIso - wRaw) < 1e-9, "PAV preserves the weighted mean")
+    // brute PAV: classic stack of (weight, mean) blocks, pooled on violation
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    rows.foreach { case (_, n, rate, _) =>
+      var (w, m) = (n.toDouble, rate)
+      while (st.nonEmpty && st.last._2 > m) {
+        val (pw, pm) = st.remove(st.length - 1)
+        m = (pw * pm + w * m) / (pw + w); w += pw
+      }
+      st += ((w, m))
+    }
+    val brute = st.flatMap { case (w, m) =>
+      Seq.fill(math.round(w).toInt)(m) // expand by weight in row units
+    }
+    // reconstruct per-bin brute values by walking block weights against bin ns
+    var bi = 0
+    rows.foreach { case (bin, n, _, isoV) =>
+      val bruteV = brute(bi)
+      assert(math.abs(isoV - bruteV) < 1e-12, s"bin $bin: minimax $isoV vs PAV $bruteV")
+      bi += n.toInt
+    }
+  }
+
+  test("m_logreg_newton converges and beats the intercept-only log-likelihood (F24)") {
+    val r = SparkEntry.queries("m_logreg_newton")(spark, TestSpark.sfDir).head()
+    assert(r.getAs[Double]("grad_norm") < 1e-6, "Newton must converge on a 3-parameter GLM")
+    val ll = r.getAs[Double]("loglik")
+    val ys = sources.Tables.orders(spark, TestSpark.sfDir)
+      .select(when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("y"))
+      .collect().map(_.getDouble(0))
+    val p0 = ys.sum / ys.length
+    val ll0 = ys.length * (p0 * math.log(p0) + (1 - p0) * math.log(1 - p0))
+    assert(ll >= ll0 - 1e-9, s"fitted ll $ll must not undercut intercept-only $ll0")
+    assert(!r.getAs[Double]("beta1").isNaN && !r.getAs[Double]("beta2").isNaN)
+  }
 }
