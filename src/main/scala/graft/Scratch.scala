@@ -52,6 +52,31 @@ object Scratch {
       time("cand from warm cache")(Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ds, 8), 4, 2)).count())
       spark.stop(); return
     }
+    if (qname == "probe7") {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      def time(label: String)(f: => Any): Unit = {
+        val t = System.nanoTime()
+        val n = f
+        println(f"[probe] $label%-34s ${(System.nanoTime() - t) / 1e9}%6.2f s  out=$n")
+      }
+      val li = Tables.lineitem(spark, sfDir)
+      time("count")(li.count())
+      time("double moment agg")(li.agg(count(lit(1)), sum("l_quantity"), sum("l_extendedprice"),
+        sum(col("l_quantity")*col("l_quantity")), sum(col("l_extendedprice")*col("l_extendedprice")),
+        sum(col("l_quantity")*col("l_extendedprice"))).collect().length)
+      time("decimal moment agg")(li.agg(count(lit(1)),
+        expr("sum(CAST(l_quantity AS DECIMAL(28,4)))"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(28,4)))"),
+        expr("sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4)))"),
+        expr("sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4)))"),
+        expr("sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4)))")).collect().length)
+      time("full q_mahalanobis x2")({
+        graft.SparkEntry.queries("q_mahalanobis")(spark, sfDir).collect().length
+        graft.SparkEntry.queries("q_mahalanobis")(spark, sfDir).collect().length
+      })
+      spark.stop(); return
+    }
     if (qname == "probe6") {
       import org.apache.spark.sql.functions._
       import graft.sources.Tables

@@ -668,6 +668,59 @@ object StatsQueries {
         .orderBy("week")
     },
 
+    // A13y — pre-aggregated mergeable KLL QUANTILE sketches (DataSketches
+    // kll_sketch_agg_double): the quantile analog of A13x — per-DAY value
+    // sketches are the stored rollup; weekly p50/p95/p99 come from
+    // MERGING daily sketches, never a second pass over events. Exact
+    // percentiles don't merge (B14's lesson: a median of medians is not
+    // the median); KLL sketches do, with a proven rank-error bound the
+    // spec checks against the exact twin. At 100 TB the daily sketch
+    // table is date-dimension-sized and any ad-hoc date-range quantile is
+    // a sketch merge. Estimator ⇒ rows-only (KllRollupSpec binds it).
+    QueryDef.rowsOnly("q_kll_presketch") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("value"))
+        .groupBy("day")
+        .agg(expr("kll_sketch_agg_double(value)").as("sk"),
+          count(lit(1)).as("n_events"))
+      daily
+        .withColumn("week", date_format(date_trunc("week", col("day")), "yyyy-MM-dd"))
+        .groupBy("week")
+        .agg(sum("n_events").as("n_events"),
+          expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5D)").as("p50"),
+          expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.95D)").as("p95"),
+          expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.99D)").as("p99"))
+        .orderBy("week")
+    },
+
+    // B98 — audience OVERLAP via theta sketches (DataSketches
+    // theta_sketch_agg / theta_intersection_agg): distinct users per
+    // event type, plus the pairwise intersection estimate — the set
+    // operation HLL structurally cannot express (HLL unions only; theta
+    // keeps a hash sample so it intersects). The per-type sketch build is
+    // one partial agg over events; the 4×4 type-pair frame is
+    // sketch-dimension-sized. The production shape at 100 TB: per-segment
+    // sketches are stored once, and any audience-overlap question is
+    // sketch algebra, not a fact re-scan. Estimator ⇒ rows-only;
+    // KllRollupSpec checks each estimate against the exact overlap.
+    QueryDef.rowsOnly("q_theta_overlap") { (s, d) =>
+      val sk = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"),
+          count(lit(1)).as("n_events"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      a.join(b, col("type_a") < col("type_b")) // type² sketch pairs: bounded
+        .select(col("type_a"), col("type_b"),
+          expr("theta_sketch_estimate(ska)").as("users_a"),
+          expr("theta_sketch_estimate(skb)").as("users_b"),
+          // intersection is an aggregate: feed it the pair's two sketches
+          explode(array(col("ska"), col("skb"))).as("x"))
+        .groupBy("type_a", "type_b", "users_a", "users_b")
+        .agg(expr("theta_sketch_estimate(theta_intersection_agg(x))").as("overlap"))
+        .orderBy("type_a", "type_b")
+    },
+
     // B84 — one-way ANOVA F-test: does mean order value differ across
     // market segments? The B59 (Welch) two-sample test generalized to k
     // groups. Two aggregation levels, both exact: per-group (n, Σx, Σx²)
