@@ -289,6 +289,48 @@ object CurationQueries {
           "(pow(n_docs, 0.7)/z) / (CAST(n_docs AS DOUBLE)/total) AS upsample_factor",
           "CAST(round(total * pow(n_docs, 0.7)/z) AS BIGINT) AS planned_docs")
         .orderBy("source")
+    },
+
+    // H10 — filter ATTRITION waterfall: docs and tokens surviving each
+    // successive p_corpus_clean gate (all → quality ≥ 0.4 → lang = en →
+    // exact-dedup keep-first) — the curation diagnostic every pipeline
+    // run ships next to its output ("where did the corpus go?"), and the
+    // first place a mis-tuned threshold shows up. Stages 0-2 are
+    // conditional sums inside ONE scored-corpus aggregate; stage 3 rides
+    // the same kept-first machinery the pipelines use. Shares
+    // TextQueries' scored corpus (the one tokenize pass) on both sides.
+    QueryDef.sql("p_filter_waterfall",
+      s"""WITH sc AS (${TextQueries.scoredSql}),
+         |k AS (SELECT n_tokens, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |      FROM sc WHERE quality >= 0.4 AND pred_lang = 'en')
+         |SELECT 'all' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+         |  count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens FROM sc
+         |UNION ALL SELECT 'quality', CAST(1 AS BIGINT), count(*), CAST(sum(n_tokens) AS BIGINT)
+         |  FROM sc WHERE quality >= 0.4
+         |UNION ALL SELECT 'lang_en', CAST(2 AS BIGINT), count(*), CAST(sum(n_tokens) AS BIGINT)
+         |  FROM sc WHERE quality >= 0.4 AND pred_lang = 'en'
+         |UNION ALL SELECT 'exact_dedup', CAST(3 AS BIGINT), count(*), CAST(sum(n_tokens) AS BIGINT)
+         |  FROM k WHERE rn = 1
+         |ORDER BY stage_idx""".stripMargin) { (s, d) =>
+      import graft.operators.Relational
+      val sc = TextQueries.scoredDf(s, d)
+      val q = col("quality") >= 0.4
+      val en = col("pred_lang") === "en"
+      val base = sc.agg(
+        count(lit(1)).as("d0"), sum("n_tokens").as("t0"),
+        count(when(q, 1)).as("d1"), sum(when(q, col("n_tokens"))).as("t1"),
+        count(when(q && en, 1)).as("d2"), sum(when(q && en, col("n_tokens"))).as("t2"))
+      val dedup = Relational.dedupKeepFirst(
+          sc.filter(q && en).withColumn("__h", md5(col("text"))),
+          Seq("__h"), Seq(col("doc_id")))
+        .agg(count(lit(1)).as("d3"), sum("n_tokens").as("t3"))
+      base.crossJoin(dedup)
+        .select(expr("stack(4, " +
+          "'all', CAST(0 AS BIGINT), d0, t0, " +
+          "'quality', CAST(1 AS BIGINT), d1, t1, " +
+          "'lang_en', CAST(2 AS BIGINT), d2, t2, " +
+          "'exact_dedup', CAST(3 AS BIGINT), d3, t3) AS (stage, stage_idx, docs, tokens)"))
+        .orderBy("stage_idx")
     }
   )
 }

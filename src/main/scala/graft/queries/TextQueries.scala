@@ -13,40 +13,43 @@ object TextQueries {
     * quality ≥ 0.4 ∧ predicted-en ∧ exact-dedup-keep-first, carrying
     * (doc_id, text, source, n_tokens, quality). Shared by p_corpus_clean
     * and the composed p_llm_prep / p_llm_prep_pack oracles. */
-  private[queries] def keptSql: String = {
+  /** The scored-corpus inner select (doc_id, text, source, n_tokens,
+    * quality, pred_lang) — shared by [[keptSql]] and H10's waterfall. */
+  private[queries] def scoredSql: String = {
     val enStops = langProfiles.find(_._1 == "en").get._2
     val scoreCols = langProfiles.map { case (lang, words) =>
       s"${stopwordCountDuck("toks", words)} AS s_$lang"
     }
     val scoreNames = langProfiles.map { case (lang, _) => s"s_$lang" }
+    s"""SELECT doc_id, text, source, n_tokens,
+       |  least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.4 + stop_ratio*0.3 +
+       |    (1.0 - punct_ratio)*0.2 + least(avg_token_len/10.0, 1.0)*0.1 AS quality,
+       |  ${langIdFromScoresDuck(scoreNames)} AS pred_lang
+       |FROM (
+       |  SELECT doc_id, text, source, len(toks) AS n_tokens,
+       |    CASE WHEN length(text) > 0 THEN
+       |      CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+       |      ELSE 0.0 END AS punct_ratio,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      CAST(${stopwordCountDuck("toks", enStops)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |      ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a,b) -> a+b) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |      ELSE 0.0 END AS avg_token_len,
+       |    ${scoreCols.mkString(", ")}
+       |  FROM (SELECT doc_id, text, source, $toks AS toks FROM documents))""".stripMargin
+  }
+
+  private[queries] def keptSql: String =
     s"""SELECT doc_id, text, source, n_tokens, quality FROM (
        |  SELECT doc_id, text, source, n_tokens, quality,
        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-       |  FROM (
-       |    SELECT doc_id, text, source, n_tokens,
-       |      least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.4 + stop_ratio*0.3 +
-       |        (1.0 - punct_ratio)*0.2 + least(avg_token_len/10.0, 1.0)*0.1 AS quality,
-       |      ${langIdFromScoresDuck(scoreNames)} AS pred_lang
-       |    FROM (
-       |      SELECT doc_id, text, source, len(toks) AS n_tokens,
-       |        CASE WHEN length(text) > 0 THEN
-       |          CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
-       |          ELSE 0.0 END AS punct_ratio,
-       |        CASE WHEN len(toks) > 0 THEN
-       |          CAST(${stopwordCountDuck("toks", enStops)} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-       |          ELSE 0.0 END AS stop_ratio,
-       |        CASE WHEN len(toks) > 0 THEN
-       |          CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a,b) -> a+b) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-       |          ELSE 0.0 END AS avg_token_len,
-       |        ${scoreCols.mkString(", ")}
-       |      FROM (SELECT doc_id, text, source, $toks AS toks FROM documents)))
+       |  FROM ($scoredSql)
        |  WHERE quality >= 0.4 AND pred_lang = 'en')
        |WHERE rn = 1""".stripMargin
-  }
 
-  /** Spark twin of [[keptSql]]. */
-  private[queries] def keptDf(s: org.apache.spark.sql.SparkSession, d: String) = {
-    import graft.operators.Relational
+  /** Spark twin of [[scoredSql]]. */
+  private[queries] def scoredDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     // Repartition the raw text BEFORE the expensive tokenize/score chain:
     // a small-file corpus otherwise runs the whole regex pipeline on
     // however few partitions the scan produced (measured: ONE 4 s task
@@ -58,13 +61,18 @@ object TextQueries {
     val comps = qualityComponents(col("text"), col("__toks"),
       element_at(col("__scores"), langIndex("en") + 1))
     val withComps = comps.foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
-    val scored = withComps
+    withComps
       .withColumn("quality", qualityScore(col("n_tokens"), col("punct_ratio"),
         col("stop_ratio"), col("avg_token_len")))
       .withColumn("pred_lang", langIdFromScores(langProfiles.zipWithIndex.map {
         case (_, i) => element_at(col("__scores"), i + 1)
       }))
-    val kept = scored.filter(col("quality") >= 0.4 && col("pred_lang") === "en")
+  }
+
+  /** Spark twin of [[keptSql]]. */
+  private[queries] def keptDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import graft.operators.Relational
+    val kept = scoredDf(s, d).filter(col("quality") >= 0.4 && col("pred_lang") === "en")
     Relational.dedupKeepFirst(kept.withColumn("__h", md5(col("text"))),
         Seq("__h"), Seq(col("doc_id")))
       .select("doc_id", "text", "source", "n_tokens", "quality")
@@ -913,6 +921,37 @@ object TextQueries {
           (col("n").cast("double") / col("nd")).as("top_lang_share"),
           col("lang_entropy"))
         .orderBy("source")
+    },
+
+    // C23 — per-doc n-gram NOVELTY: the fraction of a doc's distinct
+    // trigram shingles whose corpus-wide FIRST owner (min doc_id) is this
+    // doc — the document-level complement of D2's pairwise overlap ("how
+    // much of this doc is new to the corpus" vs "which docs overlap"),
+    // and the metric a crawl-ordered ingest uses to price a source's
+    // marginal contribution. Reuses the D2 shingle machinery verbatim:
+    // doc→gid-set in one native pass, first-owner is a gid-keyed partial
+    // min, and the closing join is gid-co-partitioned with it — the text
+    // never moves after the first pass.
+    QueryDef.sql("t_ngram_novelty",
+      s"""WITH ${DedupQueries.idsCte(3)},
+         |fo AS (SELECT gid, min(doc) AS first_doc FROM ids GROUP BY 1),
+         |per AS (SELECT ids.doc, count(*) AS n_grams,
+         |        CAST(sum(CASE WHEN fo.first_doc = ids.doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |        FROM ids JOIN fo USING (gid) GROUP BY 1)
+         |SELECT doc AS doc_id, n_grams, n_novel,
+         |  CAST(n_novel AS DOUBLE)/n_grams AS novelty
+         |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Dedup
+      val ids = Dedup.hashedDocSets(Tables.documents(s, d), "doc_id", "text", 3)
+        .select(col("doc"), explode(col("gs")).as("gid"))
+      val fo = ids.groupBy("gid").agg(min("doc").as("first_doc"))
+      ids.join(fo, "gid")
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+        .orderBy("doc_id")
     }
   )
 }

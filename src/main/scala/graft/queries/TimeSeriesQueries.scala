@@ -912,6 +912,71 @@ object TimeSeriesQueries {
       })
       import s.implicits._
       Seq((sl.length.toLong, slope, intercept)).toDF("n_pairs", "slope", "intercept")
+    },
+
+    // B99 — WINDOWED funnel (ClickHouse windowFunnel semantics): the whole
+    // view→click→purchase sequence must fit inside 24 h of the ANCHOR
+    // view, and any occurrence can anchor — where B22's greedy-min funnel
+    // commits to each stage's first hit, this finds a qualifying sequence
+    // whenever one exists. Algorithm (the part worth keeping at 100 TB):
+    // NOT the naive per-user triple self-join (cubic in events/user) but
+    // one user-partitioned window scan carrying two running maxima — the
+    // latest prior view anchor, then the latest anchor among QUALIFYING
+    // clicks; a purchase closes the funnel iff it sits within the window
+    // of that carried anchor. Greedy max-anchor is exact: for any closing
+    // event the best prior pair is the one with the latest anchor.
+    // Window order is (t, event_id) — a TOTAL order, so same-timestamp
+    // ties resolve identically in both engines.
+    QueryDef.sql("q_funnel_windowed",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS t, event_id
+        |  FROM events WHERE event_type IN ('view','click','purchase')),
+        |w1 AS (
+        |  SELECT user_id, event_type, t, event_id,
+        |    max(CASE WHEN event_type='view' THEN t END) OVER
+        |      (PARTITION BY user_id ORDER BY t, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_run
+        |  FROM e),
+        |w2 AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type='click' AND v_run IS NOT NULL
+        |             AND t - v_run <= 86400000 THEN v_run END) OVER
+        |      (PARTITION BY user_id ORDER BY t, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cv_run
+        |  FROM w1)
+        |SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+        |       CAST(count(DISTINCT CASE WHEN event_type='view' THEN user_id END) AS BIGINT) AS users FROM w2
+        |UNION ALL
+        |SELECT 'click', CAST(1 AS BIGINT),
+        |       CAST(count(DISTINCT CASE WHEN event_type='click' AND v_run IS NOT NULL
+        |                  AND t - v_run <= 86400000 THEN user_id END) AS BIGINT) FROM w2
+        |UNION ALL
+        |SELECT 'purchase', CAST(2 AS BIGINT),
+        |       CAST(count(DISTINCT CASE WHEN event_type='purchase' AND cv_run IS NOT NULL
+        |                  AND t - cv_run <= 86400000 THEN user_id END) AS BIGINT) FROM w2
+        |ORDER BY stage_idx""".stripMargin) { (s, d) =>
+      val winMs = 86400000L
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("t"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val w1 = e.withColumn("v_run",
+        max(when(col("event_type") === "view", col("t"))).over(w))
+      val w2 = w1.withColumn("cv_run",
+        max(when(col("event_type") === "click" && col("v_run").isNotNull &&
+          col("t") - col("v_run") <= winMs, col("v_run"))).over(w))
+      val agg = w2.agg(
+        count_distinct(when(col("event_type") === "view", col("user_id"))).as("u0"),
+        count_distinct(when(col("event_type") === "click" && col("v_run").isNotNull &&
+          col("t") - col("v_run") <= winMs, col("user_id"))).as("u1"),
+        count_distinct(when(col("event_type") === "purchase" && col("cv_run").isNotNull &&
+          col("t") - col("cv_run") <= winMs, col("user_id"))).as("u2"))
+      agg.select(expr("stack(3, 'view', CAST(0 AS BIGINT), u0, " +
+          "'click', CAST(1 AS BIGINT), u1, 'purchase', CAST(2 AS BIGINT), u2) " +
+          "AS (stage, stage_idx, users)"))
+        .orderBy("stage_idx")
     }
   )
 }

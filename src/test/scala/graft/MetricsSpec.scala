@@ -197,4 +197,42 @@ class MetricsSpec extends AnyFunSuite {
     assert(ll >= ll0 - 1e-9, s"fitted ll $ll must not undercut intercept-only $ll0")
     assert(!r.getAs[Double]("beta1").isNaN && !r.getAs[Double]("beta2").isNaN)
   }
+
+  test("q_funnel_windowed is monotone and never undercounts the greedy-min funnel (B99)") {
+    val win = SparkEntry.queries("q_funnel_windowed")(spark, TestSpark.sfDir)
+      .orderBy("stage_idx").collect().map(_.getAs[Long]("users"))
+    assert(win.length == 3)
+    win.sliding(2).foreach { case Array(a, b) => assert(b <= a, "funnel must narrow") case _ => }
+    // any-anchor semantics dominate greedy-min at the same window only if
+    // windows matched; here they differ (24h vs 12h) so assert stage-0
+    // agreement (both count all viewers) and internal monotonicity only
+    val greedy = SparkEntry.queries("q_funnel")(spark, TestSpark.sfDir)
+      .orderBy("stage_idx").collect().map(_.getAs[Long]("users"))
+    assert(win(0) == greedy(0), "stage 0 counts every viewer in both funnels")
+  }
+
+  test("t_ngram_novelty first-owner counts tile the corpus vocabulary exactly (C23)") {
+    val rows = SparkEntry.queries("t_ngram_novelty")(spark, TestSpark.sfDir).collect()
+    val totalNovel = rows.map(_.getAs[Long]("n_novel")).sum
+    // every distinct gid has exactly ONE first owner ⇒ Σ n_novel = |vocab|
+    val vocab = graft.operators.Dedup
+      .hashedDocSets(sources.Tables.documents(spark, TestSpark.sfDir), "doc_id", "text", 3)
+      .select(explode(col("gs")).as("gid")).distinct().count()
+    assert(totalNovel == vocab, s"sum(n_novel)=$totalNovel must equal |vocab|=$vocab")
+    rows.foreach { r =>
+      val nv = r.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+    }
+  }
+
+  test("p_filter_waterfall narrows monotonically and ends at the pipeline's kept count (H10)") {
+    val rows = SparkEntry.queries("p_filter_waterfall")(spark, TestSpark.sfDir)
+      .orderBy("stage_idx").collect()
+    val docs = rows.map(_.getAs[Long]("docs"))
+    val toks = rows.map(_.getAs[Long]("tokens"))
+    docs.sliding(2).foreach { case Array(a, b) => assert(b <= a) case _ => }
+    toks.sliding(2).foreach { case Array(a, b) => assert(b <= a) case _ => }
+    val kept = SparkEntry.queries("p_corpus_clean")(spark, TestSpark.sfDir).count()
+    assert(docs.last == kept, "final stage must equal the pipeline's kept-doc count")
+  }
 }
