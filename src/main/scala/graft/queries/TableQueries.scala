@@ -145,6 +145,40 @@ object TableQueries {
     QueryDef.sql("q_table_compact",
       s"WITH $mergedCte\n${aggSql.format("v2")}") { (s, d) =>
       stateAgg(SnapshotTable.read(s, compactScenario(s, d)))
+    },
+
+    // G20 — CHANGE DATA FEED: the row-level diff between committed
+    // versions (insert/update/delete, unchanged rows excluded) read as a
+    // query — what a downstream incremental consumer would ingest instead
+    // of re-reading the table. The oracle knows exactly which rows each
+    // transition touched (the mutations are deterministic set algebra
+    // over orders), so the per-(transition, change_type) fingerprint pins
+    // every fed row: a missed update, a leaked unchanged row, or a
+    // wrong-image delete all break the hash. SnapshotTableSpec proves the
+    // apply contract (feed(v0→v1) applied to v0 reproduces v1).
+    QueryDef.sql("q_table_cdf",
+      s"""WITH $mergedCte
+         |SELECT '0_1' AS transition, 'insert' AS change_type, count(*) AS n,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum FROM ins
+         |UNION ALL SELECT '0_1', 'update', count(*),
+         |  CAST(sum(o_orderkey) AS BIGINT),
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) FROM upd
+         |UNION ALL SELECT '1_2', 'delete', count(*),
+         |  CAST(sum(o_orderkey) AS BIGINT),
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+         |  FROM v1 WHERE o_orderstatus = 'P'
+         |ORDER BY transition, change_type""".stripMargin) { (s, d) =>
+      val dir = scenario(s, d)
+      val feed = SnapshotTable.changeFeed(s, dir, 0, 1, "o_orderkey")
+          .withColumn("transition", lit("0_1"))
+        .unionByName(SnapshotTable.changeFeed(s, dir, 1, 2, "o_orderkey")
+          .withColumn("transition", lit("1_2")))
+      feed.groupBy("transition", "change_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("price").cast("decimal(18,2)")).cast("double").as("price_sum"))
+        .orderBy("transition", "change_type")
     }
   )
 

@@ -299,4 +299,40 @@ object SnapshotTable {
             coalesce(sum("rows"), lit(0L)).as("n_rows"))
       }.reduce(_ unionByName _).orderBy("version")
   }
+
+  /** G20 — CHANGE DATA FEED between two committed versions: the keyed
+    * row-level diff (`insert` / `update` / `delete`, unchanged rows
+    * excluded). Inserts and updates carry the AFTER image; deletes the
+    * BEFORE image — the downstream-apply contract (applying the feed to
+    * the `from` state reproduces the `to` state, which the spec proves).
+    * Plan shape: ONE full-outer equi-join on the key between the two
+    * version reads — both sides are manifest-bounded scans, the join
+    * shuffles each side once on the key, and classification/image
+    * selection is a narrow projection. No log replay needed: versions are
+    * complete states, so the diff IS the feed (the copy-on-write analog
+    * of a format's CDF read). */
+  def changeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int,
+                 key: String): DataFrame = {
+    val before = read(s, dir, fromV)
+    val after = read(s, dir, toV)
+    val cols = after.columns // evolution only appends, so `after` is the superset
+    val b = before.columns.foldLeft(before)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
+    val a = cols.foldLeft(after)((df, c) => df.withColumnRenamed(c, s"__a_$c"))
+    val j = b.join(a, col(s"__b_$key") === col(s"__a_$key"), "full_outer")
+    val dataCols = cols.filterNot(_ == key)
+    val changed = dataCols
+      .filter(c => before.columns.contains(c))
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val changeType = when(col(s"__b_$key").isNull, "insert")
+      .when(col(s"__a_$key").isNull, "delete")
+      .when(changed, "update")
+    def bcol(c: String) = // pre-evolution versions lack appended columns
+      if (before.columns.contains(c)) col(s"__b_$c") else lit(null)
+    val image = cols.map(c =>
+      when(col(s"__a_$key").isNull, bcol(c)).otherwise(col(s"__a_$c")).as(c))
+    j.withColumn("change_type", changeType)
+      .filter(col("change_type").isNotNull)
+      .select(col("change_type") +: image: _*)
+  }
 }

@@ -190,4 +190,35 @@ class SnapshotTableSpec extends AnyFunSuite {
       SnapshotTable.manifest(spark, dir, v).select("file").collect().map(_.getString(0))).toSet
     assert(deleted.toSet.intersect(referenced).isEmpty)
   }
+
+  test("changeFeed classifies exactly and applying it reproduces the target version (G20)") {
+    val dir = mk("cdf")
+    // v1: update k<100 (v+1), insert k in [2000,2100), leave the rest
+    val upd = SnapshotTable.read(spark, dir).filter(col("k") < 100)
+      .select(col("k"), col("grp"), (col("v") + 1.0).as("v"))
+    val ins = spark.range(2000, 2100).select(col("id").as("k"),
+      lit("new").as("grp"), lit(-1.0).as("v"))
+    SnapshotTable.merge(spark, dir, upd.unionByName(ins), "k")
+    // v2: delete grp = '3'
+    SnapshotTable.delete(spark, dir, col("grp") === "3", "k")
+
+    val f01 = SnapshotTable.changeFeed(spark, dir, 0, 1, "k")
+    val byType = f01.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update" -> 100L, "insert" -> 100L),
+      s"unchanged rows must not leak into the feed: $byType")
+    val f12 = SnapshotTable.changeFeed(spark, dir, 1, 2, "k")
+    assert(f12.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .forall { case (t, _) => t == "delete" })
+
+    // apply contract: v0 minus (updated ∪ deleted keys) plus after-images = v1
+    val updKeys = f01.filter(col("change_type") =!= "delete").select("k")
+    val applied = SnapshotTable.read(spark, dir, 0)
+      .join(updKeys, Seq("k"), "left_anti")
+      .unionByName(f01.filter(col("change_type") =!= "delete").drop("change_type"))
+    val v1 = SnapshotTable.read(spark, dir, 1)
+    assert(applied.orderBy("k").collect().toSeq == v1.orderBy("k").collect().toSeq,
+      "feed applied to v0 must reproduce v1 row-for-row")
+  }
 }
