@@ -219,5 +219,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
       (children: Seq[Expression]) => JaroWinklerExpr(children.head, children(1))))
+    // B10n — the (c)-path custom operator: rank-filter windows rewrite to
+    // the native partial/final top-k-per-group plan (plans/TopKPerGroup).
+    ext.injectOptimizerRule(graft.plans.TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -1,0 +1,205 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, EqualTo, Expression, IntegerLiteral,
+  LessThan, LessThanOrEqual, NamedExpression, RowNumber, SortOrder,
+  UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** SURVEY §2 B10n — top-k-per-group as a FIRST-CLASS operator: logical
+  * node + optimizer rule + planner strategy + physical operator, the
+  * (c)-path of the engine's custom-operator preference ladder
+  * (SparkSessionExtensions: `injectOptimizerRule` + `injectPlannerStrategy`).
+  *
+  * WHY: the declarative form — `row_number() OVER (PARTITION BY p ORDER BY
+  * o) <= k` — plans as a FULL shuffle of every row followed by a per-group
+  * SORT of every row, then throws away all but k per group. The mergeable
+  * structure of top-k (the same structure partial aggregation exploits)
+  * lives nowhere in that plan. This operator restores it:
+  *
+  *   TopKPerGroupExec(partial)   — per input partition, one bounded heap
+  *                                 per group key: at most k rows per
+  *                                 (partition, group) survive to the wire
+  *   → ShuffleExchange(p)        — inserted by EnsureRequirements from the
+  *                                 final's ClusteredDistribution, exactly
+  *                                 like partial→final aggregation
+  *   TopKPerGroupExec(final)     — re-heap the ≤ k·numInputPartitions
+  *                                 survivors per group, emit in rank order
+  *                                 with the rank column appended
+  *
+  * At 100 TB the shuffle carries k·partitions rows per group instead of
+  * the whole fact table — the dominant cost of the window form. The
+  * partial caps its hash map at [[TopKPerGroupExec.maxPartialGroups]]
+  * group keys; overflow rows PASS THROUGH unpruned (correct by
+  * construction — partial pruning is an optimization, never required),
+  * so high-cardinality grouping degrades to the shuffle the window plan
+  * would have done anyway rather than OOMing the map side.
+  *
+  * The REWRITE is automatic: [[TopKRewriteRule]] matches
+  * `Filter(rn <= k | rn < k | rn = 1, Window(single row_number))` and
+  * swaps in the native node — the DataFrame/SQL surface stays fully
+  * declarative and every existing rank-filter query inherits the plan.
+  * Guard: only fires when the window's ORDER BY is over the window's
+  * child output (always true for row_number specs Spark accepts) and the
+  * window computes EXACTLY one row_number — anything else keeps the
+  * stock plan. Tie semantics: like row_number itself, selection among
+  * rows EQUAL under the full sort order is arbitrary; every registered
+  * query uses a total (tie-broken) order, which both plans then resolve
+  * identically — the 200+-oracle hash gate runs against the rewritten
+  * plans, which is the end-to-end proof of the rewrite's semantics.
+  */
+case class TopKPerGroupNode(
+    part: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+/** Rewrites `Filter(rank-predicate, Window(row_number))` to the native
+  * node. Injected via `SparkSessionExtensions.injectOptimizerRule`, so it
+  * runs in the user-rules batch after standard optimization. */
+case class TopKRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) =>
+      (rowNumberAlias(w), boundFromCond(cond)) match {
+        case (Some(alias), Some((rankRef, k)))
+            if alias.exprId == rankRef.exprId && k >= 1 &&
+              w.partitionSpec.forall(_.references.subsetOf(w.child.outputSet)) &&
+              w.orderSpec.forall(_.references.subsetOf(w.child.outputSet)) =>
+          TopKPerGroupNode(w.partitionSpec, w.orderSpec, k,
+            alias.toAttribute, w.child)
+        case _ => f
+      }
+  }
+
+  /** The window's single `row_number()` alias, if that is ALL it computes. */
+  private def rowNumberAlias(w: Window): Option[Alias] =
+    w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) => Some(a)
+      case _ => None
+    }
+
+  /** `rn <= k` / `rn < k+1` / `rn = 1` with a literal bound. */
+  private def boundFromCond(cond: Expression): Option[(AttributeReference, Int)] =
+    cond match {
+      case LessThanOrEqual(r: AttributeReference, IntegerLiteral(k)) => Some((r, k))
+      case LessThan(r: AttributeReference, IntegerLiteral(k)) => Some((r, k - 1))
+      case EqualTo(r: AttributeReference, IntegerLiteral(1)) => Some((r, 1))
+      case _ => None
+    }
+}
+
+/** Plans the logical node as partial → (exchange via EnsureRequirements)
+  * → final. Injected via `injectPlannerStrategy`. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(part, order, k, rankAttr, child) =>
+      val pre = TopKPerGroupExec(part, order, k, rankAttr,
+        partial = true, planLater(child))
+      TopKPerGroupExec(part, order, k, rankAttr, partial = false, pre) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroupExec {
+  /** Partial-side group cap: beyond this many distinct keys in one input
+    * partition, further new-key rows pass through unpruned (correctness
+    * is unaffected; only map-side reduction is lost) — the same pressure
+    * valve partial aggregation gets from its fixed hash map. */
+  val maxPartialGroups = 1 << 17
+}
+
+case class TopKPerGroupExec(
+    part: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(part) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val partExprs = part
+    val orderExprs = order
+    val childOutput = child.output
+    val limit = k
+    val isPartial = partial
+    val outAttrs = output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val ord = GenerateOrdering.generate(orderExprs, childOutput)
+      // max-heap on the sort order: peek is the WORST retained row, so a
+      // better incoming row evicts it once the heap holds k
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val passThrough = new java.util.ArrayList[InternalRow]()
+      val revOrd = ord.reverse
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          if (isPartial && heaps.size() >= TopKPerGroupExec.maxPartialGroups) {
+            passThrough.add(row.copy()) // pressure valve: forward unpruned
+          } else {
+            heap = new java.util.PriorityQueue[InternalRow](limit + 1, revOrd)
+            heaps.put(key.copy(), heap)
+            heap.add(row.copy())
+          }
+        } else if (heap.size() < limit) {
+          heap.add(row.copy())
+        } else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      if (isPartial) {
+        val out = new java.util.ArrayList[InternalRow](heaps.size() * limit + passThrough.size())
+        heaps.values().forEach(h => h.forEach(r => out.add(r)))
+        out.addAll(passThrough)
+        import scala.jdk.CollectionConverters._
+        out.iterator().asScala
+      } else {
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.values().forEach { h =>
+          val rows = new Array[InternalRow](h.size())
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = h.poll(); i -= 1 } // drain worst-first
+          var rk = 0
+          while (rk < rows.length) {
+            rankRow.update(0, rk + 1)
+            out += proj(joined(rows(rk), rankRow)).copy()
+            rk += 1
+          }
+        }
+        out.iterator
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}

@@ -86,16 +86,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
   }
 
-  test("per-group top-k gets WindowGroupLimit pushdown, partial before the shuffle") {
-    // Spark's WindowGroupLimit turns row_number()<=k filters into a
-    // per-group limit — the Partial phase prunes to k rows per group
-    // MAP-SIDE, so the shuffle moves k·groups rows, not the table. If a
-    // query-shape change (non-rank window function, missing filter) ever
-    // breaks the rewrite, the window degenerates to a full sort+rank —
-    // catch it here, not at 100 TB.
+  test("per-group top-k prunes to k rows per group BEFORE the shuffle") {
+    // Historically Spark's WindowGroupLimit provided this partial
+    // pruning (asserted here through round 8's first half); the native
+    // TopKPerGroup operator (plans/TopKPerGroup.scala) now supersedes it —
+    // heap-based partial before the exchange, no post-shuffle sort at
+    // all. If a query-shape change ever breaks the rewrite AND the stock
+    // pushdown, the window degenerates to a full sort+rank — catch it
+    // here, not at 100 TB.
     val p = plan("q_topk_per_group")
-    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$p")
-    assert(p.contains("Partial"), s"expected map-side partial group limit in:\n$p")
+    val prunes = p.split("TopKPerGroup").length >= 3 ||
+      (p.contains("WindowGroupLimit") && p.contains("Partial"))
+    assert(prunes, s"expected pre-shuffle per-group pruning in:\n$p")
   }
 
   test("hash sampling pushes nothing but still prunes to the 3 output columns") {
@@ -174,5 +176,44 @@ class PlanSpec extends AnyFunSuite {
         s"$name no longer broadcasts its graph-sized sides at spec scale:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
     }
+  }
+
+  test("rank-filter windows rewrite to the native partial/final TopKPerGroup plan (B10n)") {
+    // the rewrite must fire for the declarative rn<=k form...
+    val p = plan("q_topk_per_group")
+    assert(p.split("TopKPerGroup").length >= 3,
+      s"expected partial AND final TopKPerGroupExec:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window ("),
+      s"window machinery should be gone:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      "EnsureRequirements must insert the group-key exchange between partial and final")
+    // ...and results must be row-identical to the un-rewritten window form
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val native = SparkEntry.queries("q_topk_per_group")(spark, d).collect().toSeq
+    val stock = sources.Tables.orders(spark, d)
+      .withColumn("rnk", row_number().over(w))
+      // reference the rank in a way the rewrite pattern does NOT match,
+      // so this plan keeps the stock window machinery
+      .filter(col("rnk") + 0 <= 3)
+      .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("totalprice"))
+      .orderBy("o_orderpriority", "rnk").collect().toSeq
+    assert(native == stock, "native and window plans must agree row-for-row")
+  }
+
+  test("the TopK rewrite leaves non-matching windows alone (B10n guard)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    // two window expressions → no rewrite
+    val df = sources.Tables.orders(spark, d)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("mx", max("o_totalprice").over(w))
+      .filter(col("rnk") <= 2)
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(df.count() == 10)
   }
 }
