@@ -296,6 +296,55 @@ object SimilarityQueries {
             .as("distortion"),
           countDistinct(col("b.code")).as("codes_used"))
         .orderBy("subspace")
+    },
+
+    // E11 — Matryoshka/truncation recall audit: recall@10 of top-k under
+    // the FIRST-16-dims cosine vs the full-64-dims ground truth, per
+    // probe. The go/no-go audit before shipping truncated embeddings
+    // (MRL-style tiered serving: store full, search truncated): on an
+    // MRL-trained store recall stays high; on THIS random store it
+    // collapses (~0.1) — which is exactly the report's job. Both
+    // rankings run over ONE pair-build (probe-bounded as E1; at scale
+    // the E2/E3 bucketed candidates feed the same comparison), and the
+    // rank-filter windows compile to the native B10n top-k operator.
+    // Ties break on (sim DESC, vec_id) — total order, engine-identical.
+    QueryDef.sql("s_mrl_recall", {
+      val cosF = VectorFunctions.cosineDuck("q.qe", "e.embedding")
+      val cosT = VectorFunctions.cosineDuck("(q.qe[1:16])", "(e.embedding[1:16])")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         |pairs AS (
+         |  SELECT q.qid, e.vec_id, $cosF AS c_full, $cosT AS c_tr
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         |ft AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c_full DESC, vec_id) AS rk FROM pairs),
+         |tt AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY c_tr DESC, vec_id) AS rk FROM pairs),
+         |hits AS (
+         |  SELECT ft.qid, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM ft JOIN tt ON ft.qid = tt.qid AND ft.vec_id = tt.vec_id
+         |  WHERE ft.rk <= 10 AND tt.rk <= 10 GROUP BY 1)
+         |SELECT q.qid, coalesce(n_hit, 0) AS n_hit,
+         |       CAST(coalesce(n_hit, 0) AS DOUBLE)/10 AS recall
+         |FROM q LEFT JOIN hits ON hits.qid = q.qid ORDER BY q.qid""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val pairs = q
+        .crossJoin(emb.select(col("vec_id").as("n"), col("embedding").as("nv")))
+        .filter(col("qid") =!= col("n"))
+        .select(col("qid"), col("n"),
+          VectorFunctions.cosine(col("qe"), col("nv")).as("c_full"),
+          VectorFunctions.cosine(slice(col("qe"), 1, 16), slice(col("nv"), 1, 16)).as("c_tr"))
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(col("c_full").desc, col("n"))
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(col("c_tr").desc, col("n"))
+      val ft = pairs.withColumn("rk", row_number().over(wf))
+        .filter(col("rk") <= 10).select("qid", "n")
+      val tt = pairs.withColumn("rk", row_number().over(wt))
+        .filter(col("rk") <= 10).select("qid", "n")
+      val hits = ft.join(tt, Seq("qid", "n")).groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      q.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 10).as("recall"))
+        .orderBy("qid")
     }
   )
 

@@ -977,6 +977,61 @@ object TimeSeriesQueries {
           "'click', CAST(1 AS BIGINT), u1, 'purchase', CAST(2 AS BIGINT), u2) " +
           "AS (stage, stage_idx, users)"))
         .orderBy("stage_idx")
+    },
+
+    // B100 — 30-day ROLLING Pearson correlation between daily revenue and
+    // daily quantity (the co-movement monitor B19's global corr can't
+    // localize: a regime change shows as the rolling series breaking, not
+    // as a shifted global scalar). Determinism across engines comes from
+    // keeping the five component sums EXACT DECIMAL through the window
+    // frames — daily revenue is (18,4) (the product of 2-dp price and
+    // 2-dp discount factor is EXACTLY 4-dp, so the cast is lossless;
+    // a (18,2) cast would round .xx5000 ties, which the engines round
+    // differently), quantity (18,2); every product stays inside both
+    // engines' exact-decimal range and windowed decimal sums are exact —
+    // with one double closed form at the end
+    // (windowed DOUBLE sums would differ: DuckDB's segment-tree window
+    // aggregation adds floats in a different order than Spark's running
+    // frame). The windows ride the date-dimension-sized rollup.
+    QueryDef.sql("q_rolling_corr",
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |         CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(18,4)) AS rev,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT day,
+        |    count(*) OVER win AS n,
+        |    sum(rev) OVER win AS sx, sum(qty) OVER win AS sy,
+        |    sum(CAST(rev AS DECIMAL(19,4)) * CAST(rev AS DECIMAL(19,4))) OVER win AS sxx,
+        |    sum(CAST(qty AS DECIMAL(19,2)) * CAST(qty AS DECIMAL(19,2))) OVER win AS syy,
+        |    sum(CAST(rev AS DECIMAL(19,4)) * CAST(qty AS DECIMAL(19,2))) OVER win AS sxy
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT day, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr
+        |FROM w WHERE n = 30 ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(
+          expr("CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(18,4))").as("rev"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("qty"))
+      // date-dim-sized single-partition window: report-scale by design
+      val win = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+      daily.select(col("day"),
+          count(lit(1)).over(win).as("n"),
+          sum("rev").over(win).as("sx"), sum("qty").over(win).as("sy"),
+          sum(col("rev") * col("rev")).over(win).as("sxx"),
+          sum(col("qty") * col("qty")).over(win).as("syy"),
+          sum(col("rev") * col("qty")).over(win).as("sxy"))
+        .filter(col("n") === 30)
+        .selectExpr("day", "CAST(n AS BIGINT) AS n",
+          """(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+            |(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+            | sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr""".stripMargin)
+        .orderBy("day")
     }
   )
 }
