@@ -235,4 +235,14 @@ class MetricsSpec extends AnyFunSuite {
     val kept = SparkEntry.queries("p_corpus_clean")(spark, TestSpark.sfDir).count()
     assert(docs.last == kept, "final stage must equal the pipeline's kept-doc count")
   }
+
+  test("q_exact_quartiles bracket selection equals the exact percentile aggregate (B101)") {
+    val r = SparkEntry.queries("q_exact_quartiles")(spark, TestSpark.sfDir).head()
+    val exact = sources.Tables.lineitem(spark, TestSpark.sfDir)
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")).head()
+      .getAs[scala.collection.Seq[Double]](0)
+    assert(math.abs(r.getAs[Double]("p25") - exact(0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p50") - exact(1)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p75") - exact(2)) < 1e-9)
+  }
 }
