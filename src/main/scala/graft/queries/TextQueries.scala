@@ -952,6 +952,61 @@ object TextQueries {
         .select(col("doc_id"), col("n_grams"), col("n_novel"),
           (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
         .orderBy("doc_id")
+    },
+
+    // C24 — BPE merge TRAINING (C1x tokenizes with a fixed scheme; this
+    // LEARNS one): the standard pipeline shape — the only corpus-scale
+    // stage is ONE tokenize + word-frequency aggregate, and merge
+    // learning runs over the VOCABULARY-sized (word, count) table, which
+    // is dimension-sized at any corpus volume (a 100 TB crawl still has
+    // ~10⁵-10⁶ distinct words; HF/sentencepiece train exactly this way —
+    // count words distributed, learn merges on the frequency table).
+    // Merges are learned on the driver over that table (the F12/B97
+    // dim-collect discipline): 12 rounds of weighted adjacent-pair
+    // counts, argmax with a TOTAL tie-break (count DESC, then pair
+    // lexicographic ASC) — integer counts + total order ⇒ the merge
+    // sequence is fully deterministic. Iterative ⇒ rows-only;
+    // MetricsSpec pins round-1 against an independent recompute, the
+    // non-increasing max-count invariant (a merged pair's successors
+    // can't outnumber it), and that applying the merges re-segments a
+    // word consistently.
+    QueryDef.rowsOnly("t_bpe_train") { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))) // vocab-sized
+      var segs: Array[(Array[String], Long)] =
+        words.map { case (w, n) => (w.map(_.toString).toArray :+ "</w>", n) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var round = 1
+      while (round <= 12) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        segs.foreach { case (syms, n) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            pc(k) = pc.getOrElse(k, 0L) + n
+            i += 1
+          }
+        }
+        if (pc.nonEmpty) {
+          val ((l, r), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((round.toLong, l, r, c))
+          segs = segs.map { case (syms, n) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                merged += (l + r); i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            (merged.toArray, n)
+          }
+        }
+        round += 1
+      }
+      import s.implicits._
+      out.toSeq.toDF("round", "left", "right", "pair_count")
     }
   )
 }

@@ -245,4 +245,40 @@ class MetricsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("p50") - exact(1)) < 1e-9)
     assert(math.abs(r.getAs[Double]("p75") - exact(2)) < 1e-9)
   }
+
+  test("t_bpe_train learns a valid merge sequence: round-1 argmax, closure, monotone max (C24)") {
+    val rows = SparkEntry.queries("t_bpe_train")(spark, TestSpark.sfDir)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count")))
+    assert(rows.nonEmpty)
+    // max pair count never increases: any pair created by a merge occurs
+    // at most as often as the merge that created it
+    rows.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "pair counts must be non-increasing")
+      case _ =>
+    }
+    // symbol closure: every merge side is a char, the end marker, or a
+    // previously created merge result
+    val created = scala.collection.mutable.Set.empty[String]
+    rows.foreach { case (_, l, r, _) =>
+      def ok(sym: String) = sym.length == 1 || sym == "</w>" || created(sym)
+      assert(ok(l) && ok(r), s"merge ($l,$r) uses an unknown symbol")
+      created += (l + r)
+    }
+    // round 1 equals an independent weighted adjacent-char-pair recompute
+    val words = sources.Tables.documents(spark, TestSpark.sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect().map(r => (r.getString(0), r.getLong(1)))
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    words.foreach { case (w, n) =>
+      val syms = w.map(_.toString) :+ "</w>"
+      syms.sliding(2).foreach { case Seq(a, b) =>
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + n
+      }
+    }
+    val (bk, bc) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+    assert((rows.head._2, rows.head._3) == bk, s"round-1 merge: got ${(rows.head._2, rows.head._3)} want $bk")
+    assert(rows.head._4 == bc)
+  }
 }
