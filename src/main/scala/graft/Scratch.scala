@@ -52,6 +52,37 @@ object Scratch {
       time("cand from warm cache")(Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ds, 8), 4, 2)).count())
       spark.stop(); return
     }
+    if (qname == "probe8") {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      def time(label: String)(f: => Any): Unit = {
+        val t = System.nanoTime()
+        val n = f
+        println(f"[probe] $label%-34s ${(System.nanoTime() - t) / 1e9}%6.2f s  out=$n")
+      }
+      val data = Tables.orders(spark, sfDir).select(
+        when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("y"),
+        log(col("o_totalprice")).as("x1"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("x2"))
+        .coalesce(8)
+      time("localCheckpoint")(data.localCheckpoint(true).count())
+      val ck = data.localCheckpoint(true)
+      val eta = "(0.1D + 0.01D*x1 + 0.02D*x2)"
+      val p = s"(1.0D / (1.0D + exp(-$eta)))"
+      def dsum18(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,18))) AS DOUBLE)"
+      def dsumD(e: String) = s"sum($e)"
+      val terms = Seq("y - p", "(y - p)*x1", "(y - p)*x2", "p*(1.0D-p)",
+        "p*(1.0D-p)*x1", "p*(1.0D-p)*x2", "p*(1.0D-p)*x1*x1",
+        "p*(1.0D-p)*x1*x2", "p*(1.0D-p)*x2*x2",
+        "CASE WHEN y = 1.0D THEN ln(p) ELSE ln(1.0D-p) END")
+      time("scan decimal sums x3")((1 to 3).map(_ =>
+        ck.selectExpr("y", "x1", "x2", s"$p AS p")
+          .selectExpr(terms.map(t => dsum18(t) + " AS c" + terms.indexOf(t)): _*).head()).length)
+      time("scan double sums x3")((1 to 3).map(_ =>
+        ck.selectExpr("y", "x1", "x2", s"$p AS p")
+          .selectExpr(terms.map(t => dsumD(t) + " AS c" + terms.indexOf(t)): _*).head()).length)
+      spark.stop(); return
+    }
     if (qname == "probe7") {
       import org.apache.spark.sql.functions._
       import graft.sources.Tables

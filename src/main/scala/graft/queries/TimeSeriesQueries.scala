@@ -1020,6 +1020,7 @@ object TimeSeriesQueries {
           expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))").as("qty"))
       // date-dim-sized single-partition window: report-scale by design
       val win = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+      // (q_stl_decompose shares this date-dim window discipline below)
       daily.select(col("day"),
           count(lit(1)).over(win).as("n"),
           sum("rev").over(win).as("sx"), sum("qty").over(win).as("sy"),
@@ -1032,6 +1033,81 @@ object TimeSeriesQueries {
             |(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
             | sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr""".stripMargin)
         .orderBy("day")
+    },
+
+    // B102 — classical seasonal DECOMPOSITION of daily revenue
+    // (trend + weekly seasonal + residual — the series B55's strength
+    // scalar summarizes): trend is a centered 7-day mean over EXACT
+    // decimal sums (B100's discipline — lossless (18,4) daily values,
+    // decimal window sums, ONE double division by 7); detrended values
+    // are then identical doubles in both engines, and the per-weekday
+    // seasonal means re-enter DECIMAL(28,12) before their cross-series
+    // sum (B84 ordering rule). Weekday labels only partition — each
+    // engine's own dow function induces the SAME day-classes, so labels
+    // never need to agree cross-engine and are not output. All windows
+    // ride the date-dimension rollup.
+    QueryDef.sql("q_stl_decompose",
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |         CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tr AS (
+        |  SELECT day, rev,
+        |    CAST(sum(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7 AS trend,
+        |    count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        |  FROM daily),
+        |dt AS (SELECT day, CAST(rev AS DOUBLE) AS rev, trend,
+        |              CAST(rev AS DOUBLE) - trend AS detr, dayofweek(day) AS dow
+        |       FROM tr WHERE wn = 7),
+        |se AS (SELECT dow, CAST(sum(CAST(detr AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS seasonal
+        |       FROM dt GROUP BY 1)
+        |SELECT day, rev, trend, seasonal, detr - seasonal AS residual
+        |FROM dt JOIN se USING (dow) ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(18,4))").as("rev"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val dt = daily
+        .select(col("day"), col("rev"),
+          (sum("rev").over(w7).cast("double") / 7).as("trend"),
+          count(lit(1)).over(w7).as("wn"))
+        .filter(col("wn") === 7)
+        .select(col("day"), col("rev").cast("double").as("rev"), col("trend"),
+          (col("rev").cast("double") - col("trend")).as("detr"),
+          dayofweek(col("day")).as("dow"))
+      val se = dt.groupBy("dow")
+        .agg((sum(col("detr").cast("decimal(28,12)")).cast("double") / count(lit(1)))
+          .as("seasonal"))
+      dt.join(broadcast(se), "dow")
+        .select(col("day"), col("rev"), col("trend"), col("seasonal"),
+          (col("detr") - col("seasonal")).as("residual"))
+        .orderBy("day")
+    },
+
+    // B103 — join-EXPLOSION audit (the pre-flight for any self/fact-fact
+    // join, and the diagnostic that decides when B28's skew report turns
+    // into A15's salting): per-key pair fan-out n², the total predicted
+    // self-join cardinality, and the top offenders — one key-partial agg
+    // plus a TakeOrdered over the key-dimension table; the n*n sum casts
+    // to BIGINT in the oracle (DuckDB would type it HUGEINT — the r1/r7
+    // defect class) and each factor is already BIGINT so the product is
+    // exact in both engines.
+    QueryDef.sql("q_join_explosion",
+      """WITH lk AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+        |            FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n*n) AS BIGINT) AS total_pairs,
+        |               CAST(count(*) AS BIGINT) AS n_keys FROM lk)
+        |SELECT k, n, CAST(n*n AS BIGINT) AS pairs, total_pairs, n_keys
+        |FROM lk CROSS JOIN tot ORDER BY pairs DESC, k LIMIT 10""".stripMargin) { (s, d) =>
+      val lk = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("n"))
+      val tot = lk.agg(sum(col("n") * col("n")).as("total_pairs"),
+        count(lit(1)).as("n_keys"))
+      graft.operators.Relational.topKByAgg(
+        lk.crossJoin(broadcast(tot))
+          .select(col("k"), col("n"), (col("n") * col("n")).as("pairs"),
+            col("total_pairs"), col("n_keys")),
+        10, Seq(col("pairs").desc, col("k")))
     }
   )
 }
