@@ -132,6 +132,27 @@ object SketchExprs {
 
   /** k affine-permutation mins in ONE pass over the id array. Empty
     * input → empty array (no signature; callers filter empty sets). */
+  /** Fold a gid array into an EXISTING k-slot min buffer (the update step
+    * of the mergeable [[MinHashAgg]]; same permutations as
+    * [[computeMinHash]], so a 1-doc group's aggregate equals the scalar
+    * signature). */
+  def updateMins(mins: Array[Long], gs: ArrayData): Unit = {
+    val n = gs.numElements()
+    val k = mins.length
+    val (as, bs) = permArrays(k)
+    var i = 0
+    while (i < n) {
+      val x = java.lang.Math.floorMod(gs.getLong(i), P)
+      var j = 0
+      while (j < k) {
+        val h = java.lang.Math.floorMod(as(j) * x + bs(j), P)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+  }
+
   def computeMinHash(gs: ArrayData, k: Int): ArrayData = {
     val n = gs.numElements()
     if (n == 0 || k <= 0) return EMPTY

@@ -219,6 +219,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
       (children: Seq[Expression]) => JaroWinklerExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
+      (children: Seq[Expression]) => {
+        require(children(1).foldable, "graft_minhash_agg: k must be a literal")
+        MinHashAgg(children.head,
+          children(1).eval(null).asInstanceOf[Number].intValue())
+      }))
     // B10n — the (c)-path custom operator: rank-filter windows rewrite to
     // the native partial/final top-k-per-group plan (plans/TopKPerGroup).
     ext.injectOptimizerRule(graft.plans.TopKRewriteRule)

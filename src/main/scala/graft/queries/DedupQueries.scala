@@ -395,6 +395,65 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // D13a — EXACT source-pair shingle Jaccard (which sources mirror each
+    // other at the vocabulary level — D9 asks it of verified doc pairs,
+    // this asks it of the sources' whole trigram sets): per-source
+    // distinct gid sets, pair overlap by one gid-keyed join; the pair
+    // frame is source²-dim. The exact twin D13 estimates.
+    QueryDef.sql("d_source_similarity",
+      s"""WITH ${DedupQueries.idsCte(3)},
+         |ids2 AS (SELECT DISTINCT dd.source, ids.gid
+         |         FROM ids JOIN documents dd ON dd.doc_id = ids.doc),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ids2 GROUP BY 1),
+         |ov AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS ic
+         |       FROM ids2 a JOIN ids2 b ON a.gid = b.gid AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT src_a, src_b, ic, sa.n AS na, sb.n AS nb,
+         |  CAST(ic AS DOUBLE) / (sa.n + sb.n - ic) AS jaccard
+         |FROM ov JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ids2 = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
+        .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+        .select(col("source"), explode(col("gs")).as("gid")).distinct()
+      val sz = ids2.groupBy("source").agg(count(lit(1)).as("n"))
+      val ov = ids2.select(col("source").as("src_a"), col("gid"))
+        .join(ids2.select(col("source").as("src_b"), col("gid")), "gid")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("ic"))
+      ov.join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("ic"), col("na"), col("nb"),
+          (col("ic").cast("double") / (col("na") + col("nb") - col("ic"))).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+
+    // D13 — source-pair Jaccard ESTIMATED from per-source MERGED MinHash
+    // signatures via the native `graft_minhash_agg` TypedImperativeAggregate
+    // (functions/MinHashAgg.scala): one partial-agg pass folds every doc's
+    // gid set into a k=128 source signature map-side (merge = elementwise
+    // min — associative, so the partial/final/AQE merge tree is free), and
+    // every pairwise similarity is signature algebra over the source-dim
+    // table. THE 100 TB shape for D13a's question: signatures are stored
+    // once (the A13x rollup argument for Jaccard), the text is scanned
+    // once, and no gid ever crosses the wire. Estimator ⇒ rows-only;
+    // SketchExprSpec pins the estimate inside the MinHash error envelope
+    // of D13a's exact values and the merge tree's partitioning-invariance.
+    QueryDef.rowsOnly("d_source_sim_est") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
+        .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+        .groupBy("source")
+        .agg(expr("graft_minhash_agg(gs, 128)").as("sig"))
+      val a = sigs.select(col("source").as("src_a"), col("sig").as("sa"))
+      val b = sigs.select(col("source").as("src_b"), col("sig").as("sb"))
+      a.join(b, col("src_a") < col("src_b")) // source²-dim pair frame
+        .select(col("src_a"), col("src_b"),
+          (expr("aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+            .cast("double") / 128.0).as("jaccard_est"))
+        .orderBy("src_a", "src_b")
+    },
+
     // D5 — embedding-cosine near-dup pairs ≥ 0.4, blocked by cluster label.
     QueryDef.sql("d_embed_neardup", {
       val cos = graft.functions.VectorFunctions.cosineDuck("x.embedding", "y.embedding")

@@ -82,4 +82,39 @@ class SketchExprSpec extends AnyFunSuite {
     // shingles: "x y","y x","x y","y x","x y" → 2 distinct
     assert(gs.length == 2 && gs.distinct.length == 2)
   }
+
+  test("graft_minhash_agg: 1-member group = scalar signature; merge tree partition-invariant (D13)") {
+    import org.apache.spark.sql.functions._
+    val one = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val gs = Dedup.hashedDocSets(one, "doc_id", "text", 3)
+    val viaAgg = gs.groupBy().agg(expr("graft_minhash_agg(gs, 16)").as("sig"))
+      .head().getAs[scala.collection.Seq[Long]]("sig").toSeq
+    val scalar = gs.select(expr("graft_minhash(gs, 16)").as("sig"))
+      .head().getAs[scala.collection.Seq[Long]]("sig").toSeq
+    assert(viaAgg == scalar, "a single-member group's aggregate must equal the scalar MinHash")
+
+    // merge correctness: the signature must not depend on the partition layout
+    val sets = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
+      .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("source").agg(expr("graft_minhash_agg(gs, 32)").as("sig"))
+        .collect().map(r => r.getString(0) ->
+          r.getAs[scala.collection.Seq[Long]]("sig").toSeq).toMap
+    assert(sigs(sets.repartition(1)) == sigs(sets.repartition(17, col("gs"))),
+      "merge must be layout-invariant (associative + commutative elementwise min)")
+  }
+
+  test("d_source_sim_est sits inside the MinHash error envelope of the exact D13a values") {
+    val exact = SparkEntry.queries("d_source_similarity")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val est = SparkEntry.queries("d_source_sim_est")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Double]("jaccard_est")).toMap
+    assert(est.keySet == exact.keySet)
+    // k=128 ⇒ σ = sqrt(J(1−J)/k) ≤ 0.0442; allow 4σ
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) <= 0.18, s"$k: est $e exact ${exact(k)}")
+    }
+  }
 }
