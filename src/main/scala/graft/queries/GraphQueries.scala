@@ -281,6 +281,68 @@ object GraphQueries {
     QueryDef.rowsOnly("g_kcore") { (s, d) =>
       graft.operators.KCore.kcore(stagedCoEdges(s, d).select("u", "v"), k = 4)
         .orderBy("node")
+    },
+
+    // B104 — LOCAL clustering coefficient (B51's global coefficient, per
+    // node: how closed is each part's co-purchase neighborhood — the
+    // community-tightness signal): the SAME degree-oriented two-path +
+    // packed-key closing probe as B51, but the probe keeps the triangle
+    // and credits all three corners (one explode per triangle row, never
+    // per wedge); per-node counts divide by (deg choose 2) exactly.
+    // Orientation differs from the oracle's id-ordered triple join, but
+    // the triangle SET is identical, so corner credits agree. Top-20 by
+    // (lcc DESC, node) — node breaks exact-ratio ties totally.
+    QueryDef.sql("g_local_clustering",
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |          SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        |        GROUP BY 1),
+        |trit AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |         FROM pairs e1 JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+        |                       JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |pt AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+        |       FROM (SELECT unnest([a, b, c]) AS node FROM trit) GROUP BY 1)
+        |SELECT node, dg, tri,
+        |  CAST(tri AS DOUBLE) / (dg * (dg - 1) / 2) AS lcc
+        |FROM pt JOIN deg USING (node) WHERE dg >= 2
+        |ORDER BY lcc DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      val pairs = stagedCoEdges(s, d).select("u", "v")
+      val deg = pairs.select(col("u").as("node"))
+        .unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val oriented = pairs
+        .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("s"),
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("t"))
+      val fan = s.sparkContext.defaultParallelism
+      val src = oriented.repartition(fan, col("s"))
+      val pk = (c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =>
+        shiftleft(c1, 32) + c2
+      val twoPath = src.as("e1")
+        .join(src.as("e2"), col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+        .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"),
+          pk(col("e1.t"), col("e2.t")).as("xy"))
+      val closing = oriented.select(
+        pk(least(col("s"), col("t")), greatest(col("s"), col("t"))).as("cxy"))
+      // inner probe keeps the triangle row (closing pairs are distinct, so
+      // exactly one row per triangle); corners explode AFTER the probe
+      val tri = twoPath.join(closing, col("xy") === col("cxy"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      graft.operators.Relational.topKByAgg(
+        tri.join(deg, "node").filter(col("dg") >= 2)
+          .select(col("node"), col("dg"), col("tri"),
+            (col("tri").cast("double") / (col("dg") * (col("dg") - 1) / 2)).as("lcc")),
+        20, Seq(col("lcc").desc, col("node")))
     }
   )
 }
