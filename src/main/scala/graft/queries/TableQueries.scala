@@ -22,9 +22,14 @@ import graft.sources.{SnapshotTable, Tables}
   */
 object TableQueries {
 
+  /** Guards the check-then-build of every scenario dir: two concurrent
+    * callers racing latestVersion/delete/create would corrupt the staged
+    * table (the StreamingQueries staging-lock discipline). */
+  private val scenarioLock = new Object
+
   /** Build the scenario table once per (input dir) per JVM — the staged
     * idiom; SnapshotTable's own commit markers make the check cheap. */
-  private def scenario(s: org.apache.spark.sql.SparkSession, d: String): String = {
+  private def scenario(s: org.apache.spark.sql.SparkSession, d: String): String = scenarioLock.synchronized {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snaptable_" +
       Integer.toHexString(d.hashCode)
     if (SnapshotTable.latestVersion(dir) < 2) {
@@ -184,7 +189,7 @@ object TableQueries {
 
   /** The G18 scenario: create, then a schema-EVOLVING merge that adds a
     * discount column on the matched keys only. Own dir (two versions). */
-  private def evolveScenario(s: org.apache.spark.sql.SparkSession, d: String): String = {
+  private def evolveScenario(s: org.apache.spark.sql.SparkSession, d: String): String = scenarioLock.synchronized {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snaptable_e_" +
       Integer.toHexString(d.hashCode)
     if (SnapshotTable.latestVersion(dir) < 1) {
@@ -201,7 +206,7 @@ object TableQueries {
 
   /** The G17 scenario: the G16 three commits plus a compaction. Staged in
     * its OWN dir so the shared G16 history stays three versions. */
-  private def compactScenario(s: org.apache.spark.sql.SparkSession, d: String): String = {
+  private def compactScenario(s: org.apache.spark.sql.SparkSession, d: String): String = scenarioLock.synchronized {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snaptable_c_" +
       Integer.toHexString(d.hashCode)
     if (SnapshotTable.latestVersion(dir) < 3) {

@@ -1108,6 +1108,58 @@ object TimeSeriesQueries {
           .select(col("k"), col("n"), (col("n") * col("n")).as("pairs"),
             col("total_pairs"), col("n_keys")),
         10, Seq(col("pairs").desc, col("k")))
+    },
+
+    // B105 — lead/lag CROSS-correlation between orders PLACED and revenue
+    // SHIPPED (B43's autocorrelation across two series: the peak lag IS
+    // the fulfillment delay, the signal a same-day correlation cannot
+    // see). Two date-dim rollups, an 8-lag fan-out over the date
+    // dimension, and per-lag closed-form correlation from EXACT decimal
+    // component sums (B100 discipline; cnt enters as DECIMAL(14,0) so the
+    // cnt·rev product stays inside 38 digits in BOTH engines — a bare
+    // long would promote to DECIMAL(20,0) and tip Spark into the
+    // precision-loss path).
+    QueryDef.sql("q_cross_corr",
+      """WITH oc AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+        |            FROM orders GROUP BY 1),
+        |rv AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |              CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(18,4)) AS rev
+        |       FROM lineitem GROUP BY 1),
+        |lg AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS lag),
+        |j AS (SELECT lag, CAST(cnt AS DECIMAL(14,0)) AS x, rv.rev AS y
+        |      FROM oc CROSS JOIN lg JOIN rv ON rv.day = oc.day + lag),
+        |a AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |        sum(x) AS sx, sum(y) AS sy,
+        |        sum(x*x) AS sxx,
+        |        sum(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS syy,
+        |        sum(x*y) AS sxy
+        |      FROM j GROUP BY 1)
+        |SELECT lag, n,
+        |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS xcorr
+        |FROM a ORDER BY lag""".stripMargin) { (s, d) =>
+      val oc = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val rv = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DECIMAL(18,4))").as("rev"))
+      val j = oc
+        .select(col("day"), col("cnt").cast("decimal(14,0)").as("x"),
+          explode(expr("array(0,1,2,3,4,5,6,7)")).as("lag"))
+        .join(rv.select(col("day").as("rday"), col("rev").as("y")),
+          expr("rday = date_add(day, lag)"))
+      val a = j.groupBy("lag").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      a.selectExpr("CAST(lag AS INT) AS lag", "n",
+          """(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+            |(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+            | sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS xcorr""".stripMargin)
+        .orderBy("lag")
     }
   )
 }
