@@ -343,6 +343,53 @@ object GraphQueries {
           .select(col("node"), col("dg"), col("tri"),
             (col("tri").cast("double") / (col("dg") * (col("dg") - 1) / 2)).as("lcc")),
         20, Seq(col("lcc").desc, col("node")))
+    },
+
+    // B106 — degree ASSORTATIVITY of the co-purchase graph (do hubs
+    // connect to hubs? — the single scalar that separates social-style
+    // from technological-style graphs, and the structural context for
+    // B51/B104's clustering numbers): Pearson correlation of endpoint
+    // degrees over DIRECTED edge instances (each edge counted both ways,
+    // the standard convention). Every sum is an exact BIGINT over the
+    // edge-dim table (degrees are small integers; products can't
+    // overflow below ~10⁹-degree hubs), one double closed form at the
+    // end; the deg joins ride the staged edge table like the rest of the
+    // graph family.
+    QueryDef.sql("g_assortativity",
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |          SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        |        GROUP BY 1),
+        |adj AS (SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |e AS (SELECT da.dg AS x, db.dg AS y FROM adj
+        |      JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |             CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy
+        |      FROM e)
+        |SELECT n, (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+        |  (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
+        |   sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) AS assortativity
+        |FROM m""".stripMargin) { (s, d) =>
+      val pairs = stagedCoEdges(s, d).select("u", "v")
+      val deg = pairs.select(col("u").as("node"))
+        .unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val adj = pairs.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(pairs.select(col("v").as("a"), col("u").as("b")))
+      val e = adj
+        .join(deg.select(col("node").as("a"), col("dg").as("x")), "a")
+        .join(deg.select(col("node").as("b"), col("dg").as("y")), "b")
+      e.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .selectExpr("n",
+          """(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+            |(sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
+            | sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) AS assortativity""".stripMargin)
     }
   )
 }

@@ -1160,6 +1160,40 @@ object TimeSeriesQueries {
             |(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
             | sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS xcorr""".stripMargin)
         .orderBy("lag")
+    },
+
+    // B107 — Holt LINEAR exponential smoothing of daily revenue
+    // (level + trend — the forecaster B36's trendless EWMA and B63's
+    // seasonal-naive bracket between them): the recursion is inherently
+    // sequential over the date DIMENSION, so it runs on the driver over
+    // the collected rollup (B97/C24 dim-collect discipline; the one
+    // data-scale stage is the exact-DECIMAL daily aggregate). α=0.3,
+    // β=0.1, textbook init (l₁=y₁, b₁=y₂−y₁). Output: the 7-day
+    // forecast fan f_h = level + h·trend plus one-step in-sample MAE —
+    // forecasts are exactly linear in h by construction, which the spec
+    // asserts along with an independent recompute of the recursion.
+    QueryDef.rowsOnly("q_holt_linear") { (s, d) =>
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE)").as("rev"))
+        .orderBy("day").collect().map(_.getDouble(1)) // date-dim-sized
+      val (alpha, beta) = (0.3, 0.1)
+      var level = daily(0)
+      var trend = daily(1) - daily(0)
+      var absErr = 0.0
+      var i = 1
+      while (i < daily.length) {
+        val f = level + trend // one-step forecast made at t-1
+        absErr += math.abs(daily(i) - f)
+        val l1 = alpha * daily(i) + (1 - alpha) * (level + trend)
+        trend = beta * (l1 - level) + (1 - beta) * trend
+        level = l1
+        i += 1
+      }
+      val mae = absErr / (daily.length - 1)
+      import s.implicits._
+      (1 to 7).map(h => (h.toLong, level + h * trend, level, trend, mae))
+        .toDF("h", "forecast", "level", "trend", "mae")
     }
   )
 }

@@ -281,4 +281,27 @@ class MetricsSpec extends AnyFunSuite {
     assert((rows.head._2, rows.head._3) == bk, s"round-1 merge: got ${(rows.head._2, rows.head._3)} want $bk")
     assert(rows.head._4 == bc)
   }
+
+  test("q_holt_linear forecasts are exactly linear in h and match an independent recursion (B107)") {
+    val rows = SparkEntry.queries("q_holt_linear")(spark, TestSpark.sfDir)
+      .orderBy("h").collect()
+    assert(rows.length == 7)
+    val (level, trend) = (rows.head.getAs[Double]("level"), rows.head.getAs[Double]("trend"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("forecast") == level + r.getAs[Long]("h") * trend,
+        "forecast fan must be exactly level + h*trend")
+    }
+    // independent recursion over the same daily rollup
+    val daily = sources.Tables.lineitem(spark, TestSpark.sfDir)
+      .groupBy(expr("CAST(l_shipdate AS DATE)").as("day"))
+      .agg(expr("CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE)").as("rev"))
+      .orderBy("day").collect().map(_.getDouble(1))
+    var (l, b) = (daily(0), daily(1) - daily(0))
+    daily.drop(1).foreach { y =>
+      val l1 = 0.3 * y + 0.7 * (l + b)
+      b = 0.1 * (l1 - l) + 0.9 * b
+      l = l1
+    }
+    assert(math.abs(level - l) < 1e-9 && math.abs(trend - b) < 1e-9)
+  }
 }
