@@ -1106,6 +1106,73 @@ object StatsQueries {
       }
       import s.implicits._
       Seq((n, vals(0), vals(1), vals(2))).toDF("n", "p25", "p50", "p75")
+    },
+
+    // B108 — DETERMINISTIC randomization test for the urgent-vs-rest mean
+    // order value (the assumption-free companion to B59's Welch t: no
+    // normality, no variance model — just "is the observed gap bigger
+    // than chance relabelings produce?"). Where RNG permutation tests
+    // aren't reproducible across engines or partitionings, the 20
+    // relabelings here are HASH-pseudo-random (H6's md5-fraction uniform
+    // over (key, round) — engine-identical by construction), each row
+    // reassigned Bernoulli(n1/n) — the randomization-test variant of the
+    // exact permutation null (group sizes vary binomially; documented).
+    // Plan shape: ONE ×20 projection fan-out collapsing into a 20-group
+    // partial agg — raw rows never shuffle, every group sum is exact
+    // DECIMAL, and p = (1 + #extreme)/(R+1) is the standard add-one
+    // estimate.
+    QueryDef.sql("q_perm_test", {
+      val u = graft.operators.Curation.uniformDuck("k || '_' || r")
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS v,
+         |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+         |  FROM orders),
+         |ob AS (SELECT CAST(sum(g) AS BIGINT) AS n1, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(CASE WHEN g = 1 THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
+         |              CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS st FROM base),
+         |obs AS (SELECT n1, n, s1/n1 - (st - s1)/(n - n1) AS d_obs,
+         |               CAST(n1 AS DOUBLE)/n AS p1 FROM ob),
+         |fan AS (SELECT base.k, base.v, r.r, obs.p1 FROM base
+         |        CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS r) r CROSS JOIN obs),
+         |perm AS (
+         |  SELECT r,
+         |    CAST(sum(CASE WHEN $u < p1 THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE) AS ps1,
+         |    CAST(sum(CASE WHEN $u < p1 THEN 1 ELSE 0 END) AS BIGINT) AS pn1,
+         |    CAST(count(*) AS BIGINT) AS pn,
+         |    CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS pst
+         |  FROM fan GROUP BY 1),
+         |pd AS (SELECT r, ps1/pn1 - (pst - ps1)/(pn - pn1) AS d_r FROM perm)
+         |SELECT obs.n, obs.n1, obs.d_obs,
+         |  CAST(sum(CASE WHEN abs(d_r) >= abs(d_obs) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+         |  (1.0 + sum(CASE WHEN abs(d_r) >= abs(d_obs) THEN 1 ELSE 0 END)) / 21.0 AS p_value
+         |FROM pd CROSS JOIN obs GROUP BY 1, 2, 3""".stripMargin
+    }) { (s, d) =>
+      import graft.operators.Curation
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_totalprice").as("v"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("g"))
+      val obs = base.agg(
+          sum("g").as("n1"), count(lit(1)).as("n"),
+          expr("CAST(sum(CASE WHEN g = 1 THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE)").as("s1"),
+          expr("CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)").as("st"))
+        .selectExpr("n1", "n", "s1/n1 - (st - s1)/(n - n1) AS d_obs",
+          "CAST(n1 AS DOUBLE)/n AS p1")
+      val fan = base
+        .crossJoin(broadcast(obs.select("p1")))
+        .select(col("k"), col("v"), col("p1"),
+          explode(expr("sequence(1, 20)")).as("r"))
+        .withColumn("in1", Curation.uniform(concat(col("k"), lit("_"), col("r"))) < col("p1"))
+      val pd = fan.groupBy("r").agg(
+          expr("CAST(sum(CASE WHEN in1 THEN CAST(v AS DECIMAL(18,2)) END) AS DOUBLE)").as("ps1"),
+          sum(when(col("in1"), 1L).otherwise(0L)).as("pn1"),
+          count(lit(1)).as("pn"),
+          expr("CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)").as("pst"))
+        .selectExpr("ps1/pn1 - (pst - ps1)/(pn - pn1) AS d_r")
+      pd.crossJoin(broadcast(obs))
+        .groupBy("n", "n1", "d_obs")
+        .agg(sum(when(abs(col("d_r")) >= abs(col("d_obs")), 1L).otherwise(0L)).as("n_extreme"),
+          ((lit(1.0) + sum(when(abs(col("d_r")) >= abs(col("d_obs")), 1L).otherwise(0L))) / 21.0)
+            .as("p_value"))
     }
   )
 }
