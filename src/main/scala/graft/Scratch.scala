@@ -52,6 +52,59 @@ object Scratch {
       time("cand from warm cache")(Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ds, 8), 4, 2)).count())
       spark.stop(); return
     }
+    if (qname == "probe9") {
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      import graft.functions.{TextFunctions, VectorFunctions}
+      import org.apache.spark.sql.expressions.Window
+      def time(label: String)(f: => Any): Unit = {
+        val t = System.nanoTime()
+        val n = f
+        println(f"[probe] $label%-30s ${(System.nanoTime() - t) / 1e9}%6.2f s  out=$n")
+      }
+      val docs = Tables.documents(spark, sfDir)
+      val tk = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+      time("tk")(tk.count())
+      val dfTok = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("nd"))
+      val pr = docs.filter(col("doc_id") % 25 === 0).select(col("doc_id").as("q"))
+      val kw = pr
+        .join(tk.select(col("doc_id").as("q"), col("tok")), Seq("q"))
+        .join(tk.select(col("doc_id").as("d"), col("tok")), Seq("tok"))
+        .filter(col("d") =!= col("q"))
+        .join(broadcast(dfTok), "tok").crossJoin(broadcast(nn))
+        .groupBy("q", "d")
+        .agg(expr("CAST(sum(CAST(ln(CAST(nd AS DOUBLE)/df) AS DECIMAL(28,18))) AS DOUBLE)").as("score"))
+      time("kw")(kw.count())
+      val kr = kw.withColumn("r", row_number().over(
+          Window.partitionBy("q").orderBy(col("score").desc, col("d"))))
+        .filter(col("r") <= 10)
+      time("kr")(kr.count())
+      val emb = Tables.embeddings(spark, sfDir)
+      val vp = pr
+        .join(emb.select(col("vec_id").as("q"), col("embedding").as("qe")), "q")
+        .crossJoin(emb.select(col("vec_id").as("d"), col("embedding").as("nv")))
+        .filter(col("d") =!= col("q"))
+        .select(col("q"), col("d"), VectorFunctions.cosine(col("qe"), col("nv")).as("c"))
+      time("vp")(vp.count())
+      val vr = vp.withColumn("r", row_number().over(
+          Window.partitionBy("q").orderBy(col("c").desc, col("d"))))
+        .filter(col("r") <= 10)
+      time("vr")(vr.count())
+      val ckw = kw.localCheckpoint(true)
+      time("rank over checkpointed kw")(
+        ckw.withColumn("r", row_number().over(
+            Window.partitionBy("q").orderBy(col("score").desc, col("d"))))
+          .filter(col("r") <= 10).count())
+      time("rank again (warm)")(
+        ckw.withColumn("r", row_number().over(
+            Window.partitionBy("q").orderBy(col("score").desc, col("d"))))
+          .filter(col("r") <= 10).count())
+      time("plain orderBy-limit over ckw")(
+        ckw.orderBy(col("score").desc).limit(10).count())
+      spark.stop(); return
+    }
     if (qname == "probe8") {
       import org.apache.spark.sql.functions._
       import graft.sources.Tables

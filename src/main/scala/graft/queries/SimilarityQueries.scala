@@ -345,6 +345,99 @@ object SimilarityQueries {
         .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)).cast("double") / 10).as("recall"))
         .orderBy("qid")
+    },
+
+    // E12 — HYBRID retrieval with reciprocal-rank fusion (the modern RAG
+    // serving shape: a keyword ranking and a vector ranking fused by
+    // rank, not by incomparable scores): per probe doc, (a) an idf-
+    // weighted shared-token ranking (each idf term re-enters
+    // DECIMAL(28,18) before the per-candidate sum — B84), (b) the exact
+    // cosine ranking over the aligned embedding store, (c) RRF
+    // score = Σ 1/(60+rank) over the two top-10 lists (≤2 explicitly
+    // coalesced terms — fixed order), top-5 per probe with total
+    // (rrf DESC, d) tie-break. All three rank filters compile to the
+    // native B10n operator. At corpus scale the keyword candidates come
+    // from C11's inverted index with the C12/D2x df-cap on hot tokens,
+    // and the vector leg from the E2/E3 bucketed candidates — the
+    // fusion tail is unchanged.
+    QueryDef.sql("s_hybrid_rrf", {
+      val toks = graft.functions.TextFunctions.tokensDuck("text")
+      val cos = VectorFunctions.cosineDuck("p.qe", "e.embedding")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |pr AS (SELECT doc_id AS q FROM documents WHERE doc_id % 25 = 0),
+         |kw AS (SELECT pr.q, t2.doc_id AS d,
+         |         CAST(sum(CAST(ln(CAST(nd AS DOUBLE)/df) AS DECIMAL(28,18))) AS DOUBLE) AS score
+         |       FROM pr JOIN tk t1 ON t1.doc_id = pr.q
+         |       JOIN tk t2 ON t2.tok = t1.tok AND t2.doc_id <> pr.q
+         |       JOIN df ON df.tok = t1.tok CROSS JOIN nn
+         |       GROUP BY 1, 2),
+         |kr AS (SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS r
+         |       FROM kw QUALIFY r <= 10),
+         |vp AS (SELECT p.q, e.vec_id AS d, $cos AS c
+         |       FROM (SELECT pr.q, em.embedding AS qe
+         |             FROM pr JOIN embeddings em ON em.vec_id = pr.q) p
+         |       JOIN embeddings e ON e.vec_id <> p.q),
+         |vr AS (SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY c DESC, d) AS r
+         |       FROM vp QUALIFY r <= 10),
+         |fused AS (
+         |  SELECT coalesce(kr.q, vr.q) AS q, coalesce(kr.d, vr.d) AS d,
+         |    coalesce(1.0/(60 + kr.r), 0) + coalesce(1.0/(60 + vr.r), 0) AS rrf
+         |  FROM kr FULL JOIN vr ON kr.q = vr.q AND kr.d = vr.d)
+         |SELECT q, d, rrf, row_number() OVER (PARTITION BY q ORDER BY rrf DESC, d) AS rank
+         |FROM fused QUALIFY rank <= 5 ORDER BY q, rank""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.TextFunctions
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      // spread the single-split corpus BEFORE tokenize: the 24M-row
+      // token fan-out otherwise runs in the scan's ONE task (measured
+      // 19 s single-threaded — the keptDf small-files trap)
+      val tk = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+      val dfTok = tk.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("nd"))
+      val pr = docs.filter(col("doc_id") % 25 === 0).select(col("doc_id").as("q"))
+      // BROADCAST the probe-token side: the token key has ~vocabulary
+      // cardinality, so an equi-join shuffled on it is maximally skewed
+      // (measured: the shuffled form re-planned under the downstream
+      // top-k distribution cost 16+ s; this shape runs the whole fan-out
+      // map-side). Probe tokens are probe-dim × tokens-per-doc — small by
+      // the probe contract, like E1's probe side.
+      val ptk = broadcast(pr
+        .join(tk.select(col("doc_id").as("q"), col("tok")), Seq("q")))
+      val kw = tk.select(col("doc_id").as("d"), col("tok"))
+        .join(ptk, Seq("tok"))
+        .filter(col("d") =!= col("q"))
+        .join(broadcast(dfTok), "tok").crossJoin(broadcast(nn))
+        .groupBy("q", "d")
+        .agg(expr("CAST(sum(CAST(ln(CAST(nd AS DOUBLE)/df) AS DECIMAL(28,18))) AS DOUBLE)").as("score"))
+      val kr = kw
+        .withColumn("r", row_number().over(
+          Window.partitionBy("q").orderBy(col("score").desc, col("d"))))
+        .filter(col("r") <= 10).select(col("q"), col("d"), col("r").as("kr"))
+      val emb = Tables.embeddings(s, d)
+      val vp = pr
+        .join(emb.select(col("vec_id").as("q"), col("embedding").as("qe")), "q")
+        .crossJoin(emb.select(col("vec_id").as("d"), col("embedding").as("nv")))
+        .filter(col("d") =!= col("q"))
+        .select(col("q"), col("d"), VectorFunctions.cosine(col("qe"), col("nv")).as("c"))
+      val vr = vp
+        .withColumn("r", row_number().over(
+          Window.partitionBy("q").orderBy(col("c").desc, col("d"))))
+        .filter(col("r") <= 10).select(col("q"), col("d"), col("r").as("vr"))
+      val fused = kr.join(vr, Seq("q", "d"), "full_outer")
+        .select(col("q"), col("d"),
+          (coalesce(lit(1.0) / (lit(60) + col("kr")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0))).as("rrf"))
+      fused
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q").orderBy(col("rrf").desc, col("d"))))
+        .filter(col("rank") <= 5)
+        .select("q", "d", "rrf", "rank")
+        .orderBy("q", "rank")
     }
   )
 
