@@ -684,6 +684,54 @@ object EtlQueries {
       Tables.nation(s, d).createOrReplaceTempView("nation")
       try s.sql(EtlQueries.gatewaySql)
       finally Seq("orders", "customer", "nation").foreach(s.catalog.dropTempView)
+    },
+
+    // A26 — QUARANTINE report (the dead-letter-queue pattern A23's
+    // expectations stop short of: not "did the batch pass" but "which
+    // rows fail WHICH rule, and what survives all of them"): every rule
+    // is a codegen'd conditional inside ONE pass — no per-rule re-scan,
+    // no row ever rewritten — and the clean count applies the conjunction
+    // in the same aggregate. At 100 TB this is the audit that rides every
+    // landing job; the actual split (clean → land, bad → quarantine dir
+    // with the reason bitmask) is the same projections written out.
+    QueryDef.sql("q_quarantine",
+      """WITH checked AS (
+        |  SELECT CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END AS r_price,
+        |         CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+        |                OR CAST(o_orderdate AS DATE) >= DATE '2002-01-01' THEN 1 ELSE 0 END AS r_date,
+        |         CASE WHEN o_orderpriority NOT IN
+        |                ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        |              THEN 1 ELSE 0 END AS r_prio
+        |  FROM orders)
+        |SELECT 'price_cap' AS rule, CAST(0 AS BIGINT) AS rule_idx,
+        |  CAST(sum(r_price) AS BIGINT) AS n_bad, CAST(count(*) AS BIGINT) AS n FROM checked
+        |UNION ALL SELECT 'date_range', CAST(1 AS BIGINT),
+        |  CAST(sum(r_date) AS BIGINT), CAST(count(*) AS BIGINT) FROM checked
+        |UNION ALL SELECT 'priority_domain', CAST(2 AS BIGINT),
+        |  CAST(sum(r_prio) AS BIGINT), CAST(count(*) AS BIGINT) FROM checked
+        |UNION ALL SELECT 'clean', CAST(3 AS BIGINT),
+        |  CAST(sum(CASE WHEN r_price + r_date + r_prio = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM checked
+        |ORDER BY rule_idx""".stripMargin) { (s, d) =>
+      val checked = Tables.orders(s, d).select(
+        when(col("o_totalprice") > 450000, 1L).otherwise(0L).as("r_price"),
+        when(col("o_orderdate").cast("date") < lit("1995-01-01").cast("date") ||
+             col("o_orderdate").cast("date") >= lit("2002-01-01").cast("date"), 1L)
+          .otherwise(0L).as("r_date"),
+        when(!col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 1L)
+          .otherwise(0L).as("r_prio"))
+      checked.agg(
+          sum("r_price").as("b0"), sum("r_date").as("b1"), sum("r_prio").as("b2"),
+          sum(when(col("r_price") + col("r_date") + col("r_prio") === 0, 1L)
+            .otherwise(0L)).as("b3"),
+          count(lit(1)).as("n"))
+        .select(expr("stack(4, " +
+          "'price_cap', CAST(0 AS BIGINT), b0, n, " +
+          "'date_range', CAST(1 AS BIGINT), b1, n, " +
+          "'priority_domain', CAST(2 AS BIGINT), b2, n, " +
+          "'clean', CAST(3 AS BIGINT), b3, n) AS (rule, rule_idx, n_bad, n)"))
+        .orderBy("rule_idx")
     }
   )
 

@@ -959,6 +959,38 @@ object MlQueries {
       import s.implicits._
       Seq((beta(0), beta(1), beta(2), ll, gnorm, it.toLong))
         .toDF("beta0", "beta1", "beta2", "loglik", "grad_norm", "n_iter")
+    },
+
+    // F25 — LEAVE-ONE-OUT target encoding of customer segment against
+    // the urgent label (the feature-engineering staple that replaces a
+    // categorical with its target rate WITHOUT leaking each row's own
+    // label into its feature — naive mean encoding leaks exactly that):
+    // per category only TWO distinct encoded values exist, (n1−1)/(n−1)
+    // for positives and n1/(n−1) for negatives, so the whole encoding is
+    // one category-keyed partial agg + a closed form — the per-row
+    // encoded column at 100 TB is a broadcast join of this table back
+    // onto the fact, never a window. Exact integer counts ⇒ exact
+    // doubles both engines.
+    QueryDef.sql("m_target_encode",
+      """WITH j AS (SELECT c_mktsegment AS seg,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |       FROM orders JOIN customer ON c_custkey = o_custkey),
+        |g AS (SELECT seg, CAST(sum(y) AS BIGINT) AS n1, CAST(count(*) AS BIGINT) AS n
+        |      FROM j GROUP BY 1)
+        |SELECT seg, n, n1,
+        |  CAST(n1 - 1 AS DOUBLE)/(n - 1) AS loo_pos,
+        |  CAST(n1 AS DOUBLE)/(n - 1) AS loo_neg
+        |FROM g ORDER BY seg""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n1"),
+          count(lit(1)).as("n"))
+        .select(col("seg"), col("n"), col("n1"),
+          ((col("n1") - 1).cast("double") / (col("n") - 1)).as("loo_pos"),
+          (col("n1").cast("double") / (col("n") - 1)).as("loo_neg"))
+        .orderBy("seg")
     }
   )
 
