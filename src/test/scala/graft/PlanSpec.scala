@@ -204,6 +204,27 @@ class PlanSpec extends AnyFunSuite {
     assert(native == stock, "native and window plans must agree row-for-row")
   }
 
+  test("TopKPerGroup edge cases: k exceeding group size, single row, rn=1 form (B10n)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("c", 5), ("c", 5))
+      .toDF("g", "v")
+    val w = Window.partitionBy("g").orderBy(col("v"), col("g"))
+    // k=10 > any group size: every row survives, ranks dense per group
+    val all = df.withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+    assert(all.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val got = all.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(got == Seq(("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("b", 9, 1), ("c", 5, 1), ("c", 5, 2)))
+    // rn = 1 keep-first form
+    val first = df.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(first == Seq(("a", 1), ("b", 9), ("c", 5)))
+    // empty input
+    assert(df.filter(col("v") > 100).withColumn("r", row_number().over(w))
+      .filter(col("r") <= 2).count() == 0)
+  }
+
   test("the TopK rewrite leaves non-matching windows alone (B10n guard)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

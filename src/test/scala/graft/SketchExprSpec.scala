@@ -104,6 +104,26 @@ class SketchExprSpec extends AnyFunSuite {
       "merge must be layout-invariant (associative + commutative elementwise min)")
   }
 
+  test("graft_minhash_agg edge cases: empty gid sets and null inputs leave the sentinel (D13)") {
+    import org.apache.spark.sql.functions._
+    // all-empty gid sets: no permutation min ever lands → the signature
+    // stays the Long.MaxValue sentinel (defined behavior: such a group
+    // has NO shingles; comparing two empty groups is 0/0 Jaccard and the
+    // consumer filters size-0 doc sets before aggregating, as
+    // Dedup.hashedDocSets does)
+    val empty = Seq((1L, Seq.empty[Long]), (2L, Seq.empty[Long]))
+      .toDF("doc", "gs")
+    val sig = empty.groupBy().agg(expr("graft_minhash_agg(gs, 8)").as("sig"))
+      .head().getAs[scala.collection.Seq[Long]]("sig")
+    assert(sig.forall(_ == Long.MaxValue))
+    // null rows are skipped, non-null rows still fold
+    val mixed = Seq((1L, Option(Seq(42L))), (2L, Option.empty[Seq[Long]]))
+      .toDF("doc", "gs")
+    val sig2 = mixed.groupBy().agg(expr("graft_minhash_agg(gs, 8)").as("sig"))
+      .head().getAs[scala.collection.Seq[Long]]("sig")
+    assert(sig2.forall(_ != Long.MaxValue), "the non-null row must populate every slot")
+  }
+
   test("d_source_sim_est sits inside the MinHash error envelope of the exact D13a values") {
     val exact = SparkEntry.queries("d_source_similarity")(spark, TestSpark.sfDir)
       .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
