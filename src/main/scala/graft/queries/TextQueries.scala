@@ -1007,6 +1007,48 @@ object TextQueries {
       }
       import s.implicits._
       out.toSeq.toDF("round", "left", "right", "pair_count")
+    },
+
+    // C25 — token TREND detection (emerging-topic surfacing — which
+    // vocabulary is gaining share across ingest cohorts): per-cohort
+    // token share (cohort = ingest-id mod 12, standing in for the crawl
+    // month this synthetic corpus lacks), then a per-token closed-form
+    // OLS slope of share over cohort index, top-10 risers. Share terms
+    // re-enter DECIMAL(28,18) before the per-token sums (B84 — each
+    // token's cohort order must not perturb its slope); all slope inputs
+    // are exact, one double division per token; the grid is
+    // vocab×cohorts-sized at any corpus volume.
+    QueryDef.sql("t_token_trend",
+      s"""WITH tk AS (SELECT doc_id % 12 AS m, unnest(list_distinct($toks)) AS tok FROM documents),
+         |mt AS (SELECT CAST(m AS BIGINT) AS m, tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT m, CAST(sum(c) AS BIGINT) AS mc FROM mt GROUP BY 1),
+         |sh AS (SELECT mt.m, tok, CAST(c AS DOUBLE)/mc AS share FROM mt JOIN tot USING (m)),
+         |sl AS (SELECT tok, CAST(count(*) AS BIGINT) AS nm,
+         |        CAST(sum(m) AS BIGINT) AS sx, sum(CAST(share AS DECIMAL(28,18))) AS sy,
+         |        CAST(sum(m*m) AS BIGINT) AS sxx, sum(CAST(m*share AS DECIMAL(28,18))) AS sxy
+         |       FROM sh GROUP BY 1)
+         |SELECT tok, nm,
+         |  (CAST(nm AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+         |  (CAST(nm AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope
+         |FROM sl WHERE nm >= 6 ORDER BY slope DESC, tok LIMIT 10""".stripMargin) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select((col("doc_id") % 12).as("m"),
+          explode(array_distinct(tokens(col("text")))).as("tok"))
+      val mt = tk.groupBy("m", "tok").agg(count(lit(1)).as("c"))
+      val tot = mt.groupBy("m").agg(sum("c").as("mc"))
+      val sh = mt.join(broadcast(tot), "m")
+        .select(col("m"), col("tok"), (col("c").cast("double") / col("mc")).as("share"))
+      val sl = sh.groupBy("tok").agg(count(lit(1)).as("nm"),
+        sum("m").as("sx"), sum(col("share").cast("decimal(28,18)")).as("sy"),
+        sum(col("m") * col("m")).as("sxx"),
+        sum((col("m") * col("share")).cast("decimal(28,18)")).as("sxy"))
+      graft.operators.Relational.topKByAgg(
+        sl.filter(col("nm") >= 6)
+          .selectExpr("tok", "nm",
+            """(CAST(nm AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+              |(CAST(nm AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope""".stripMargin),
+        10, Seq(col("slope").desc, col("tok")))
     }
   )
 }

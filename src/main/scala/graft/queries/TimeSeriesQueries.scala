@@ -1194,6 +1194,38 @@ object TimeSeriesQueries {
       import s.implicits._
       (1 to 7).map(h => (h.toLong, level + h * trend, level, trend, mae))
         .toDF("h", "forecast", "level", "trend", "mae")
+    },
+
+    // B109 — fulfillment SLA report: per priority class, the share of
+    // line items shipped within 30/60/90 days of the order date (the
+    // ops scorecard B105's cross-correlation lag hints at, made
+    // explicit). One fact-fact equi-join on the order key + one
+    // conditional partial agg — every threshold is a codegen'd CASE in
+    // the same pass, counts exact, one double division per class.
+    QueryDef.sql("q_ship_sla",
+      """WITH lat AS (
+        |  SELECT o_orderpriority AS prio,
+        |         datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS dl
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+        |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN dl <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS within_30,
+        |  CAST(sum(CASE WHEN dl <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS within_60,
+        |  CAST(sum(CASE WHEN dl <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS within_90,
+        |  CAST(sum(CASE WHEN dl <= 30 THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS sla_30
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val lat = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).as("dl"))
+      lat.groupBy("prio").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("dl") <= 30, 1L).otherwise(0L)).as("within_30"),
+          sum(when(col("dl") <= 60, 1L).otherwise(0L)).as("within_60"),
+          sum(when(col("dl") <= 90, 1L).otherwise(0L)).as("within_90"))
+        .select(col("prio"), col("n"), col("within_30"), col("within_60"),
+          col("within_90"), (col("within_30").cast("double") / col("n")).as("sla_30"))
+        .orderBy("prio")
     }
   )
 }
