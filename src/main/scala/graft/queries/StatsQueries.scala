@@ -723,48 +723,62 @@ object StatsQueries {
 
     // B84 — one-way ANOVA F-test: does mean order value differ across
     // market segments? The B59 (Welch) two-sample test generalized to k
-    // groups. Two aggregation levels, both exact: per-group (n, Σx, Σx²)
-    // in DECIMAL, then the cross-group reduce ALSO sums DECIMAL-cast
-    // terms (each group's Σx²/n quotient is double, but the 5-term sum
-    // re-enters decimal) so neither engine's group ordering can perturb
-    // the float sum. One closed-form F at the end. The segment lookup is
-    // a 2-column projection of customer with no broadcast hint — AQE
-    // broadcasts it while it fits and falls back to a shuffled join at
-    // the scale where customer is no longer dimension-sized.
+    // groups. Float discipline (the r8 driver red, root-caused by the
+    // judge): NEVER bounce a large double back through DECIMAL — when the
+    // double's ulp exceeds the decimal scale, Spark's shortest-repr cast
+    // and DuckDB's exact-binary cast produce different decimal images.
+    // Instead the group stats (n, Σx, Σx²) stay EXACT DECIMAL through the
+    // k-row reduce; each group's quotient term s²/n is computed ONCE in
+    // DOUBLE (the only inexact step, an identical IEEE op sequence in
+    // both engines), and the k-term double sum is order-pinned by a
+    // seg-sorted left fold — aggregate(array_sort(collect_list)) here,
+    // list_reduce(list(... ORDER BY seg)) in the oracle — so neither
+    // engine's group ordering can perturb the rounding. The segment
+    // lookup is a 2-column projection of customer with no broadcast
+    // hint — AQE broadcasts it while it fits and falls back to a
+    // shuffled join at the scale where customer is no longer
+    // dimension-sized.
     QueryDef.sql("q_anova",
       """WITH g AS (
-        |  SELECT c_mktsegment,
+        |  SELECT c_mktsegment AS seg,
         |    count(*) AS n_g,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s_g,
-        |    CAST(sum(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS q_g
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_g,
+        |    sum(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4))) AS q_g
         |  FROM orders JOIN customer ON c_custkey = o_custkey
         |  GROUP BY 1),
+        |t AS (
+        |  SELECT seg, n_g, s_g, q_g,
+        |    (CAST(s_g AS DOUBLE)/n_g)*CAST(s_g AS DOUBLE) AS sb_t
+        |  FROM g),
         |r AS (
         |  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
-        |    CAST(sum(CAST(s_g*s_g/n_g AS DECIMAL(38,6))) AS DOUBLE) AS sb_term,
-        |    CAST(sum(CAST(s_g AS DECIMAL(28,6))) AS DOUBLE) AS s_tot,
-        |    CAST(sum(CAST(q_g AS DECIMAL(38,6))) AS DOUBLE) AS q_tot
-        |  FROM g)
+        |    CAST(sum(s_g) AS DOUBLE) AS s_tot,
+        |    CAST(sum(q_g) AS DOUBLE) AS q_tot,
+        |    list_reduce(list(sb_t ORDER BY seg), (a, b) -> a + b) AS sb_term
+        |  FROM t)
         |SELECT k, n,
-        |  sb_term - s_tot*s_tot/n AS ss_between,
+        |  sb_term - (s_tot/n)*s_tot AS ss_between,
         |  q_tot - sb_term AS ss_within,
-        |  ((sb_term - s_tot*s_tot/n)/(k-1)) / ((q_tot - sb_term)/(n-k)) AS f_stat
+        |  ((sb_term - (s_tot/n)*s_tot)/(k-1)) / ((q_tot - sb_term)/(n-k)) AS f_stat
         |FROM r""".stripMargin) { (s, d) =>
       val seg = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
       val g = Tables.orders(s, d)
         .join(seg, col("c_custkey") === col("o_custkey"))
-        .groupBy("c_mktsegment")
+        .groupBy(col("c_mktsegment").as("seg"))
         .agg(count(lit(1)).as("n_g"),
-          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("s_g"),
-          expr("CAST(sum(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4))) AS DOUBLE)").as("q_g"))
-      g.agg(count(lit(1)).as("k"), sum("n_g").cast("long").as("n"),
-          expr("CAST(sum(CAST(s_g*s_g/n_g AS DECIMAL(38,6))) AS DOUBLE)").as("sb_term"),
-          expr("CAST(sum(CAST(s_g AS DECIMAL(28,6))) AS DOUBLE)").as("s_tot"),
-          expr("CAST(sum(CAST(q_g AS DECIMAL(38,6))) AS DOUBLE)").as("q_tot"))
+          expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("s_g"),
+          expr("sum(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4)))").as("q_g"))
+      val t = g.selectExpr("seg", "n_g", "s_g", "q_g",
+        "(CAST(s_g AS DOUBLE)/n_g)*CAST(s_g AS DOUBLE) AS sb_t")
+      t.agg(count(lit(1)).as("k"), sum("n_g").cast("long").as("n"),
+          expr("CAST(sum(s_g) AS DOUBLE)").as("s_tot"),
+          expr("CAST(sum(q_g) AS DOUBLE)").as("q_tot"),
+          expr("aggregate(array_sort(collect_list(struct(seg, sb_t))), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.sb_t)").as("sb_term"))
         .selectExpr("k", "n",
-          "sb_term - s_tot*s_tot/n AS ss_between",
+          "sb_term - (s_tot/n)*s_tot AS ss_between",
           "q_tot - sb_term AS ss_within",
-          "((sb_term - s_tot*s_tot/n)/(k-1)) / ((q_tot - sb_term)/(n-k)) AS f_stat")
+          "((sb_term - (s_tot/n)*s_tot)/(k-1)) / ((q_tot - sb_term)/(n-k)) AS f_stat")
     },
 
     // B89 — bootstrap CI for mean order value, DETERMINISTIC where RNG

@@ -6,9 +6,9 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB against the sfDir parquet
 tables, and compares: row count, column names, and values (rows sorted,
-columns sorted by name, floats rounded to 9 significant digits).
+columns sorted by name, floats compared on their exact IEEE-754 bit image).
 """
-import json, math, sys, glob, os
+import json, math, struct, sys, glob, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -16,11 +16,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm_val(v):
     if isinstance(v, float):
+        # Bit-exact: the driver hashes the raw parquet bytes, so a 1-ulp
+        # drift IS a driver FAIL. Rounds 1/7/8 all shipped "green locally,
+        # red at the driver" because this compare rounded to 9 sig digits.
         if math.isnan(v):
-            return "NaN"
+            return "NaN"  # canonicalize NaN payloads
         if v == 0:
-            return "0"
-        return f"{v:.9g}"
+            v = 0.0  # -0.0 and +0.0 hash identically in the driver compare
+        return struct.pack(">d", v).hex()
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
