@@ -5,11 +5,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeReference, EqualTo, Expression, IntegerLiteral,
-  LessThan, LessThanOrEqual, NamedExpression, RowNumber, SortOrder,
+  LessThan, LessThanOrEqual, NamedExpression, Rank, RowNumber, SortOrder,
   UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkStrategy
@@ -61,6 +61,7 @@ case class TopKPerGroupNode(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    ties: Boolean,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def maxRows: Option[Long] = child.maxRows
@@ -68,27 +69,39 @@ case class TopKPerGroupNode(
     copy(child = newChild)
 }
 
-/** Rewrites `Filter(rank-predicate, Window(row_number))` to the native
-  * node. Injected via `SparkSessionExtensions.injectOptimizerRule`, so it
-  * runs in the user-rules batch after standard optimization. */
+/** Rewrites `Filter(rank-predicate, Window(row_number | rank))` to the
+  * native node. Injected via `SparkSessionExtensions.injectOptimizerRule`,
+  * so it runs in the user-rules batch after standard optimization.
+  *
+  * `rank()` filters (`ties = true`) keep every row TIED at the heap
+  * boundary — rank ≤ k retains all rows with fewer than k strictly-better
+  * rows, with competition (gapped) rank numbers, matching stock `rank()`.
+  *
+  * An EMPTY partitionSpec (`row_number() OVER (ORDER BY x) <= k`, the
+  * global-top-k shape) is SUPPORTED, not skipped: the final exec demands
+  * AllTuples, so the plan becomes partial per-partition heaps → single-
+  * partition exchange of ≤ k·partitions rows → final heap — strictly
+  * better than the stock plan's global sort of every row. */
 case class TopKRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w: Window) =>
-      (rowNumberAlias(w), boundFromCond(cond)) match {
-        case (Some(alias), Some((rankRef, k)))
+      (rankedAlias(w), boundFromCond(cond)) match {
+        case (Some((alias, ties)), Some((rankRef, k)))
             if alias.exprId == rankRef.exprId && k >= 1 &&
               w.partitionSpec.forall(_.references.subsetOf(w.child.outputSet)) &&
               w.orderSpec.forall(_.references.subsetOf(w.child.outputSet)) =>
           TopKPerGroupNode(w.partitionSpec, w.orderSpec, k,
-            alias.toAttribute, w.child)
+            alias.toAttribute, ties, w.child)
         case _ => f
       }
   }
 
-  /** The window's single `row_number()` alias, if that is ALL it computes. */
-  private def rowNumberAlias(w: Window): Option[Alias] =
+  /** The window's single `row_number()` or `rank()` alias, if that is ALL
+    * it computes. Returns (alias, ties): ties=true for rank(). */
+  private def rankedAlias(w: Window): Option[(Alias, Boolean)] =
     w.windowExpressions match {
-      case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) => Some(a)
+      case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) => Some((a, false))
+      case Seq(a @ Alias(WindowExpression(_: Rank, _), _)) => Some((a, true))
       case _ => None
     }
 
@@ -106,10 +119,10 @@ case class TopKRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   * → final. Injected via `injectPlannerStrategy`. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(part, order, k, rankAttr, child) =>
-      val pre = TopKPerGroupExec(part, order, k, rankAttr,
+    case TopKPerGroupNode(part, order, k, rankAttr, ties, child) =>
+      val pre = TopKPerGroupExec(part, order, k, rankAttr, ties,
         partial = true, planLater(child))
-      TopKPerGroupExec(part, order, k, rankAttr, partial = false, pre) :: Nil
+      TopKPerGroupExec(part, order, k, rankAttr, ties, partial = false, pre) :: Nil
     case _ => Nil
   }
 }
@@ -127,6 +140,7 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    ties: Boolean,
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -135,6 +149,10 @@ case class TopKPerGroupExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    // empty partitionSpec = global top-k: everything to one partition
+    // (legal only because the partial already capped each input partition
+    // at ~k rows — the TakeOrderedAndProject shape, not a global sort)
+    else if (part.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(part) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -145,12 +163,17 @@ case class TopKPerGroupExec(
     val childOutput = child.output
     val limit = k
     val isPartial = partial
+    val keepTies = ties
     val outAttrs = output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val ord = GenerateOrdering.generate(orderExprs, childOutput)
       // max-heap on the sort order: peek is the WORST retained row, so a
-      // better incoming row evicts it once the heap holds k
+      // better incoming row evicts it once the heap holds k. With
+      // keepTies (rank() semantics) the heap retains every row whose
+      // strictly-better count is < k: boundary ties are admitted past the
+      // cap, and the whole worst tie class is evicted only once >= k
+      // strictly-better rows remain without it.
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       val passThrough = new java.util.ArrayList[InternalRow]()
       val revOrd = ord.reverse
@@ -168,9 +191,27 @@ case class TopKPerGroupExec(
           }
         } else if (heap.size() < limit) {
           heap.add(row.copy())
-        } else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        } else {
+          val c = ord.compare(row, heap.peek())
+          if (c < 0) {
+            heap.add(row.copy())
+            if (!keepTies) heap.poll()
+            else {
+              // evict worst tie classes whose strictly-better count >= k
+              var continue = heap.size() > limit
+              while (continue) {
+                val cls = new java.util.ArrayList[InternalRow]()
+                val w0 = heap.poll()
+                cls.add(w0)
+                while (heap.peek() != null && ord.compare(heap.peek(), w0) == 0)
+                  cls.add(heap.poll())
+                if (heap.size() >= limit) continue = heap.size() > limit
+                else { heap.addAll(cls); continue = false } // class stays
+              }
+            }
+          } else if (c == 0 && keepTies) {
+            heap.add(row.copy()) // boundary tie: rank <= k, must keep
+          }
         }
       }
       if (isPartial) {
@@ -188,11 +229,16 @@ case class TopKPerGroupExec(
           val rows = new Array[InternalRow](h.size())
           var i = rows.length - 1
           while (i >= 0) { rows(i) = h.poll(); i -= 1 } // drain worst-first
-          var rk = 0
-          while (rk < rows.length) {
-            rankRow.update(0, rk + 1)
-            out += proj(joined(rows(rk), rankRow)).copy()
-            rk += 1
+          var idx = 0
+          var rk = 1
+          while (idx < rows.length) {
+            // competition (gapped) rank for ties; row_number heaps hold
+            // exactly k rows so idx+1 is the dense rank either way
+            if (keepTies && idx > 0 && ord.compare(rows(idx), rows(idx - 1)) != 0)
+              rk = idx + 1
+            rankRow.update(0, if (keepTies) rk else idx + 1)
+            out += proj(joined(rows(idx), rankRow)).copy()
+            idx += 1
           }
         }
         out.iterator

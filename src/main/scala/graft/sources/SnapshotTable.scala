@@ -164,7 +164,8 @@ object SnapshotTable {
             filesPerCommit: Int = 4, evolve: Boolean = false): Unit = commitLock.synchronized {
     val v = latestVersion(dir)
     require(v >= 0, s"$dir has no committed version")
-    val baseCols = read(s, dir, v).columns
+    val baseSchema = read(s, dir, v).schema
+    val baseCols = baseSchema.fieldNames
     val extraCols = updates.columns.filterNot(baseCols.contains)
     require(evolve || extraCols.isEmpty,
       s"updates carry new columns ${extraCols.mkString(",")}; pass evolve=true to add them")
@@ -183,9 +184,13 @@ object SnapshotTable {
     // this scan decides both the affected-file set and the matched/insert
     // split of the updates. The file name is captured in a projection
     // DIRECTLY over the scan — input_file_name() is only defined in the
-    // scan stage and silently returns "" after a join.
+    // scan stage and silently returns "" after a join. mergeSchema is
+    // MANDATORY here: after a schema-evolving merge the candidate set can
+    // mix pre- and post-evolution files, and a single-footer schema
+    // inference would silently drop evolved columns from survivors —
+    // permanent data loss on rewrite.
     val cand = if (candPaths.isEmpty) null
-      else s.read.parquet(candPaths: _*)
+      else s.read.option("mergeSchema", "true").parquet(candPaths: _*)
         .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
         .persist()
     val affectedNames: Set[String] = if (cand == null) Set.empty
@@ -199,11 +204,18 @@ object SnapshotTable {
     val inserts = if (cand == null) updates
       else updates.join(cand.select(col(key)), Seq(key), "left_anti")
     // evolved schema = base columns ++ update-only columns (append-only);
-    // frames lacking a column (survivors during evolution) take NULL
+    // frames lacking a column (survivors during evolution, or a later
+    // merge not carrying a previously-evolved column) take NULL. The
+    // NULL's type resolves from the table's CURRENT schema first —
+    // `updates` need not mention every table column.
     val outCols = baseCols ++ extraCols
     def conform(df: DataFrame): DataFrame = df.select(outCols.map { c =>
       if (df.columns.contains(c)) col(c)
-      else lit(null).cast(updates.schema(c).dataType).as(c)
+      else {
+        val dt = if (baseSchema.fieldNames.contains(c)) baseSchema(c).dataType
+                 else updates.schema(c).dataType
+        lit(null).cast(dt).as(c)
+      }
     }.toIndexedSeq: _*)
     val newData = (survivors.toSeq ++ matched.toSeq :+ inserts)
       .map(conform).reduce(_ unionByName _)
@@ -232,7 +244,10 @@ object SnapshotTable {
       landFiles(s, dir, all.limit(0), key, v + 1, "delete", filesPerCommit)
     else {
       val affectedPaths = affectedNames.toSeq.sorted.map(n => s"$dir/data/$n")
-      val kept = s.read.parquet(affectedPaths: _*)
+      // mergeSchema: the affected set can mix pre- and post-evolution
+      // files; a single-footer inference would rewrite survivors without
+      // their evolved columns (same data-loss class as the merge path).
+      val kept = s.read.option("mergeSchema", "true").parquet(affectedPaths: _*)
         .filter(!coalesce(cond, lit(false)))
       landFiles(s, dir, kept, key, v + 1, "delete", filesPerCommit)
     }

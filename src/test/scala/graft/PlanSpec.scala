@@ -225,6 +225,61 @@ class PlanSpec extends AnyFunSuite {
       .filter(col("r") <= 2).count() == 0)
   }
 
+  test("global rank filter (empty PARTITION BY) plans and runs through the native path (B10n)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // row_number() OVER (ORDER BY x) <= k — no PARTITION BY. Pre-fix this
+    // shape FAILED at planning (ClusteredDistribution(Nil)); now it plans
+    // as partial heaps -> single-partition exchange -> final heap.
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = sources.Tables.orders(spark, d)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("o_orderkey", "rnk")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.split("TopKPerGroup").length >= 3, s"expected native plan:\n$p")
+    val got = df.orderBy("rnk").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val stock = sources.Tables.orders(spark, d)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") + 0 <= 5)
+      .select("o_orderkey", "rnk")
+      .orderBy("rnk").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == stock, "global top-k must match the stock window plan")
+  }
+
+  test("rank() <= k rewrites natively and keeps boundary ties with gapped ranks (B10n)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("a", 2), ("a", 2), ("a", 3),
+                 ("b", 5), ("b", 5), ("c", 9)).toDF("g", "v")
+    val w = Window.partitionBy("g").orderBy(col("v"))
+    val q = df.withColumn("r", rank().over(w)).filter(col("r") <= 2)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "rank() filter must take the native path")
+    val got = q.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    // a: 1 -> rank 1; the three 2s -> rank 2 (all kept: boundary ties);
+    //    3 -> rank 5 (gap), excluded. b: both 5s rank 1. c: 9 rank 1.
+    assert(got == Seq(("a", 1, 1), ("a", 2, 2), ("a", 2, 2), ("a", 2, 2),
+      ("b", 5, 1), ("b", 5, 1), ("c", 9, 1)))
+    // and it must agree with the stock window plan on real data
+    val wo = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc)
+    val native = sources.Tables.orders(spark, d)
+      .withColumn("r", rank().over(wo)).filter(col("r") <= 3)
+      .select("o_orderpriority", "r", "o_orderkey")
+      .orderBy("o_orderpriority", "r", "o_orderkey").collect().toSeq
+    val stock = sources.Tables.orders(spark, d)
+      .withColumn("r", rank().over(wo)).filter(col("r") + 0 <= 3)
+      .select("o_orderpriority", "r", "o_orderkey")
+      .orderBy("o_orderpriority", "r", "o_orderkey").collect().toSeq
+    assert(native == stock, "native rank() plan must agree with stock row-for-row")
+    // global rank() with ties at the boundary, empty PARTITION BY
+    val tied = Seq(1, 2, 2, 3).toDF("v")
+      .withColumn("r", rank().over(Window.orderBy(col("v"))))
+      .filter(col("r") <= 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(tied == Seq((1, 1), (2, 2), (2, 2)))
+  }
+
   test("the TopK rewrite leaves non-matching windows alone (B10n guard)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -169,6 +169,52 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(!SnapshotTable.read(spark, dir, version = 0).columns.contains("flag"))
   }
 
+  test("second merge after evolution preserves evolved-column data (mergeSchema on candidate read)") {
+    val dir = mk("evolve2", n = 1000)
+    // v1: evolve — k<100 gains flag=1 (rewrites the first key bucket)
+    val ev = SnapshotTable.read(spark, dir).filter(col("k") < 100)
+      .withColumn("flag", lit(1))
+    SnapshotTable.merge(spark, dir, ev, "k", evolve = true)
+    // v2: a merge NOT carrying `flag`, whose update keys span BOTH a
+    // post-evolution file (k=50) and pre-evolution files (k=600) — the
+    // candidate read mixes schemas. Pre-fix, a single-footer inference
+    // could drop `flag` from the rewritten survivors (silent data loss),
+    // and conform() threw resolving the NULL type for `flag`.
+    val upd2 = spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(50L, "u", -5.0),
+        org.apache.spark.sql.Row(600L, "u", -6.0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("grp", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType))))
+    SnapshotTable.merge(spark, dir, upd2, "k")
+    val now = SnapshotTable.read(spark, dir)
+    // survivors of the post-evolution file keep their flag values
+    assert(now.filter(col("k") < 100 && col("k") =!= 50L && col("flag") === 1).count() == 99,
+      "evolved-column values must survive a later merge's file rewrite")
+    // the merged row itself reads flag as NULL (updates didn't carry it)
+    assert(now.filter(col("k") === 50L).select("flag").head().isNullAt(0))
+    assert(now.filter(col("k") === 600L && col("v") === -6.0).count() == 1)
+    assert(now.count() == 1000)
+  }
+
+  test("delete after evolution preserves evolved-column data on rewritten survivors") {
+    val dir = mk("evolvedel", n = 1000)
+    val ev = SnapshotTable.read(spark, dir).filter(col("k") < 100)
+      .withColumn("flag", lit(1))
+    SnapshotTable.merge(spark, dir, ev, "k", evolve = true)
+    // grp='7' rows exist in every key bucket → affected set mixes pre-
+    // and post-evolution files; pre-fix the kept-rows read could infer a
+    // flag-less schema and null the column out of the rewrite.
+    SnapshotTable.delete(spark, dir, col("grp") === "7", "k")
+    val now = SnapshotTable.read(spark, dir)
+    assert(now.filter(col("grp") === "7").count() == 0)
+    val expectFlagged = (0L until 100L).count(k => k % 10 != 7)
+    assert(now.filter(col("flag") === 1).count() == expectFlagged,
+      "evolved-column values must survive a delete's file rewrite")
+    assert(now.count() == 900)
+  }
+
   test("vacuum reclaims only files outside the retention window; retained versions still read (G19)") {
     import org.apache.spark.sql.functions._
     val dir = mk("vacuum", n = 1000)
