@@ -1187,6 +1187,53 @@ object StatsQueries {
         .agg(sum(when(abs(col("d_r")) >= abs(col("d_obs")), 1L).otherwise(0L)).as("n_extreme"),
           ((lit(1.0) + sum(when(abs(col("d_r")) >= abs(col("d_obs")), 1L).otherwise(0L))) / 21.0)
             .as("p_value"))
+    },
+
+    // Cross-engine canary for functions/PortableMath.scala: evaluates
+    // every portable transcendental over a 1000-point deterministic grid
+    // (exact integer-derived inputs, so both engines start from identical
+    // bits) and pushes the results through the driver's bit-exact hash
+    // gate. If any engine/compiler/libm change ever breaks the IEEE
+    // op-for-op parity the portable layer depends on, THIS query reds
+    // first — with a diff that names the drifting function.
+    QueryDef.sql("q_math_portable", {
+      import graft.functions.PortableMath._
+      s"""WITH g AS (SELECT DISTINCT CAST(o_orderkey % 1000 AS BIGINT) AS g FROM orders),
+         |b AS (SELECT g,
+         |  CAST(g + 1 AS DOUBLE) AS xp,
+         |  CAST(g + 1 AS DOUBLE) / 1000.0 AS p,
+         |  (CAST(g AS DOUBLE) - 500.0) / 160.0 AS ang,
+         |  (CAST(g AS DOUBLE) - 500.0) / 10.0 AS w,
+         |  CAST(g AS DOUBLE) / 1000.0 AS z
+         |  FROM g)
+         |SELECT g,
+         |  ${lnSql("xp")} AS ln_x,
+         |  ${lnSql("p")} AS ln_p,
+         |  ${log2Sql("xp")} AS log2_x,
+         |  ${sinSql("ang")} AS sin_a,
+         |  ${cosSql("ang")} AS cos_a,
+         |  ${atanSql("w")} AS atan_w,
+         |  ${asinSql("z")} AS asin_z
+         |FROM b ORDER BY g""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.PortableMath._
+      val g = Tables.orders(s, d)
+        .select((col("o_orderkey") % 1000).cast("long").as("g")).distinct()
+      val b = g.select(col("g"),
+        (col("g") + lit(1L)).cast("double").as("xp"),
+        ((col("g") + lit(1L)).cast("double") / lit(1000.0)).as("p"),
+        ((col("g").cast("double") - lit(500.0)) / lit(160.0)).as("ang"),
+        ((col("g").cast("double") - lit(500.0)) / lit(10.0)).as("w"),
+        (col("g").cast("double") / lit(1000.0)).as("z"))
+      b.select(col("g"),
+        pLn(col("xp")).as("ln_x"),
+        pLn(col("p")).as("ln_p"),
+        pLog2(col("xp")).as("log2_x"),
+        pSin(col("ang")).as("sin_a"),
+        pCos(col("ang")).as("cos_a"),
+        pAtan(col("w")).as("atan_w"),
+        pAsin(col("z")).as("asin_z"))
+        .orderBy("g")
     }
   )
 }

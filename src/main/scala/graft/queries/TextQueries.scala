@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.PortableMath
 import graft.sources.Tables
 
 /** SURVEY §2 group C — text analysis over the `documents` table. */
@@ -254,22 +255,29 @@ object TextQueries {
     // 9-significant-digit float compare absorbs (values, not ranks,
     // so SURVEY §4 rule 2 doesn't apply).
     QueryDef.sql("t_char_entropy",
-      """WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c FROM documents),
+      // log2 is PortableMath; the per-doc Σ p·log2 p pins on char order
+      // (round-10 rule — see PortableMath's scaladoc).
+      s"""WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c FROM documents),
         |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
-        |w AS (SELECT doc_id, k, sum(k) OVER (PARTITION BY doc_id) AS n FROM cnt)
+        |w AS (SELECT doc_id, c, k, sum(k) OVER (PARTITION BY doc_id) AS n FROM cnt),
+        |e AS (SELECT doc_id, c, CAST(k AS DOUBLE) / n AS p FROM w),
+        |e2 AS (SELECT doc_id, c, p, ${PortableMath.log2Sql("p")} AS lg FROM e)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_chars,
-        |  -sum((CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)) AS entropy
-        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |  -list_reduce(list(p * lg ORDER BY c), (a, b) -> a + b) AS entropy
+        |FROM e2 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val cnt = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
         .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
-      val p = (col("k").cast("double") / col("n"))
       cnt.withColumn("n", sum("k").over(Window.partitionBy("doc_id")))
+        .select(col("doc_id"), col("c"),
+          (col("k").cast("double") / col("n")).as("p"))
+        .withColumn("lg", PortableMath.pLog2(col("p")))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_distinct_chars"),
-          (-sum(p * log2(p))).as("entropy"))
+          (-expr("aggregate(array_sort(collect_list(named_struct('c', c, 'v', p * lg))), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.v)")).as("entropy"))
         .orderBy("doc_id")
     },
 
@@ -531,11 +539,13 @@ object TextQueries {
          |dtm AS (SELECT dt.doc_id, dt.tok FROM dt JOIN mid USING (tok)),
          |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
          |pair AS (SELECT a.tok AS ta, b.tok AS tb, count(*) AS n_ab
-         |  FROM dtm a JOIN dtm b ON a.doc_id=b.doc_id AND a.tok < b.tok GROUP BY 1,2)
-         |SELECT ta, tb, n_ab,
-         |  CAST(ln(CAST(n_ab AS DOUBLE) * nd.n / (CAST(fa.df AS DOUBLE) * fb.df)) AS DOUBLE) AS pmi
-         |FROM pair JOIN mid fa ON pair.ta=fa.tok JOIN mid fb ON pair.tb=fb.tok, nd
-         |WHERE n_ab >= 10 ORDER BY ta, tb""".stripMargin
+         |  FROM dtm a JOIN dtm b ON a.doc_id=b.doc_id AND a.tok < b.tok GROUP BY 1,2),
+         |pm AS (SELECT ta, tb, n_ab,
+         |  CAST(n_ab AS DOUBLE) * nd.n / (CAST(fa.df AS DOUBLE) * fb.df) AS ratio
+         |  FROM pair JOIN mid fa ON pair.ta=fa.tok JOIN mid fb ON pair.tb=fb.tok, nd
+         |  WHERE n_ab >= 10)
+         |SELECT ta, tb, n_ab, ${PortableMath.lnSql("ratio")} AS pmi
+         |FROM pm ORDER BY ta, tb""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
       val dt = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
@@ -553,8 +563,10 @@ object TextQueries {
         .join(broadcast(mid.select(col("tok").as("tb"), col("df").as("dfb"))), "tb")
         .crossJoin(broadcast(nd))
         .select(col("ta"), col("tb"), col("n_ab"),
-          log(col("n_ab").cast("double") * col("n") / (col("dfa").cast("double") * col("dfb")))
-            .cast("double").as("pmi"))
+          (col("n_ab").cast("double") * col("n") /
+            (col("dfa").cast("double") * col("dfb"))).as("ratio"))
+        .select(col("ta"), col("tb"), col("n_ab"),
+          PortableMath.pLn(col("ratio")).as("pmi"))
         .orderBy("ta", "tb")
     },
 
@@ -573,11 +585,12 @@ object TextQueries {
          |                i -> tk[i+1] || ' ' || tk[i+2])) AS bg
          |       FROM t WHERE len(tk) >= 2),
          |bfd AS (SELECT doc_id, bg, count(*) AS k FROM bg GROUP BY 1, 2),
-         |freq AS (SELECT bg, sum(k) AS n FROM bfd GROUP BY 1),
-         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM freq)
+         |freq AS (SELECT bg, ${PortableMath.lnSql("CAST(sum(k) AS DOUBLE)")} AS ln_n FROM bfd GROUP BY 1),
+         |tot AS (SELECT CAST(sum(k) AS DOUBLE) AS nn FROM bfd),
+         |tot2 AS (SELECT ${PortableMath.lnSql("nn")} AS ln_nn FROM tot)
          |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-         |  ln(max(nn)) - sum(k * ln(CAST(n AS DOUBLE))) / sum(k) AS ce
-         |FROM bfd JOIN freq USING (bg) CROSS JOIN tot
+         |  max(ln_nn) - list_reduce(list(k * ln_n ORDER BY bg), (a, b) -> a + b) / sum(k) AS ce
+         |FROM bfd JOIN freq USING (bg) CROSS JOIN tot2
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       // Three narrow exchanges instead of the r7 plan's four wide ones,
       // and the expensive stage (tokenize + bigram explode) both native
@@ -605,13 +618,16 @@ object TextQueries {
       // is an OOM at 100 TB, so the freq join is left to the threshold +
       // AQE (broadcast locally, shuffle at scale; the same rule as the
       // sf-proportional dims in q5). Only the 1-row total broadcasts.
-      val freq = bfd.groupBy("bg").agg(sum("k").as("n"))
-      val tot = broadcast(freq.agg(sum("n").cast("double").as("nn")))
-      bfd.join(freq, "bg").crossJoin(tot)
+      val freq = bfd.groupBy("bg")
+        .agg(PortableMath.pLn(sum("k").cast("double")).as("ln_n"))
+      val tot2 = broadcast(bfd.agg(sum("k").cast("double").as("nn"))
+        .select(PortableMath.pLn(col("nn")).as("ln_nn")))
+      bfd.join(freq, "bg").crossJoin(tot2)
         .groupBy("doc_id")
         .agg(sum("k").cast("long").as("n_bigrams"),
-          (log(max(col("nn"))) -
-            sum(col("k") * log(col("n").cast("double"))) / sum(col("k"))).as("ce"))
+          (max(col("ln_nn")) -
+            expr("aggregate(array_sort(collect_list(named_struct('bg', bg, 'v', k * ln_n))), " +
+              "CAST(0 AS DOUBLE), (a, x) -> a + x.v)") / sum(col("k"))).as("ce"))
         .orderBy("doc_id")
     },
 
@@ -623,26 +639,34 @@ object TextQueries {
     // per-doc reduce inherits the doc_id partitioning. ln is C10's
     // transcendental precedent (values not ranks; 9-sig-digit compare).
     QueryDef.sql("t_unigram_ce",
+      // ln is PortableMath (round-10 rule: no libm in a gated double) and
+      // the per-doc Σ k·ln(n) is a token-ordered pinned fold — the two
+      // engines' hash-group accumulation orders are host-dependent.
       s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
          |tfd AS (SELECT doc_id, tok, count(*) AS k FROM t GROUP BY 1, 2),
-         |freq AS (SELECT tok, sum(k) AS n FROM tfd GROUP BY 1),
-         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM freq)
+         |freq AS (SELECT tok, ${PortableMath.lnSql("CAST(sum(k) AS DOUBLE)")} AS ln_n FROM tfd GROUP BY 1),
+         |tot AS (SELECT CAST(sum(k) AS DOUBLE) AS nn FROM tfd),
+         |tot2 AS (SELECT ${PortableMath.lnSql("nn")} AS ln_nn FROM tot)
          |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
-         |  ln(max(nn)) - sum(k * ln(CAST(n AS DOUBLE))) / sum(k) AS ce
-         |FROM tfd JOIN freq USING (tok) CROSS JOIN tot
+         |  max(ln_nn) - list_reduce(list(k * ln_n ORDER BY tok), (a, b) -> a + b) / sum(k) AS ce
+         |FROM tfd JOIN freq USING (tok) CROSS JOIN tot2
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import PortableMath.pLn
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val tfd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
         .persist()
-      val freq = broadcast(tfd.groupBy("tok").agg(sum("k").as("n")))
-      val tot = broadcast(freq.agg(sum("n").cast("double").as("nn")))
-      tfd.join(freq, "tok").crossJoin(tot)
+      val freq = broadcast(tfd.groupBy("tok")
+        .agg(pLn(sum("k").cast("double")).as("ln_n")))
+      val tot2 = broadcast(tfd.agg(sum("k").cast("double").as("nn"))
+        .select(pLn(col("nn")).as("ln_nn")))
+      tfd.join(freq, "tok").crossJoin(tot2)
         .groupBy("doc_id")
         .agg(sum("k").cast("long").as("n_tokens"),
-          (log(max(col("nn"))) -
-            sum(col("k") * log(col("n").cast("double"))) / sum(col("k"))).as("ce"))
+          (max(col("ln_nn")) -
+            expr("aggregate(array_sort(collect_list(named_struct('tok', tok, 'v', k * ln_n))), " +
+              "CAST(0 AS DOUBLE), (a, x) -> a + x.v)") / sum(col("k"))).as("ce"))
         .orderBy("doc_id")
     },
 
@@ -698,12 +722,17 @@ object TextQueries {
          |      WHERE source = 'src0'),
          |b AS (SELECT tok, CAST(n AS DOUBLE) / t AS q FROM tf JOIN tot USING (source)
          |      WHERE source = 'src1'),
-         |j AS (SELECT coalesce(a.p, 0.0) AS p, coalesce(b.q, 0.0) AS q
-         |      FROM a FULL JOIN b ON a.tok = b.tok)
+         |j AS (SELECT coalesce(a.tok, b.tok) AS tok,
+         |             coalesce(a.p, 0.0) AS p, coalesce(b.q, 0.0) AS q
+         |      FROM a FULL JOIN b ON a.tok = b.tok),
+         |r AS (SELECT tok, p, q, p / ((p + q) / 2) AS rp, q / ((p + q) / 2) AS rq FROM j),
+         |term AS (SELECT tok,
+         |  CASE WHEN p > 0 THEN 0.5 * p * ${PortableMath.lnSql("rp")} ELSE 0 END
+         |    + CASE WHEN q > 0 THEN 0.5 * q * ${PortableMath.lnSql("rq")} ELSE 0 END AS v
+         |  FROM r)
          |SELECT CAST(count(*) AS BIGINT) AS vocab,
-         |  sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
-         |    + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END) AS js
-         |FROM j""".stripMargin
+         |  list_reduce(list(v ORDER BY tok), (a, b) -> a + b) AS js
+         |FROM term""".stripMargin
     }) { (s, d) =>
       val tf = Tables.documents(s, d)
         .filter(col("source").isin("src0", "src1"))
@@ -716,11 +745,18 @@ object TextQueries {
       val b = dist.filter(col("source") === "src1")
         .select(col("tok").as("tok_b"), col("pr").as("q"))
       val j = a.join(b, col("tok") === col("tok_b"), "full_outer")
-        .select(coalesce(col("p"), lit(0.0)).as("p"), coalesce(col("q"), lit(0.0)).as("q"))
+        .select(coalesce(col("tok"), col("tok_b")).as("tok"),
+          coalesce(col("p"), lit(0.0)).as("p"), coalesce(col("q"), lit(0.0)).as("q"))
       val m = (col("p") + col("q")) / 2
-      j.agg(count(lit(1)).cast("long").as("vocab"),
-        sum(when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / m)).otherwise(0.0) +
-          when(col("q") > 0, lit(0.5) * col("q") * log(col("q") / m)).otherwise(0.0)).as("js"))
+      val term = j
+        .select(col("tok"), col("p"), col("q"),
+          (col("p") / m).as("rp"), (col("q") / m).as("rq"))
+        .select(col("tok"),
+          (when(col("p") > 0, lit(0.5) * col("p") * PortableMath.pLn(col("rp"))).otherwise(0.0) +
+            when(col("q") > 0, lit(0.5) * col("q") * PortableMath.pLn(col("rq"))).otherwise(0.0)).as("v"))
+      term.agg(count(lit(1)).cast("long").as("vocab"),
+        expr("aggregate(array_sort(collect_list(named_struct('tok', tok, 'v', v))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)").as("js"))
     },
 
     // C18 — corpus lexical profile: total tokens, vocabulary size, hapax
@@ -764,11 +800,15 @@ object TextQueries {
       val toksSql = tokensDuck("text")
       s"""WITH tf AS (SELECT tok, count(*) AS n
          |            FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1),
-         |top AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
-         |               ln(CAST(n AS DOUBLE)) AS y
+         |top AS (SELECT row_number() OVER (ORDER BY n DESC, tok) AS rk, n
          |        FROM tf ORDER BY n DESC, tok LIMIT 1000),
-         |s AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
-         |             sum(x*x) AS sxx, sum(x*y) AS sxy FROM top)
+         |lg AS (SELECT rk, ${PortableMath.lnSql("CAST(rk AS DOUBLE)")} AS x,
+         |               ${PortableMath.lnSql("CAST(n AS DOUBLE)")} AS y FROM top),
+         |s AS (SELECT count(*) AS k,
+         |  list_reduce(list(x ORDER BY rk), (a, b) -> a + b) AS sx,
+         |  list_reduce(list(y ORDER BY rk), (a, b) -> a + b) AS sy,
+         |  list_reduce(list(x*x ORDER BY rk), (a, b) -> a + b) AS sxx,
+         |  list_reduce(list(x*y ORDER BY rk), (a, b) -> a + b) AS sxy FROM lg)
          |SELECT CAST(k AS BIGINT) AS k,
          |  (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope,
          |  (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k AS intercept
@@ -783,12 +823,16 @@ object TextQueries {
       // the single-partition window. Ranking the full vocabulary-sized
       // tf table in one window task was this query's 2 s hotspot; the
       // window input is now a constant 1000 rows at any corpus scale.
+      def pinned(v: String) =
+        expr(s"aggregate(array_sort(collect_list(named_struct('rk', rk, 'v', $v))), " +
+          "CAST(0 AS DOUBLE), (a, p) -> a + p.v)")
       val top = tf
         .orderBy(col("n").desc, col("tok")).limit(1000)
         .select(col("n"), row_number().over(Window.orderBy(col("n").desc, col("tok"))).as("rk"))
-        .select(log(col("rk").cast("double")).as("x"), log(col("n").cast("double")).as("y"))
-      val st = top.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("rk"), PortableMath.pLn(col("rk").cast("double")).as("x"),
+          PortableMath.pLn(col("n").cast("double")).as("y"))
+      val st = top.agg(count(lit(1)).as("k"), pinned("x").as("sx"), pinned("y").as("sy"),
+        pinned("x*x").as("sxx"), pinned("x*y").as("sxy"))
       val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
         (col("k") * col("sxx") - col("sx") * col("sx"))
       st.select(col("k").cast("long").as("k"), slope.as("slope"),
@@ -882,9 +926,12 @@ object TextQueries {
          |st AS (SELECT source, sum(n) AS nd FROM sl GROUP BY 1),
          |tok AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
          |        FROM documents GROUP BY 1),
-         |ent AS (SELECT sl.source,
-         |          sum(-(CAST(sl.n AS DOUBLE)/st.nd) * ln(CAST(sl.n AS DOUBLE)/st.nd)) AS lang_entropy
-         |        FROM sl JOIN st USING (source) GROUP BY 1),
+         |ep AS (SELECT sl.source, sl.lang, CAST(sl.n AS DOUBLE)/st.nd AS p
+         |       FROM sl JOIN st USING (source)),
+         |ep2 AS (SELECT source, lang, p, ${PortableMath.lnSql("p")} AS lp FROM ep),
+         |ent AS (SELECT source,
+         |          list_reduce(list(-(p * lp) ORDER BY lang), (a, b) -> a + b) AS lang_entropy
+         |        FROM ep2 GROUP BY 1),
          |top AS (SELECT source, lang AS top_lang, n FROM (
          |          SELECT source, lang, n,
          |            row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk
@@ -909,9 +956,13 @@ object TextQueries {
         .localCheckpoint(true)
       val st = sl.groupBy("source")
         .agg(sum("n").as("nd"), sum("tk").cast("long").as("n_tokens"))
-      val p = col("n").cast("double") / col("nd")
       val ent = sl.join(broadcast(st.select("source", "nd")), "source")
-        .groupBy("source").agg(sum(-p * log(p)).as("lang_entropy"))
+        .select(col("source"), col("lang"),
+          (col("n").cast("double") / col("nd")).as("p"))
+        .withColumn("lp", PortableMath.pLn(col("p")))
+        .groupBy("source").agg(
+          expr("aggregate(array_sort(collect_list(named_struct('lang', lang, 'v', -(p * lp)))), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.v)").as("lang_entropy"))
       val w = Window.partitionBy("source").orderBy(col("n").desc, col("lang"))
       val top = sl.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("source"), col("lang").as("top_lang"), col("n"))
@@ -1024,11 +1075,13 @@ object TextQueries {
          |tot AS (SELECT m, CAST(sum(c) AS BIGINT) AS mc FROM mt GROUP BY 1),
          |sh AS (SELECT mt.m, tok, CAST(c AS DOUBLE)/mc AS share FROM mt JOIN tot USING (m)),
          |sl AS (SELECT tok, CAST(count(*) AS BIGINT) AS nm,
-         |        CAST(sum(m) AS BIGINT) AS sx, sum(CAST(share AS DECIMAL(28,18))) AS sy,
-         |        CAST(sum(m*m) AS BIGINT) AS sxx, sum(CAST(m*share AS DECIMAL(28,18))) AS sxy
+         |        CAST(sum(m) AS BIGINT) AS sx,
+         |        list_reduce(list(share ORDER BY m), (a, b) -> a + b) AS sy,
+         |        CAST(sum(m*m) AS BIGINT) AS sxx,
+         |        list_reduce(list(m*share ORDER BY m), (a, b) -> a + b) AS sxy
          |       FROM sh GROUP BY 1)
          |SELECT tok, nm,
-         |  (CAST(nm AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+         |  (CAST(nm AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
          |  (CAST(nm AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope
          |FROM sl WHERE nm >= 6 ORDER BY slope DESC, tok LIMIT 10""".stripMargin) { (s, d) =>
       val tk = Tables.documents(s, d)
@@ -1039,14 +1092,21 @@ object TextQueries {
       val tot = mt.groupBy("m").agg(sum("c").as("mc"))
       val sh = mt.join(broadcast(tot), "m")
         .select(col("m"), col("tok"), (col("c").cast("double") / col("mc")).as("share"))
+      // ROUND-10 RULE: never CAST a computed DOUBLE to a high-scale
+      // DECIMAL for order-invariance — DuckDB's double→DECIMAL cast is
+      // not correctly rounded (diverges from Spark's BigDecimal path on
+      // most scale-18 values). Cohort-pinned double folds instead.
+      def pinned(v: String) =
+        expr(s"aggregate(array_sort(collect_list(named_struct('m', m, 'v', $v))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)")
       val sl = sh.groupBy("tok").agg(count(lit(1)).as("nm"),
-        sum("m").as("sx"), sum(col("share").cast("decimal(28,18)")).as("sy"),
+        sum("m").as("sx"), pinned("share").as("sy"),
         sum(col("m") * col("m")).as("sxx"),
-        sum((col("m") * col("share")).cast("decimal(28,18)")).as("sxy"))
+        pinned("m * share").as("sxy"))
       graft.operators.Relational.topKByAgg(
         sl.filter(col("nm") >= 6)
           .selectExpr("tok", "nm",
-            """(CAST(nm AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+            """(CAST(nm AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
               |(CAST(nm AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope""".stripMargin),
         10, Seq(col("slope").desc, col("tok")))
     }
