@@ -56,10 +56,11 @@ object PortableMath {
   // odd atanh series coefficients 1/1, 1/3, ..., 1/27
   private val atanhC: Seq[Double] = (0 to 13).map(i => 1.0 / (2 * i + 1))
   // odd atan series coefficients 1/1, -1/3, 1/5, ..., -1/19
-  private val atanC: Seq[Double] =
+  // (shared with PortableGeoImpl so the scalar twin can't drift)
+  private[functions] val atanC: Seq[Double] =
     (0 to 9).map(i => (if (i % 2 == 0) 1.0 else -1.0) / (2 * i + 1))
   // sin(x)/x = sum_k (-1)^k x^(2k) / (2k+1)!, k = 0..13 (to x^26)
-  private val sinC: Seq[Double] = {
+  private[functions] val sinC: Seq[Double] = {
     var f = 1.0
     (0 to 13).map { k =>
       if (k > 0) f = f * (2 * k) * (2 * k + 1)
@@ -67,7 +68,7 @@ object PortableMath {
     }
   }
   // cos(x) = sum_k (-1)^k x^(2k) / (2k)!, k = 0..14 (to x^28)
-  private val cosC: Seq[Double] = {
+  private[functions] val cosC: Seq[Double] = {
     var f = 1.0
     (0 to 14).map { k =>
       if (k > 0) f = f * (2 * k - 1) * (2 * k)
@@ -75,8 +76,16 @@ object PortableMath {
     }
   }
 
+  // exp Taylor coefficients 1/j!, j = 0..17 (argument ≤ ln2 after the
+  // exact power-of-two reduction ⇒ truncation below 1e-19)
+  private val expC: Seq[Double] = {
+    var f = 1.0
+    (0 to 17).map { j => if (j > 0) f = f * j; 1.0 / f }
+  }
+
   val LOG2_INV = 1.4426950408889634 // IEEE-nearest 1/ln(2)
   val DEG2RAD = 0.017453292519943295 // IEEE-nearest pi/180
+  val LN2 = 0.6931471805599453 // IEEE-nearest ln(2)
 
   // ---------- Spark Column side ----------
 
@@ -104,13 +113,21 @@ object PortableMath {
   /** Bit-portable cos on |x| ≤ 3.2. */
   def pCos(x: Column): Column = { val u = x * x; horner(u, cosC) }
 
-  /** Bit-portable atan, any finite w. */
-  def pAtan(w: Column): Column = {
-    def half(v: Column): Column = v / (lit(1.0) + sqrt(lit(1.0) + v * v))
-    val w3 = half(half(half(w)))
+  /** One atan half-angle reduction. NOTE: references `v` three times —
+    * Catalyst Columns are TREES, so chain halvings through withColumn
+    * stages on wide inputs (see the geo queries) or the duplicated
+    * subtree grows ~27× and whole-stage codegen explodes. */
+  def atanHalf(v: Column): Column = v / (lit(1.0) + sqrt(lit(1.0) + v * v))
+
+  /** The atan odd series ×8 over an already three-times-halved arg. */
+  def atanTail(w3: Column): Column = {
     val u = w3 * w3
     (w3 * horner(u, atanC)) * lit(8.0)
   }
+
+  /** Bit-portable atan, any finite w. Inline form — fine for thin
+    * inputs (a column reference); stage for computed inputs. */
+  def pAtan(w: Column): Column = atanTail(atanHalf(atanHalf(atanHalf(w))))
 
   /** Bit-portable asin on [0, 1]; z clamps one ulp below 1 so degenerate
     * (antipodal) inputs stay finite — identically in both engines. */
@@ -164,5 +181,36 @@ object PortableMath {
     atanSql(s"(($zc) / sqrt(1.0 - ($zc) * ($zc)))")
   }
 
+  // Staged pieces for oracles that must bind intermediates through
+  // SELECT layers (inlining asin's three halvings would duplicate the
+  // argument text ~500×). Stage: w0 = zc/√(1-zc²), w1..w3 = three
+  // atanHalfSql steps, then atanTailSql(w3). The Column twins are the
+  // same ops pAsin/pAtan produce — the SQL splits them only textually.
+  def atanHalfSql(v: String): String =
+    s"(($v) / (1.0 + sqrt(1.0 + ($v) * ($v))))"
+
+  /** The atan odd series ×8 over an ALREADY three-times-halved argument. */
+  def atanTailSql(w3: String): String = {
+    val u = s"(($w3) * ($w3))"
+    s"((($w3) * ${hornerSql(u, atanC)}) * 8.0)"
+  }
+
   def radiansSql(deg: String): String = s"(($deg) * ${lit17(DEG2RAD)})"
+
+  /** Bit-portable 2^x for x ∈ [0, 62) as a DIALECT PAIR (the one place
+    * the two engines' SQL spellings differ — the bigint shift): 2^⌊x⌋ is
+    * an exact integer shift, then an exact int→double cast (powers of
+    * two convert exactly at any magnitude), and the fraction runs
+    * e^(f·ln2) as a fixed Taylor horner. With portable log2 this gives a
+    * portable pow: n^α = exp2(α·log2(n)). Splice SHORT aliases only —
+    * `x` is referenced ~35× through the horner. */
+  def exp2Sql(x: String): String = exp2Dialect(x, duck = true)
+  def exp2SparkSql(x: String): String = exp2Dialect(x, duck = false)
+  private def exp2Dialect(x: String, duck: Boolean): String = {
+    val t = s"((($x) - floor($x)) * ${lit17(LN2)})"
+    val p2k =
+      if (duck) s"CAST((CAST(1 AS BIGINT) << CAST(floor($x) AS INTEGER)) AS DOUBLE)"
+      else s"CAST(SHIFTLEFT(CAST(1 AS BIGINT), CAST(FLOOR($x) AS INT)) AS DOUBLE)"
+    s"($p2k * ${hornerSql(t, expC)})"
+  }
 }

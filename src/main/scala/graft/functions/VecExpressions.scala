@@ -220,6 +220,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
       (children: Seq[Expression]) => JaroWinklerExpr(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_haversine_km"),
+      new ExpressionInfo(classOf[HaversineKmExpr].getName, "graft_haversine_km"),
+      (children: Seq[Expression]) => HaversineKmExpr(children.head, children(1),
+        children(2), children(3))))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
       (children: Seq[Expression]) => {

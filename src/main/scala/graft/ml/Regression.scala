@@ -64,19 +64,38 @@ object Regression {
       count(lit(1)).as("n"))
   }
 
-  /** Fit + RMSE fused into ONE plan: the 1-row fit aggregate is broadcast
-    * cross-joined onto the residual scan, so no driver-side `.head()`
-    * round-trip splits the work into two jobs. Numerically identical to
-    * [[exactOls]] → [[exactRmse]] (the fit emerges as the same doubles;
-    * residual squares are decimal-summed either way). */
-  def exactRmseFitted(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val fit = exactOls(df, xCol, yCol).select(col("slope"), col("intercept"))
-    val resid = col(yCol) - (col("intercept") + col("slope") * col(xCol))
-    df.crossJoin(broadcast(fit))
-      .agg(
-        sqrt(sum((resid * resid).cast("decimal(38,8)")).cast("double") / count(lit(1)))
-          .as("rmse"),
-        count(lit(1)).as("n"))
+  /** Fit + RMSE in ONE aggregate pass: Σr² expands algebraically over the
+    * six sufficient statistics the fit already computed —
+    *   Σr² = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx + b²Σx²
+    * — so there is NO residual scan at all (the old fused plan re-read
+    * the table to decimal-sum per-row residual squares; worse, that was
+    * a computed-DOUBLE→DECIMAL(38,8) re-entry, which DuckDB does not
+    * round correctly — the q_anova failure class). Every input is an
+    * exact decimal aggregate exiting through a correctly-rounded cast,
+    * and the expansion is one fixed double op sequence both engines
+    * share. The mild cancellation (Σr² ≪ Σy²) costs a few digits of the
+    * VALUE, identically in both engines; RegressionSpec bounds it
+    * against the residual-scan form at 1e-6 relative. */
+  def exactRmseFitted(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    exactOls2(df, xCol, yCol).selectExpr(
+      """sqrt((syy - ((2*intercept)*sy) - ((2*slope)*sxy)
+        |  + ((CAST(n AS DOUBLE)*intercept)*intercept)
+        |  + (((2*intercept)*slope)*sx) + ((slope*slope)*sxx))
+        |  / n) AS rmse""".stripMargin,
+      "n")
+
+  /** [[exactOls]] plus the raw sufficient statistics (for derived
+    * metrics like [[exactRmseFitted]]'s closed-form Σr²). */
+  def exactOls2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val a = exactOlsAggregates(df, xCol, yCol)
+    a.select(
+      col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+      col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
+      .select(col("n"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"))
   }
 
   /** spark.ml pipeline: assemble features → LinearRegression (normal

@@ -261,33 +261,47 @@ object CurationQueries {
     // multilingual setting). Report per source: natural share, the
     // α-tempered share, the upsample factor H2's rate map would encode,
     // and the planned doc count at corpus size. One source-keyed partial
-    // agg (report-sized from there); the pow() terms re-enter DECIMAL
-    // before the cross-source normalizer sum so source ordering can't
-    // perturb the float total (B84 discipline).
-    QueryDef.sql("p_mix_temperature",
-      """WITH g AS (SELECT source, count(*) AS n_docs,
+    // agg (report-sized from there). n^0.7 runs as the PORTABLE pow —
+    // exp2(0.7·log2 n) from PortableMath, identical op sequence both
+    // engines (libm pow reaches the output VALUES here, so a host pow
+    // change would red the gate exactly like the round-10 ln incident),
+    // and the normalizer z is a source-pinned fold (the old
+    // DECIMAL(28,12) re-entry leaned on DuckDB's not-correctly-rounded
+    // double→DECIMAL cast).
+    QueryDef.sql("p_mix_temperature", {
+      import graft.functions.PortableMath
+      s"""WITH g AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
         |  FROM documents GROUP BY 1),
+        |w0 AS (SELECT source, n_docs, n_chars,
+        |    (0.7 * ${PortableMath.log2Sql("CAST(n_docs AS DOUBLE)")}) AS e FROM g),
+        |w1 AS (SELECT source, n_docs, n_chars, ${PortableMath.exp2Sql("e")} AS w FROM w0),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
-        |    CAST(sum(CAST(pow(n_docs, 0.7) AS DECIMAL(28,12))) AS DOUBLE) AS z
-        |  FROM g)
+        |    list_reduce(list(w ORDER BY source), (x, y) -> x + y) AS z
+        |  FROM w1)
         |SELECT source, n_docs, n_chars,
         |  CAST(n_docs AS DOUBLE)/total AS natural_share,
-        |  pow(n_docs, 0.7)/z AS temp_share,
-        |  (pow(n_docs, 0.7)/z) / (CAST(n_docs AS DOUBLE)/total) AS upsample_factor,
-        |  CAST(round(total * pow(n_docs, 0.7)/z) AS BIGINT) AS planned_docs
-        |FROM g CROSS JOIN t ORDER BY source""".stripMargin) { (s, d) =>
+        |  w/z AS temp_share,
+        |  (w/z) / (CAST(n_docs AS DOUBLE)/total) AS upsample_factor,
+        |  CAST(round(total * w/z) AS BIGINT) AS planned_docs
+        |FROM w1 CROSS JOIN t ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.PortableMath
       val g = Tables.documents(s, d)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("n_chars"))
-      val t = g.agg(sum("n_docs").cast("long").as("total"),
-        sum(expr("CAST(pow(n_docs, 0.7) AS DECIMAL(28,12))")).cast("double").as("z"))
-      g.crossJoin(broadcast(t))
+      val w = g
+        .withColumn("e", lit(0.7) * PortableMath.pLog2(col("n_docs").cast("double")))
+        .withColumn("w", expr(PortableMath.exp2SparkSql("e")))
+      val t = w.agg(sum("n_docs").cast("long").as("total"),
+        expr("aggregate(array_sort(collect_list(named_struct('source', source, 'v', w))), " +
+          "CAST(0 AS DOUBLE), (x, y) -> x + y.v)").as("z"))
+      w.crossJoin(broadcast(t))
         .selectExpr("source", "n_docs", "n_chars",
           "CAST(n_docs AS DOUBLE)/total AS natural_share",
-          "pow(n_docs, 0.7)/z AS temp_share",
-          "(pow(n_docs, 0.7)/z) / (CAST(n_docs AS DOUBLE)/total) AS upsample_factor",
-          "CAST(round(total * pow(n_docs, 0.7)/z) AS BIGINT) AS planned_docs")
+          "w/z AS temp_share",
+          "(w/z) / (CAST(n_docs AS DOUBLE)/total) AS upsample_factor",
+          "CAST(round(total * w/z) AS BIGINT) AS planned_docs")
         .orderBy("source")
     },
 

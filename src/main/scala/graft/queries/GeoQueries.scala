@@ -40,20 +40,51 @@ object GeoQueries {
   private def hLatDuck(k: String) = s"(($k*2654435761) % 100000)"
   private def hLonDuck(k: String) = s"(($k*97003+17) % 100000)"
 
-  private def haversineKm(lat1: Column, lon1: Column,
-                          lat2: Column, lon2: Column): Column = {
-    val dLat = radians(lat2 - lat1) / 2
-    val dLon = radians(lon2 - lon1) / 2
-    lit(2 * 6371.0088) * asin(sqrt(
-      sin(dLat) * sin(dLat) +
-        cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon) * sin(dLon)))
-  }
+  /** Haversine via the native `graft_haversine_km` expression
+    * (functions/HaversineExpr.scala): the PortableMath op sequence as one
+    * codegen'd static call — bit-identical to the oracle's staged SQL
+    * ([[kmCtesSql]]) on any host, and immune to the Column-tree blowup
+    * that PushDownPredicates causes for deep staged formulas. */
+  private def withHaversineKm(df: DataFrame, lat1: String, lon1: String,
+                              lat2: String, lon2: String): DataFrame =
+    df.withColumn("km",
+      call_function("graft_haversine_km", col(lat1), col(lon1), col(lat2), col(lon2)))
 
-  private def haversineDuck(lat1: String, lon1: String,
-                            lat2: String, lon2: String): String =
-    s"""2*6371.0088*asin(sqrt(
-       |  pow(sin(radians($lat2-$lat1)/2),2) +
-       |  cos(radians($lat1))*cos(radians($lat2))*pow(sin(radians($lon2-$lon1)/2),2)))""".stripMargin
+  /** Oracle CTE chain ending in `f` = (c_custkey, s_suppkey, km ≤ radius)
+    * for the c×s cross join, km staged through MATERIALIZED CTEs — each
+    * stage binds its intermediate so DuckDB's optimizer cannot re-inline
+    * the alias chain into one expression (asin's three half-angle steps
+    * reference their argument 3× each; inlined, the tree grows ~27×
+    * per-halving-compounded and the round-10 run sat >15 CPU-minutes on
+    * an sf0.01 oracle). Same op sequence as PortableGeoImpl.haversineKm,
+    * which the Spark side runs as the native `graft_haversine_km` call —
+    * the two engines differ only in where the textual stage boundaries
+    * sit, never in the IEEE op order. Splice after `c`/`s` CTEs; the
+    * caller's query then reads FROM f. */
+  private def kmCtesSql(radius: Double): String = {
+    import graft.functions.PortableMath._
+    val d2r = "0.017453292519943295"
+    s"""g0 AS MATERIALIZED (SELECT c.c_custkey, s.s_suppkey,
+       |    (((s.lat - c.lat) * $d2r) / 2) AS da,
+       |    (((s.lon - c.lon) * $d2r) / 2) AS db,
+       |    ((c.lat) * $d2r) AS ra, ((s.lat) * $d2r) AS rb
+       |  FROM c CROSS JOIN s),
+       |g1 AS MATERIALIZED (SELECT c_custkey, s_suppkey,
+       |    ${sinSql("da")} AS sa, ${sinSql("db")} AS sb,
+       |    ${cosSql("ra")} AS ca, ${cosSql("rb")} AS cb FROM g0),
+       |g2 AS MATERIALIZED (SELECT c_custkey, s_suppkey,
+       |    sqrt((sa * sa) + ((ca * cb) * (sb * sb))) AS z FROM g1),
+       |g3 AS MATERIALIZED (SELECT c_custkey, s_suppkey,
+       |    least(z, 0.9999999999999999) AS zc FROM g2),
+       |g4 AS MATERIALIZED (SELECT c_custkey, s_suppkey,
+       |    ((zc) / sqrt(1.0 - (zc) * (zc))) AS w0 FROM g3),
+       |g5 AS MATERIALIZED (SELECT c_custkey, s_suppkey, ${atanHalfSql("w0")} AS w1 FROM g4),
+       |g6 AS MATERIALIZED (SELECT c_custkey, s_suppkey, ${atanHalfSql("w1")} AS w2 FROM g5),
+       |g7 AS MATERIALIZED (SELECT c_custkey, s_suppkey, ${atanHalfSql("w2")} AS w3 FROM g6),
+       |f AS MATERIALIZED (SELECT * FROM (
+       |    SELECT c_custkey, s_suppkey, 12742.0176 * ${atanTailSql("w3")} AS km FROM g7)
+       |  WHERE km <= $radius)""".stripMargin
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -65,15 +96,13 @@ object GeoQueries {
     // and a threshold/argmin whose hashed coords keep competitors
     // far apart relative to 1-ulp libm drift (SURVEY §4 rationale).
     QueryDef.sql("q_geo_join", {
-      val km = haversineDuck("c.lat", "c.lon", "s.lat", "s.lon")
       s"""WITH c AS (SELECT c_custkey,
          |        37.0 + ${hLatDuck("c_custkey")}/100000.0 AS lat,
          |        -122.8 + ${hLonDuck("c_custkey")}/100000.0 AS lon FROM customer),
          |s AS (SELECT s_suppkey,
          |        37.0 + ${hLatDuck("s_suppkey")}/100000.0 AS lat,
          |        -122.8 + ${hLonDuck("s_suppkey")}/100000.0 AS lon FROM supplier),
-         |f AS (SELECT c_custkey, s_suppkey, $km AS km
-         |      FROM c CROSS JOIN s WHERE $km <= $radiusKm),
+         |${kmCtesSql(radiusKm)},
          |r AS (SELECT c_custkey AS r_custkey, s_suppkey, km, row_number() OVER
          |        (PARTITION BY c_custkey ORDER BY km, s_suppkey) AS rn FROM f),
          |a AS (SELECT c_custkey, count(*) AS n_near FROM f GROUP BY 1)
@@ -98,8 +127,8 @@ object GeoQueries {
         .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
         .select(col("c_custkey"), col("lat"), col("lon"),
           (col("clat") + col("dlat")).as("clat"), (col("clon") + col("dlon")).as("clon"))
-      val pairs = probes.join(supp, Seq("clat", "clon"))
-        .withColumn("km", haversineKm(col("lat"), col("lon"), col("slat"), col("slon")))
+      val pairs = withHaversineKm(probes.join(supp, Seq("clat", "clon")),
+          "lat", "lon", "slat", "slon")
         .filter(col("km") <= radiusKm)
       val w = Window.partitionBy("c_custkey").orderBy(col("km"), col("s_suppkey"))
       pairs
@@ -121,15 +150,13 @@ object GeoQueries {
     // would need ring expansion). Oracle brute-forces the same capped
     // ranking; ties break on supplier id.
     QueryDef.sql("q_geo_knn", {
-      val km = haversineDuck("c.lat", "c.lon", "s.lat", "s.lon")
       s"""WITH c AS (SELECT c_custkey,
          |        37.0 + ${hLatDuck("c_custkey")}/100000.0 AS lat,
          |        -122.8 + ${hLonDuck("c_custkey")}/100000.0 AS lon FROM customer),
          |s AS (SELECT s_suppkey,
          |        37.0 + ${hLatDuck("s_suppkey")}/100000.0 AS lat,
          |        -122.8 + ${hLonDuck("s_suppkey")}/100000.0 AS lon FROM supplier),
-         |f AS (SELECT c_custkey, s_suppkey, $km AS km
-         |      FROM c CROSS JOIN s WHERE $km <= $radiusKm),
+         |${kmCtesSql(radiusKm)},
          |r AS (SELECT c_custkey, s_suppkey, km, row_number() OVER
          |        (PARTITION BY c_custkey ORDER BY km, s_suppkey) AS rank FROM f)
          |SELECT c_custkey, rank, s_suppkey, km
@@ -151,8 +178,8 @@ object GeoQueries {
         .select(col("c_custkey"), col("lat"), col("lon"),
           (col("clat") + col("dlat")).as("clat"), (col("clon") + col("dlon")).as("clon"))
       val w = Window.partitionBy("c_custkey").orderBy(col("km"), col("s_suppkey"))
-      probes.join(supp, Seq("clat", "clon"))
-        .withColumn("km", haversineKm(col("lat"), col("lon"), col("slat"), col("slon")))
+      withHaversineKm(probes.join(supp, Seq("clat", "clon")),
+          "lat", "lon", "slat", "slon")
         .filter(col("km") <= radiusKm)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)

@@ -54,7 +54,8 @@ object GraphQueries {
          |  SELECT 0 AS iter, node, 1.0 / (SELECT n FROM nn) AS r FROM nodes
          |  UNION ALL
          |  SELECT pr.iter + 1, ep.dst AS node,
-         |    ${1 - damp} / (SELECT n FROM nn) + $damp * sum(pr.r * ep.p) AS r
+         |    ${1 - damp} / (SELECT n FROM nn)
+         |      + $damp * list_reduce(list(pr.r * ep.p ORDER BY ep.src), (a, b) -> a + b) AS r
          |  FROM pr JOIN ep ON pr.node = ep.src
          |  WHERE pr.iter < $iters
          |  GROUP BY pr.iter, ep.dst)
@@ -76,10 +77,13 @@ object GraphQueries {
         .agg(count(lit(1)).as("n")))
       var pr = ep.select(col("src").as("node")).distinct()
         .crossJoin(nd).select(col("node"), (lit(1.0) / col("n")).as("r"))
+      // per-dst contribution pinned by src: the k-term double sum's hash
+      // order is host-dependent in both engines (round-10 rule)
       for (_ <- 1 to iters)
         pr = ep.join(pr, ep("src") === pr("node"))
           .groupBy(col("dst"))
-          .agg(sum(col("r") * col("p")).as("contrib"))
+          .agg(expr("aggregate(array_sort(collect_list(named_struct('src', src, 'v', r * p))), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.v)").as("contrib"))
           .crossJoin(nd)
           .select(col("dst").as("node"),
             (lit(1 - damp) / col("n") + lit(damp) * col("contrib")).as("r"))

@@ -12,13 +12,17 @@ object MlQueries {
 
   /** Shared oracle CTE: decimal-exact OLS sufficient statistics for
     * y = l_extendedprice on x = l_quantity, then closed-form fit. */
+  // Decimal moments exit to DOUBLE through the VARCHAR round-trip: syy's
+  // unscaled value crosses 2^53 at every shipped sf, where DuckDB's direct
+  // DECIMAL→DOUBLE cast double-rounds (q_anova / r9-ADVICE class) while
+  // text→double is correctly rounded, matching Spark's BigDecimal path.
   private val olsCte =
     """a AS (SELECT count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
-      |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
-      |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-      |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sx,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sy,
+      |  CAST(CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |  CAST(CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |  CAST(CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS syy
       |  FROM lineitem),
       |f AS (SELECT n, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope, sx, sy, sxx, sxy, syy FROM a)""".stripMargin
 
@@ -35,18 +39,22 @@ object MlQueries {
       Regression.exactOls(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
     },
 
-    // F3 — RMSE of the fitted line (RegressionEvaluator semantics),
-    // residual squares decimal-summed so the metric is deterministic.
-    // Fit + eval is ONE plan (broadcast crossJoin of the 1-row fit) —
-    // no driver-side .head() splitting it into two jobs.
+    // F3 — RMSE of the fitted line (RegressionEvaluator semantics) in
+    // CLOSED FORM over the fit's own sufficient statistics:
+    // Σr² = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx + b²Σx². No residual scan
+    // at all (the old fused plan re-read lineitem to decimal-sum per-row
+    // residual squares — a computed-DOUBLE→DECIMAL(38,8) re-entry DuckDB
+    // does not round correctly, the q_anova class), and one fixed double
+    // op sequence both engines share (Regression.exactRmseFitted).
     QueryDef.sql("m_regression_eval",
       s"""WITH $olsCte,
-         |s AS (SELECT n, slope, (sy - slope*sx)/n AS intercept FROM f)
-         |SELECT sqrt(CAST(sum(CAST(
-         |    (l_extendedprice - (intercept + slope*l_quantity)) *
-         |    (l_extendedprice - (intercept + slope*l_quantity)) AS DECIMAL(38,8)))
-         |  AS DOUBLE) / s.n) AS rmse, s.n AS n
-         |FROM lineitem CROSS JOIN s GROUP BY s.n""".stripMargin) { (s, d) =>
+         |s AS (SELECT n, slope, (sy - slope*sx)/n AS intercept,
+         |        sx, sy, sxx, sxy, syy FROM f)
+         |SELECT sqrt((syy - ((2*intercept)*sy) - ((2*slope)*sxy)
+         |    + ((CAST(n AS DOUBLE)*intercept)*intercept)
+         |    + (((2*intercept)*slope)*sx) + ((slope*slope)*sxx))
+         |    / n) AS rmse, n
+         |FROM s""".stripMargin) { (s, d) =>
       Regression.exactRmseFitted(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
         .select(col("rmse"), col("n"))
     },
@@ -680,8 +688,10 @@ object MlQueries {
     // REPORT-sized 200-row table, never a data-scale sort — the exact
     // per-score sweep would be a single-partition window over every
     // distinct double at 100 TB. AP = Σ ΔTP·precision / P over bins in
-    // descending score order; each term re-enters DECIMAL before the
-    // cross-bin sum so bin ordering can't perturb the float total.
+    // descending score order; the cross-bin double sum is order-pinned by
+    // a bin-sorted fold in both engines (the round-10 rule — the old
+    // DECIMAL(38,12) re-entry relied on DuckDB's double→DECIMAL cast,
+    // which is not correctly rounded).
     QueryDef.sql("m_pr_auc",
       """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
         |s AS (SELECT CAST(least(floor((value - mn) * 200.0 / (mx - mn)), 199) AS BIGINT) AS bin,
@@ -693,7 +703,7 @@ object MlQueries {
         |        CAST(sum(npos_b) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
         |        CAST(sum(n_b) OVER (ORDER BY bin DESC) AS BIGINT) AS cnt
         |      FROM g),
-        |a AS (SELECT CAST(sum(CAST(npos_b * (CAST(tp AS DOUBLE)/cnt) AS DECIMAL(38,12))) AS DOUBLE) AS ap_num,
+        |a AS (SELECT list_reduce(list(npos_b * (CAST(tp AS DOUBLE)/cnt) ORDER BY bin), (x, y) -> x + y) AS ap_num,
         |        CAST(sum(npos_b) AS BIGINT) AS npos, CAST(sum(n_b) AS BIGINT) AS n
         |      FROM c)
         |SELECT npos, n - npos AS nneg, ap_num / npos AS pr_auc FROM a""".stripMargin) { (s, d) =>
@@ -713,7 +723,8 @@ object MlQueries {
       g.withColumn("tp", sum("npos_b").over(w).cast("long"))
         .withColumn("cnt", sum("n_b").over(w).cast("long"))
         .agg(
-          expr("CAST(sum(CAST(npos_b * (CAST(tp AS DOUBLE)/cnt) AS DECIMAL(38,12))) AS DOUBLE)").as("ap_num"),
+          expr("aggregate(array_sort(collect_list(named_struct('bin', bin, " +
+            "'v', npos_b * (CAST(tp AS DOUBLE)/cnt)))), CAST(0 AS DOUBLE), (x, y) -> x + y.v)").as("ap_num"),
           sum("npos_b").cast("long").as("npos"), sum("n_b").cast("long").as("n"))
         .selectExpr("npos", "n - npos AS nneg", "ap_num / npos AS pr_auc")
     },
@@ -735,14 +746,17 @@ object MlQueries {
         |        CAST(sum(1 - y) AS BIGINT) AS nneg FROM s GROUP BY 1),
         |t AS (SELECT CAST(sum(npos) AS DOUBLE) AS tp, CAST(sum(nneg) AS DOUBLE) AS tn,
         |        count(*) AS nb FROM g),
-        |w AS (SELECT bin, npos, nneg,
-        |        ln(((npos + 0.5)/(tp + 0.5*nb)) / ((nneg + 0.5)/(tn + 0.5*nb))) AS woe,
-        |        ((npos + 0.5)/(tp + 0.5*nb) - (nneg + 0.5)/(tn + 0.5*nb))
-        |          * ln(((npos + 0.5)/(tp + 0.5*nb)) / ((nneg + 0.5)/(tn + 0.5*nb))) AS iv_term
-        |      FROM g CROSS JOIN t)
+        |r AS (SELECT bin, npos, nneg,
+        |        ((npos + 0.5)/(tp + 0.5*nb)) / ((nneg + 0.5)/(tn + 0.5*nb)) AS odds,
+        |        (npos + 0.5)/(tp + 0.5*nb) - (nneg + 0.5)/(tn + 0.5*nb) AS dp
+        |      FROM g CROSS JOIN t),
+        |w AS (SELECT bin, npos, nneg, """.stripMargin +
+        graft.functions.PortableMath.lnSql("odds") +
+        """ AS woe, dp FROM r),
+        |w2 AS (SELECT bin, npos, nneg, woe, dp * woe AS iv_term FROM w)
         |SELECT bin, npos, nneg, woe,
-        |  (SELECT CAST(sum(CAST(iv_term AS DECIMAL(28,12))) AS DOUBLE) FROM w) AS iv_total
-        |FROM w ORDER BY bin""".stripMargin) { (s, d) =>
+        |  (SELECT list_reduce(list(iv_term ORDER BY bin), (a, b) -> a + b) FROM w2) AS iv_total
+        |FROM w2 ORDER BY bin""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val b = ev.agg(min("value").as("mn"), max("value").as("mx"))
       val g = ev.crossJoin(broadcast(b))
@@ -757,10 +771,15 @@ object MlQueries {
         sum("nneg").cast("double").as("tn"), count(lit(1)).as("nb"))
       val w = g.crossJoin(broadcast(t))
         .selectExpr("bin", "npos", "nneg",
-          "ln(((npos + 0.5D)/(tp + 0.5D*nb)) / ((nneg + 0.5D)/(tn + 0.5D*nb))) AS woe",
-          """((npos + 0.5D)/(tp + 0.5D*nb) - (nneg + 0.5D)/(tn + 0.5D*nb))
-            |  * ln(((npos + 0.5D)/(tp + 0.5D*nb)) / ((nneg + 0.5D)/(tn + 0.5D*nb))) AS iv_term""".stripMargin)
-      val iv = w.agg(sum(expr("CAST(iv_term AS DECIMAL(28,12))")).cast("double").as("iv_total"))
+          "((npos + 0.5D)/(tp + 0.5D*nb)) / ((nneg + 0.5D)/(tn + 0.5D*nb)) AS odds",
+          "(npos + 0.5D)/(tp + 0.5D*nb) - (nneg + 0.5D)/(tn + 0.5D*nb) AS dp")
+        .select(col("bin"), col("npos"), col("nneg"),
+          graft.functions.PortableMath.pLn(col("odds")).as("woe"), col("dp"))
+        .select(col("bin"), col("npos"), col("nneg"), col("woe"),
+          (col("dp") * col("woe")).as("iv_term"))
+      val iv = w.agg(
+        expr("aggregate(array_sort(collect_list(named_struct('bin', bin, 'v', iv_term))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)").as("iv_total"))
       w.crossJoin(broadcast(iv))
         .select(col("bin"), col("npos"), col("nneg"), col("woe"), col("iv_total"))
         .orderBy("bin")

@@ -367,12 +367,15 @@ object SimilarityQueries {
          |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
          |pr AS (SELECT doc_id AS q FROM documents WHERE doc_id % 25 = 0),
-         |kw AS (SELECT pr.q, t2.doc_id AS d,
-         |         CAST(sum(CAST(ln(CAST(nd AS DOUBLE)/df) AS DECIMAL(28,18))) AS DOUBLE) AS score
+         |kw0 AS (SELECT pr.q, t2.doc_id AS d, df.df AS dfv,
+         |         CAST(nd AS DOUBLE)/df AS rr
          |       FROM pr JOIN tk t1 ON t1.doc_id = pr.q
          |       JOIN tk t2 ON t2.tok = t1.tok AND t2.doc_id <> pr.q
-         |       JOIN df ON df.tok = t1.tok CROSS JOIN nn
-         |       GROUP BY 1, 2),
+         |       JOIN df ON df.tok = t1.tok CROSS JOIN nn),
+         |kw AS (SELECT q, d,
+         |         list_reduce(list(${graft.functions.PortableMath.lnSql("rr")} ORDER BY dfv),
+         |                     (x, y) -> x + y) AS score
+         |       FROM kw0 GROUP BY 1, 2),
          |kr AS (SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS r
          |       FROM kw QUALIFY r <= 10),
          |vp AS (SELECT p.q, e.vec_id AS d, $cos AS c
@@ -412,8 +415,16 @@ object SimilarityQueries {
         .join(ptk, Seq("tok"))
         .filter(col("d") =!= col("q"))
         .join(broadcast(dfTok), "tok").crossJoin(broadcast(nn))
+        // portable ln + df-pinned fold (round-10 rule): libm ln over a
+        // vocabulary of distinct idf inputs was maximal host exposure,
+        // and the old DECIMAL(28,18) re-entry leaned on DuckDB's
+        // not-correctly-rounded double->DECIMAL cast. Equal-df terms are
+        // EQUAL addends, so pinning by df alone fixes the fold order.
+        .select(col("q"), col("d"), col("df"),
+          graft.functions.PortableMath.pLn(col("nd").cast("double") / col("df")).as("idf"))
         .groupBy("q", "d")
-        .agg(expr("CAST(sum(CAST(ln(CAST(nd AS DOUBLE)/df) AS DECIMAL(28,18))) AS DOUBLE)").as("score"))
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('df', df, 'v', idf))), " +
+          "CAST(0 AS DOUBLE), (x, y) -> x + y.v)").as("score"))
       val kr = kw
         .withColumn("r", row_number().over(
           Window.partitionBy("q").orderBy(col("score").desc, col("d"))))

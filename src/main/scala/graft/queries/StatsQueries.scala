@@ -28,11 +28,15 @@ object StatsQueries {
         |  SELECT c_mktsegment, count(*) AS n,
         |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s1,
         |    sum(CAST(c_acctbal*c_acctbal AS DECIMAL(28,4))) AS s2
-        |  FROM customer GROUP BY 1)
+        |  FROM customer GROUP BY 1),
+        |sd AS (SELECT c_mktsegment, n,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2
+        |  FROM st)
         |SELECT c_custkey, c_mktsegment,
-        |  CAST((c_acctbal - CAST(s1 AS DOUBLE)/n)
-        |    / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) AS DOUBLE) AS z
-        |FROM customer JOIN st USING (c_mktsegment)
+        |  CAST((c_acctbal - s1/n)
+        |    / sqrt(s2/n - (s1/n)*(s1/n)) AS DOUBLE) AS z
+        |FROM customer JOIN sd USING (c_mktsegment)
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       val cust = Tables.customer(s, d)
       val st = cust.groupBy("c_mktsegment").agg(
@@ -431,9 +435,13 @@ object StatsQueries {
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
         |    sum(CAST(o_totalprice*o_totalprice AS DECIMAL(28,4))) AS s2
         |  FROM orders WHERE o_orderpriority IN ('1-URGENT','5-LOW') GROUP BY 1),
-        |m AS (SELECT grp, n, CAST(s1 AS DOUBLE)/n AS mean,
-        |        (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE)/n)*CAST(s1 AS DOUBLE))/(n-1) AS var
-        |      FROM g),
+        |gd AS (SELECT grp, n,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2
+        |  FROM g),
+        |m AS (SELECT grp, n, s1/n AS mean,
+        |        (s2 - (s1/n)*s1)/(n-1) AS var
+        |      FROM gd),
         |a AS (SELECT n AS n1, mean AS m1, var AS v1 FROM m WHERE grp = '1-URGENT'),
         |b AS (SELECT n AS n2, mean AS m2, var AS v2 FROM m WHERE grp = '5-LOW')
         |SELECT n1, n2, m1 - m2 AS mean_diff,
@@ -601,39 +609,60 @@ object StatsQueries {
     // B67 — 2-D Mahalanobis outliers on (quantity, price): the
     // MULTIVARIATE complement of B26/B50 — a row can be unremarkable in
     // each margin yet far off the joint correlation axis, which is what
-    // the cross term catches. Five exact-DECIMAL moments in ONE partial
-    // agg (m_linreg's sufficient-statistics discipline), the 2×2
-    // covariance inverted in closed form inside the same broadcast row,
-    // d² as one fixed expression per row, top-20 via
-    // TakeOrderedAndProject with key tie-breaks.
-    QueryDef.sql("q_mahalanobis",
-      """WITH m AS (SELECT count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
-        |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-        |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
-        |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
-        |  FROM lineitem),
+    // the cross term catches. Five EXACT moments in ONE partial agg
+    // (m_linreg's sufficient-statistics discipline), the 2×2 covariance
+    // inverted in closed form inside the same broadcast row, d² as one
+    // fixed expression per row, top-20 via TakeOrderedAndProject with
+    // key tie-breaks. The moments use F24's split-long-cents sums, not
+    // DECIMAL(38,4): cents are exact integers, a hi/lo BIGINT pair sums
+    // them associative-exactly at double-sum speed (the DECIMAL
+    // accumulation was this query's entire 14× gap — measured 5.5×
+    // cheaper in F24), and the exact integer exits to DOUBLE through
+    // Spark's correctly-rounded decimal path / DuckDB's correctly-rounded
+    // VARCHAR path — the direct DuckDB DECIMAL→DOUBLE cast double-rounds
+    // above 2^53 (r9 ADVICE). Headroom: lo < 1e6·rows, hi < 1e8·rows —
+    // exact to ~9e10 lineitem rows (~sf15k); beyond that, widen to a
+    // 3-way split or pre-aggregate per date partition.
+    QueryDef.sql("q_mahalanobis", {
+      def sp(v: String, n: String) =
+        s"sum(($v) // 1000000) AS ${n}_hi, sum(($v) % 1000000) AS ${n}_lo"
+      def un(n: String, scale: String) =
+        s"CAST(CAST(CAST(${n}_hi AS HUGEINT)*1000000 + ${n}_lo AS VARCHAR) AS DOUBLE) / $scale AS $n"
+      s"""WITH c AS (SELECT CAST(round(l_quantity*100) AS BIGINT) AS qc,
+        |              CAST(round(l_extendedprice*100) AS BIGINT) AS pc FROM lineitem),
+        |m AS (SELECT count(*) AS n, ${sp("qc", "sx")}, ${sp("pc", "sy")},
+        |        ${sp("qc*qc", "sxx")}, ${sp("pc*pc", "syy")}, ${sp("qc*pc", "sxy")}
+        |      FROM c),
+        |u AS (SELECT n, ${un("sx", "100.0")}, ${un("sy", "100.0")},
+        |        ${un("sxx", "10000.0")}, ${un("syy", "10000.0")}, ${un("sxy", "10000.0")}
+        |      FROM m),
         |p AS (SELECT sx/n AS mx, sy/n AS my,
         |        sxx/n - (sx/n)*(sx/n) AS vx, syy/n - (sy/n)*(sy/n) AS vy,
-        |        sxy/n - (sx/n)*(sy/n) AS cxy FROM m)
+        |        sxy/n - (sx/n)*(sy/n) AS cxy FROM u)
         |SELECT l_orderkey, l_linenumber, l_quantity AS x, l_extendedprice AS y,
         |  ((l_quantity-mx)*(l_quantity-mx)*vy
         |    - 2*cxy*(l_quantity-mx)*(l_extendedprice-my)
         |    + (l_extendedprice-my)*(l_extendedprice-my)*vx)
         |  / (vx*vy - cxy*cxy) AS d2
         |FROM lineitem CROSS JOIN p
-        |ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin) { (s, d) =>
+        |ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+    }) { (s, d) =>
       val li = Tables.lineitem(s, d)
-      val m = li.agg(count(lit(1)).as("n"),
-        expr("CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)").as("sx"),
-        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)").as("sy"),
-        expr("CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE)").as("sxx"),
-        expr("CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)").as("syy"),
-        expr("CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)").as("sxy"))
-      val p = m.selectExpr("sx/n AS mx", "sy/n AS my",
-        "sxx/n - (sx/n)*(sx/n) AS vx", "syy/n - (sy/n)*(sy/n) AS vy",
-        "sxy/n - (sx/n)*(sy/n) AS cxy")
+      def sp(v: String, n: String) = Seq(
+        s"sum(($v) DIV 1000000) AS ${n}_hi", s"sum(($v) % 1000000) AS ${n}_lo")
+      def un(n: String, scale: String) =
+        s"CAST(CAST(${n}_hi AS DECIMAL(38,0))*1000000 + ${n}_lo AS DOUBLE) / $scale AS $n"
+      val m = li
+        .selectExpr("CAST(round(l_quantity*100) AS BIGINT) AS qc",
+          "CAST(round(l_extendedprice*100) AS BIGINT) AS pc")
+        .selectExpr(Seq("count(*) AS n") ++ sp("qc", "sx") ++ sp("pc", "sy") ++
+          sp("qc*qc", "sxx") ++ sp("pc*pc", "syy") ++ sp("qc*pc", "sxy"): _*)
+      val p = m
+        .selectExpr("n", un("sx", "100.0D"), un("sy", "100.0D"),
+          un("sxx", "10000.0D"), un("syy", "10000.0D"), un("sxy", "10000.0D"))
+        .selectExpr("sx/n AS mx", "sy/n AS my",
+          "sxx/n - (sx/n)*(sx/n) AS vx", "syy/n - (sy/n)*(sy/n) AS vy",
+          "sxy/n - (sx/n)*(sy/n) AS cxy")
       graft.operators.Relational.topKByAgg(
         li.crossJoin(broadcast(p)).selectExpr(
           "l_orderkey", "l_linenumber", "l_quantity AS x", "l_extendedprice AS y",
@@ -737,7 +766,12 @@ object StatsQueries {
     // lookup is a 2-column projection of customer with no broadcast
     // hint — AQE broadcasts it while it fits and falls back to a
     // shuffled join at the scale where customer is no longer
-    // dimension-sized.
+    // dimension-sized. The oracle's DECIMAL→DOUBLE exits go through a
+    // VARCHAR round-trip: DuckDB's direct cast double-rounds
+    // (hugeint→double, then scale divide) and is 1 ulp off for ~25% of
+    // unscaled values > 2^53 — q_tot crosses that line at every shipped
+    // sf — while text→double is correctly rounded, matching Spark's
+    // BigDecimal path exactly (r9 ADVICE, verified on sf0.1 q_g).
     QueryDef.sql("q_anova",
       """WITH g AS (
         |  SELECT c_mktsegment AS seg,
@@ -748,12 +782,13 @@ object StatsQueries {
         |  GROUP BY 1),
         |t AS (
         |  SELECT seg, n_g, s_g, q_g,
-        |    (CAST(s_g AS DOUBLE)/n_g)*CAST(s_g AS DOUBLE) AS sb_t
+        |    (CAST(CAST(s_g AS VARCHAR) AS DOUBLE)/n_g)
+        |      *CAST(CAST(s_g AS VARCHAR) AS DOUBLE) AS sb_t
         |  FROM g),
         |r AS (
         |  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
-        |    CAST(sum(s_g) AS DOUBLE) AS s_tot,
-        |    CAST(sum(q_g) AS DOUBLE) AS q_tot,
+        |    CAST(CAST(sum(s_g) AS VARCHAR) AS DOUBLE) AS s_tot,
+        |    CAST(CAST(sum(q_g) AS VARCHAR) AS DOUBLE) AS q_tot,
         |    list_reduce(list(sb_t ORDER BY seg), (a, b) -> a + b) AS sb_term
         |  FROM t)
         |SELECT k, n,
@@ -813,8 +848,8 @@ object StatsQueries {
          |  FROM reps GROUP BY 1),
          |b AS (
          |  SELECT count(*) AS nb,
-         |    CAST(sum(CAST(mean_r AS DECIMAL(28,12))) AS DOUBLE) AS sm,
-         |    CAST(sum(CAST(mean_r*mean_r AS DECIMAL(38,12))) AS DOUBLE) AS sq
+         |    list_reduce(list(mean_r ORDER BY r), (a, b) -> a + b) AS sm,
+         |    list_reduce(list(mean_r*mean_r ORDER BY r), (a, b) -> a + b) AS sq
          |  FROM m),
          |f AS (
          |  SELECT count(*) AS n,
@@ -839,9 +874,14 @@ object StatsQueries {
       val m = reps.groupBy("r")
         .agg((sum(expr("CAST(w*o_totalprice AS DECIMAL(28,6))")).cast("double") /
           sum("w").cast("long")).as("mean_r"))
+      // replicate-pinned double folds: the former DECIMAL(28,12)/(38,12)
+      // re-entries relied on DuckDB's double→DECIMAL cast, which is not
+      // correctly rounded at high scale (round-10 finding)
       val b = m.agg(count(lit(1)).as("nb"),
-        sum(expr("CAST(mean_r AS DECIMAL(28,12))")).cast("double").as("sm"),
-        sum(expr("CAST(mean_r*mean_r AS DECIMAL(38,12))")).cast("double").as("sq"))
+        expr("aggregate(array_sort(collect_list(named_struct('r', r, 'v', mean_r))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)").as("sm"),
+        expr("aggregate(array_sort(collect_list(named_struct('r', r, 'v', mean_r*mean_r))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)").as("sq"))
       val f = Tables.orders(s, d).agg(count(lit(1)).as("n"),
         (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
           count(lit(1))).as("mean"))
@@ -1020,23 +1060,32 @@ object StatsQueries {
     // DECIMAL(28,18) before its sum (B84), so neither engine's cell
     // order can perturb the total; the 1-row n/marginal factors
     // broadcast.
-    QueryDef.sql("q_mutual_info",
-      """WITH j AS (
+    QueryDef.sql("q_mutual_info", {
+      // Portable ln + key-pinned folds (round 10): the former
+      // CAST(<double> AS DECIMAL(28,18)) re-entry is NOT engine-portable
+      // (DuckDB's double→DECIMAL cast isn't correctly rounded at high
+      // scale) and ln() itself is host-libm-dependent in DuckDB.
+      import graft.functions.PortableMath.lnSql
+      s"""WITH j AS (
         |  SELECT c_mktsegment AS sgm, o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS c
         |  FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1, 2),
         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
         |mx AS (SELECT sgm, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY 1),
         |my AS (SELECT pri, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY 1),
-        |mit AS (SELECT CAST(sum(CAST((CAST(c AS DOUBLE)/n)
-        |          * ln(CAST(c AS DOUBLE)*n/(CAST(cx AS DOUBLE)*cy)) AS DECIMAL(28,18))) AS DOUBLE) AS mi
+        |mir AS (SELECT sgm, pri, CAST(c AS DOUBLE)/n AS pxy,
+        |          CAST(c AS DOUBLE)*n/(CAST(cx AS DOUBLE)*cy) AS ratio
         |        FROM j JOIN mx USING (sgm) JOIN my USING (pri) CROSS JOIN nn),
-        |ex AS (SELECT CAST(sum(CAST(-(CAST(cx AS DOUBLE)/n)
-        |          * ln(CAST(cx AS DOUBLE)/n) AS DECIMAL(28,18))) AS DOUBLE) AS hx
-        |       FROM mx CROSS JOIN nn),
-        |ey AS (SELECT CAST(sum(CAST(-(CAST(cy AS DOUBLE)/n)
-        |          * ln(CAST(cy AS DOUBLE)/n) AS DECIMAL(28,18))) AS DOUBLE) AS hy
-        |       FROM my CROSS JOIN nn)
-        |SELECT n, mi, hx, hy, mi/sqrt(hx*hy) AS nmi FROM mit, ex, ey, nn""".stripMargin) { (s, d) =>
+        |mil AS (SELECT sgm, pri, pxy * ${lnSql("ratio")} AS v FROM mir),
+        |mit AS (SELECT list_reduce(list(v ORDER BY sgm, pri), (a, b) -> a + b) AS mi FROM mil),
+        |exr AS (SELECT sgm, CAST(cx AS DOUBLE)/n AS px FROM mx CROSS JOIN nn),
+        |exl AS (SELECT sgm, -(px * ${lnSql("px")}) AS v FROM exr),
+        |ex AS (SELECT list_reduce(list(v ORDER BY sgm), (a, b) -> a + b) AS hx FROM exl),
+        |eyr AS (SELECT pri, CAST(cy AS DOUBLE)/n AS py FROM my CROSS JOIN nn),
+        |eyl AS (SELECT pri, -(py * ${lnSql("py")}) AS v FROM eyr),
+        |ey AS (SELECT list_reduce(list(v ORDER BY pri), (a, b) -> a + b) AS hy FROM eyl)
+        |SELECT n, mi, hx, hy, mi/sqrt(hx*hy) AS nmi FROM mit, ex, ey, nn""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.PortableMath.pLn
       val j = Tables.orders(s, d)
         .join(Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
           col("c_custkey") === col("o_custkey"))
@@ -1047,14 +1096,21 @@ object StatsQueries {
       val my = j.groupBy("pri").agg(sum("c").as("cy"))
       val mit = j.join(broadcast(mx), "sgm").join(broadcast(my), "pri")
         .crossJoin(broadcast(nn))
-        .agg(expr("""CAST(sum(CAST((CAST(c AS DOUBLE)/n)
-          * ln(CAST(c AS DOUBLE)*n/(CAST(cx AS DOUBLE)*cy)) AS DECIMAL(28,18))) AS DOUBLE)""").as("mi"))
+        .selectExpr("sgm", "pri", "CAST(c AS DOUBLE)/n AS pxy",
+          "CAST(c AS DOUBLE)*n/(CAST(cx AS DOUBLE)*cy) AS ratio")
+        .select(col("sgm"), col("pri"), (col("pxy") * pLn(col("ratio"))).as("v"))
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('sgm', sgm, 'pri', pri, 'v', v))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)").as("mi"))
       val ex = mx.crossJoin(broadcast(nn))
-        .agg(expr("""CAST(sum(CAST(-(CAST(cx AS DOUBLE)/n)
-          * ln(CAST(cx AS DOUBLE)/n) AS DECIMAL(28,18))) AS DOUBLE)""").as("hx"))
+        .selectExpr("sgm", "CAST(cx AS DOUBLE)/n AS px")
+        .select(col("sgm"), (-(col("px") * pLn(col("px")))).as("v"))
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('sgm', sgm, 'v', v))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)").as("hx"))
       val ey = my.crossJoin(broadcast(nn))
-        .agg(expr("""CAST(sum(CAST(-(CAST(cy AS DOUBLE)/n)
-          * ln(CAST(cy AS DOUBLE)/n) AS DECIMAL(28,18))) AS DOUBLE)""").as("hy"))
+        .selectExpr("pri", "CAST(cy AS DOUBLE)/n AS py")
+        .select(col("pri"), (-(col("py") * pLn(col("py")))).as("v"))
+        .agg(expr("aggregate(array_sort(collect_list(named_struct('pri', pri, 'v', v))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)").as("hy"))
       mit.crossJoin(broadcast(ex)).crossJoin(broadcast(ey)).crossJoin(broadcast(nn))
         .selectExpr("n", "mi", "hx", "hy", "mi/sqrt(hx*hy) AS nmi")
     },
@@ -1204,7 +1260,8 @@ object StatsQueries {
          |  CAST(g + 1 AS DOUBLE) / 1000.0 AS p,
          |  (CAST(g AS DOUBLE) - 500.0) / 160.0 AS ang,
          |  (CAST(g AS DOUBLE) - 500.0) / 10.0 AS w,
-         |  CAST(g AS DOUBLE) / 1000.0 AS z
+         |  CAST(g AS DOUBLE) / 1000.0 AS z,
+         |  CAST(g AS DOUBLE) / 50.0 AS ex
          |  FROM g)
          |SELECT g,
          |  ${lnSql("xp")} AS ln_x,
@@ -1213,7 +1270,8 @@ object StatsQueries {
          |  ${sinSql("ang")} AS sin_a,
          |  ${cosSql("ang")} AS cos_a,
          |  ${atanSql("w")} AS atan_w,
-         |  ${asinSql("z")} AS asin_z
+         |  ${asinSql("z")} AS asin_z,
+         |  ${exp2Sql("ex")} AS exp2_x
          |FROM b ORDER BY g""".stripMargin
     }) { (s, d) =>
       import graft.functions.PortableMath._
@@ -1224,7 +1282,8 @@ object StatsQueries {
         ((col("g") + lit(1L)).cast("double") / lit(1000.0)).as("p"),
         ((col("g").cast("double") - lit(500.0)) / lit(160.0)).as("ang"),
         ((col("g").cast("double") - lit(500.0)) / lit(10.0)).as("w"),
-        (col("g").cast("double") / lit(1000.0)).as("z"))
+        (col("g").cast("double") / lit(1000.0)).as("z"),
+        (col("g").cast("double") / lit(50.0)).as("ex"))
       b.select(col("g"),
         pLn(col("xp")).as("ln_x"),
         pLn(col("p")).as("ln_p"),
@@ -1232,7 +1291,8 @@ object StatsQueries {
         pSin(col("ang")).as("sin_a"),
         pCos(col("ang")).as("cos_a"),
         pAtan(col("w")).as("atan_w"),
-        pAsin(col("z")).as("asin_z"))
+        pAsin(col("z")).as("asin_z"),
+        expr(exp2SparkSql("ex")).as("exp2_x"))
         .orderBy("g")
     }
   )

@@ -185,13 +185,15 @@ object TimeSeriesQueries {
         |         CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
         |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
         |  FROM events GROUP BY 1, 2, 3),
-        |gm AS (SELECT event_type, count(*) AS n_days, sum(x) / count(*) AS mu
+        |gm AS (SELECT event_type, count(*) AS n_days,
+        |         list_reduce(list(x ORDER BY day), (a, b) -> a + b) / count(*) AS mu
         |       FROM daily GROUP BY 1),
-        |dm AS (SELECT event_type, dow, sum(x) / count(*) AS dmu
+        |dm AS (SELECT event_type, dow,
+        |         list_reduce(list(x ORDER BY day), (a, b) -> a + b) / count(*) AS dmu
         |       FROM daily GROUP BY 1, 2),
         |ss AS (SELECT d.event_type,
-        |         sum((d.x - gm.mu) * (d.x - gm.mu)) AS ss_total,
-        |         sum((d.x - dm.dmu) * (d.x - dm.dmu)) AS ss_resid
+        |         list_reduce(list((d.x - gm.mu) * (d.x - gm.mu) ORDER BY d.day), (a, b) -> a + b) AS ss_total,
+        |         list_reduce(list((d.x - dm.dmu) * (d.x - dm.dmu) ORDER BY d.day), (a, b) -> a + b) AS ss_resid
         |       FROM daily d JOIN gm USING (event_type)
         |                    JOIN dm ON d.event_type = dm.event_type AND d.dow = dm.dow
         |       GROUP BY 1)
@@ -204,15 +206,19 @@ object TimeSeriesQueries {
         .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"))
         // ISO dow (Mon=1..Sun=7) from Spark's Sun=1..Sat=7
         .withColumn("dow", ((col("dow0") + 5) % 7 + 1).cast("long"))
+      // all day-level double sums pinned by day (round-10 rule)
+      def pinned(v: String) =
+        expr(s"aggregate(array_sort(collect_list(named_struct('day', day, 'v', $v))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)")
       val gm = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"), (sum("x") / count(lit(1))).as("mu"))
+        .agg(count(lit(1)).as("n_days"), (pinned("x") / count(lit(1))).as("mu"))
       val dm = daily.groupBy("event_type", "dow")
-        .agg((sum("x") / count(lit(1))).as("dmu"))
+        .agg((pinned("x") / count(lit(1))).as("dmu"))
       val ss = daily.join(broadcast(gm), "event_type")
         .join(broadcast(dm), Seq("event_type", "dow"))
         .groupBy("event_type")
-        .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("ss_total"),
-          sum((col("x") - col("dmu")) * (col("x") - col("dmu"))).as("ss_resid"))
+        .agg(pinned("(x - mu) * (x - mu)").as("ss_total"),
+          pinned("(x - dmu) * (x - dmu)").as("ss_resid"))
       ss.join(broadcast(gm.select("event_type", "n_days")), "event_type")
         .select(col("event_type"), col("n_days"),
           (lit(1.0) - col("ss_resid") / col("ss_total")).as("r2_dow"))
@@ -428,26 +434,38 @@ object TimeSeriesQueries {
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
         |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |  FROM events GROUP BY 1,2,3)
-        |SELECT a.event_type, strftime(a.day,'%Y-%m-%d') AS day,
-        |  a.total AS day_total,
-        |  sum(b.total * pow(0.5, a.day_idx - b.day_idx))
-        |    / sum(pow(0.5, a.day_idx - b.day_idx)) AS ewma
-        |FROM daily a JOIN daily b
-        |  ON a.event_type = b.event_type
-        | AND b.day_idx BETWEEN a.day_idx - 13 AND a.day_idx
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+        |  FROM events GROUP BY 1,2,3),
+        |pairs AS (
+        |  SELECT a.event_type, a.day, a.total, b.day_idx AS b_idx, b.total AS b_total,
+        |    1.0 / CAST((1 << CAST(a.day_idx - b.day_idx AS INTEGER)) AS DOUBLE) AS den
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type
+        |   AND b.day_idx BETWEEN a.day_idx - 13 AND a.day_idx),
+        |p2 AS (SELECT event_type, day, total, b_idx, b_total * den AS num, den FROM pairs)
+        |SELECT event_type, strftime(day,'%Y-%m-%d') AS day,
+        |  total AS day_total,
+        |  list_reduce(list(num ORDER BY b_idx), (a, b) -> a + b)
+        |    / list_reduce(list(den ORDER BY b_idx), (a, b) -> a + b) AS ewma
+        |FROM p2 GROUP BY event_type, day, total ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
         .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
       val b = daily.select(col("event_type").as("b_type"),
         col("day_idx").as("b_idx"), col("total").as("b_total"))
+      // EWMA weights as EXACT powers of two (1 / (1 << k)) instead of
+      // libm pow(0.5, k), and the window sums pinned by source-day —
+      // both engines now agree bit-for-bit on any host (round 10).
+      def pinned(v: String) =
+        expr(s"aggregate(array_sort(collect_list(named_struct('b_idx', b_idx, 'v', $v))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)")
       daily.join(b, col("event_type") === col("b_type") &&
           col("b_idx").between(col("day_idx") - 13, col("day_idx")))
+        .withColumn("den",
+          lit(1.0) / expr("CAST(shiftleft(1, CAST(day_idx - b_idx AS INT)) AS DOUBLE)"))
+        .withColumn("num", col("b_total") * col("den"))
         .groupBy(col("event_type"), col("day"), col("total"))
-        .agg((sum(col("b_total") * pow(lit(0.5), col("day_idx") - col("b_idx"))) /
-          sum(pow(lit(0.5), col("day_idx") - col("b_idx")))).as("ewma"))
+        .agg((pinned("num") / pinned("den")).as("ewma"))
         .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("total").as("day_total"), col("ewma"))
         .orderBy("event_type", "day")
@@ -666,7 +684,8 @@ object TimeSeriesQueries {
         |      FROM daily d JOIN daily f ON f.day = d.day - 7)
         |SELECT count(*) AS n_days,
         |  CAST(sum(aerr) AS DOUBLE) / count(*) AS mae,
-        |  sqrt(sum(CAST(aerr AS DOUBLE) * CAST(aerr AS DOUBLE)) / count(*)) AS rmse,
+        |  sqrt(list_reduce(list(CAST(aerr AS DOUBLE) * CAST(aerr AS DOUBLE) ORDER BY day),
+        |         (a, b) -> a + b) / count(*)) AS rmse,
         |  CAST(sum(aerr) AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS wape,
         |  CAST(sum(err) AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS bias
         |FROM j""".stripMargin) { (s, d) =>
@@ -675,7 +694,7 @@ object TimeSeriesQueries {
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
       val j = daily.as("d")
         .join(daily.as("f"), col("f.day") === date_sub(col("d.day"), 7))
-        .select(col("d.rev").as("rev"), col("f.rev").as("fc"))
+        .select(col("d.day").as("day"), col("d.rev").as("rev"), col("f.rev").as("fc"))
         .withColumn("aerr", abs(col("rev") - col("fc")).cast("decimal(18,2)"))
         .withColumn("err", col("rev") - col("fc"))
       j.agg(count(lit(1)).as("n_days"),
@@ -683,9 +702,11 @@ object TimeSeriesQueries {
           // square in DOUBLE space: a decimal aerr² overflows DuckDB's
           // int64 decimal multiply once daily revenue has 9+ digits of
           // cents (seen at sf0.1); aerr itself stays an exact DECIMAL,
-          // its double image is exact, and the same-magnitude positive
-          // double sum is 9-digit-gate safe (F15's precedent)
-          sqrt(sum(expr("CAST(aerr AS DOUBLE) * CAST(aerr AS DOUBLE)"))
+          // its double image is exact, and the double sum pins by day
+          // (round-10 rule: double-sum order is host-dependent)
+          sqrt(expr("aggregate(array_sort(collect_list(named_struct('day', day, " +
+            "'v', CAST(aerr AS DOUBLE) * CAST(aerr AS DOUBLE)))), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.v)")
             / count(lit(1))).as("rmse"),
           (sum("aerr").cast("double") / sum("rev").cast("double")).as("wape"),
           (sum("err").cast("double") / sum("rev").cast("double")).as("bias"))
@@ -822,9 +843,10 @@ object TimeSeriesQueries {
         |        CAST(sum(c) OVER (ORDER BY len DESC) AS BIGINT) AS n_risk
         |      FROM g),
         |km AS (SELECT len, d, n_risk,
-        |         exp(sum(CASE WHEN n_risk > d
-        |                      THEN ln(1 - CAST(d AS DOUBLE)/n_risk) END)
-        |             OVER (ORDER BY len)) AS survival
+        |         list_reduce(list(CASE WHEN n_risk > d
+        |                      THEN 1.0 - CAST(d AS DOUBLE)/n_risk ELSE 1.0 END)
+        |             OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |           (a, b) -> a * b) AS survival
         |       FROM r)
         |SELECT len AS t_days, d AS d_events, n_risk, survival
         |FROM km WHERE d > 0 AND n_risk > d ORDER BY t_days""".stripMargin) { (s, d) =>
@@ -846,10 +868,17 @@ object TimeSeriesQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wSurv = Window.orderBy(col("len"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // survival is the KM PRODUCT directly — a len-pinned multiplicative
+      // fold, not exp(Σ ln): no transcendentals, so the two engines agree
+      // bit-for-bit on any host (round-10 portability rule).
       g.withColumn("n_risk", sum("c").over(wRisk).cast("long"))
+        .withColumn("factor",
+          when(col("n_risk") > col("d"),
+            lit(1.0) - col("d").cast("double") / col("n_risk")).otherwise(1.0))
+        .withColumn("fl", collect_list(struct(col("len"), col("factor"))).over(wSurv))
         .withColumn("survival",
-          exp(sum(when(col("n_risk") > col("d"),
-            log(lit(1.0) - col("d").cast("double") / col("n_risk")))).over(wSurv)))
+          expr("aggregate(array_sort(fl), CAST(1.0 AS DOUBLE), (a, x) -> a * x.factor)"))
+        .drop("factor", "fl")
         .filter(col("d") > 0 && col("n_risk") > col("d"))
         .select(col("len").as("t_days"), col("d").as("d_events"),
           col("n_risk"), col("survival"))
@@ -1007,12 +1036,16 @@ object TimeSeriesQueries {
         |    sum(CAST(qty AS DECIMAL(19,2)) * CAST(qty AS DECIMAL(19,2))) OVER win AS syy,
         |    sum(CAST(rev AS DECIMAL(19,4)) * CAST(qty AS DECIMAL(19,2))) OVER win AS sxy
         |  FROM daily
-        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+        |w2 AS (SELECT day, n,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+        |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx, CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy,
+        |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy FROM w)
         |SELECT day, CAST(n AS BIGINT) AS n,
-        |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
-        |  (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
-        |   sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr
-        |FROM w WHERE n = 30 ORDER BY day""".stripMargin) { (s, d) =>
+        |  (CAST(n AS DOUBLE)*dsxy - dsx*dsy) /
+        |  (sqrt(CAST(n AS DOUBLE)*dsxx - dsx*dsx) *
+        |   sqrt(CAST(n AS DOUBLE)*dsyy - dsy*dsy)) AS corr
+        |FROM w2 WHERE n = 30 ORDER BY day""".stripMargin) { (s, d) =>
       val daily = Tables.lineitem(s, d)
         .groupBy(col("l_shipdate").cast("date").as("day"))
         .agg(
@@ -1059,7 +1092,7 @@ object TimeSeriesQueries {
         |dt AS (SELECT day, CAST(rev AS DOUBLE) AS rev, trend,
         |              CAST(rev AS DOUBLE) - trend AS detr, dayofweek(day) AS dow
         |       FROM tr WHERE wn = 7),
-        |se AS (SELECT dow, CAST(sum(CAST(detr AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS seasonal
+        |se AS (SELECT dow, list_reduce(list(detr ORDER BY day), (a, b) -> a + b) / count(*) AS seasonal
         |       FROM dt GROUP BY 1)
         |SELECT day, rev, trend, seasonal, detr - seasonal AS residual
         |FROM dt JOIN se USING (dow) ORDER BY day""".stripMargin) { (s, d) =>
@@ -1075,9 +1108,11 @@ object TimeSeriesQueries {
         .select(col("day"), col("rev").cast("double").as("rev"), col("trend"),
           (col("rev").cast("double") - col("trend")).as("detr"),
           dayofweek(col("day")).as("dow"))
+      // day-pinned double fold: the old DECIMAL(28,12) re-entry relied on
+      // DuckDB's double→DECIMAL cast, which is not correctly rounded
       val se = dt.groupBy("dow")
-        .agg((sum(col("detr").cast("decimal(28,12)")).cast("double") / count(lit(1)))
-          .as("seasonal"))
+        .agg((expr("aggregate(array_sort(collect_list(named_struct('day', day, 'v', detr))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x.v)") / count(lit(1))).as("seasonal"))
       dt.join(broadcast(se), "dow")
         .select(col("day"), col("rev"), col("trend"), col("seasonal"),
           (col("detr") - col("seasonal")).as("residual"))
@@ -1133,12 +1168,16 @@ object TimeSeriesQueries {
         |        sum(x*x) AS sxx,
         |        sum(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS syy,
         |        sum(x*y) AS sxy
-        |      FROM j GROUP BY 1)
+        |      FROM j GROUP BY 1),
+        |b AS (SELECT lag, n,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+        |  CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx, CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dsyy,
+        |  CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy FROM a)
         |SELECT lag, n,
-        |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
-        |  (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
-        |   sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS xcorr
-        |FROM a ORDER BY lag""".stripMargin) { (s, d) =>
+        |  (CAST(n AS DOUBLE)*dsxy - dsx*dsy) /
+        |  (sqrt(CAST(n AS DOUBLE)*dsxx - dsx*dsx) *
+        |   sqrt(CAST(n AS DOUBLE)*dsyy - dsy*dsy)) AS xcorr
+        |FROM b ORDER BY lag""".stripMargin) { (s, d) =>
       val oc = Tables.orders(s, d)
         .groupBy(col("o_orderdate").cast("date").as("day"))
         .agg(count(lit(1)).as("cnt"))

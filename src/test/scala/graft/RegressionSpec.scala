@@ -25,7 +25,7 @@ class RegressionSpec extends AnyFunSuite {
     assert(math.abs(evRmse - exRmse) / evRmse < 1e-9)
   }
 
-  test("fused fit+rmse plan equals the two-step fit then rmse") {
+  test("closed-form fit+rmse matches the residual-scan fit then rmse") {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
     val fit = Regression.exactOls(li, "l_quantity", "l_extendedprice").head()
     val twoStep = Regression
@@ -34,7 +34,10 @@ class RegressionSpec extends AnyFunSuite {
       .head().getAs[Double]("rmse")
     val fused = Regression.exactRmseFitted(li, "l_quantity", "l_extendedprice")
       .head().getAs[Double]("rmse")
-    assert(fused == twoStep) // same doubles feed the same decimal sum
+    // Σr² expanded over the sufficient statistics cancels against Σy² —
+    // a few digits of the value, not the metric (both engines share the
+    // identical op sequence; this bounds the algebra against the scan)
+    assert(math.abs(fused - twoStep) / twoStep < 1e-6)
   }
 
   test("r2 is within [0, 1] and matches model summary") {
