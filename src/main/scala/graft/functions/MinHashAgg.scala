@@ -49,7 +49,19 @@ case class MinHashAgg(
     b1
   }
 
-  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+  override def eval(buffer: Array[Long]): Any = {
+    // An untouched buffer (group had only empty/null gid sets) must NOT
+    // surface as a real signature: k Long.MaxValue sentinels would make
+    // any two degenerate groups compare 100% Jaccard-similar. Mirror the
+    // scalar `graft_minhash` contract and emit an empty signature — the
+    // D13 intersection arithmetic then scores such groups 0, not 1.
+    // Sound because MaxValue is unreachable for any nonempty input:
+    // updateMins writes values mod P = 2^31-1 into every slot.
+    var i = 0
+    while (i < buffer.length && buffer(i) == Long.MaxValue) i += 1
+    if (i == buffer.length) new GenericArrayData(Array.empty[Long])
+    else new GenericArrayData(buffer)
+  }
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)

@@ -22,7 +22,13 @@ object KCore {
 
   /** `edges` = unique undirected pairs (u, v). Returns the k-core nodes
     * with their WITHIN-CORE degree. `reliable` swaps localCheckpoint for
-    * a fault-tolerant checkpoint (cluster deployments; see D6). */
+    * a fault-tolerant checkpoint (cluster deployments; see D6).
+    *
+    * Throws `IllegalStateException` if the peel has not converged after
+    * `maxIter` rounds: the survivors would then be a SUPERSET of the
+    * k-core (sub-k nodes still present), and a silently-wrong core is
+    * worse than a loud failure. Callers on pathological graphs raise
+    * maxIter (peel depth = degeneracy depth, ~5-20 even on web graphs). */
   def kcore(edges: DataFrame, k: Int, maxIter: Int = 30,
             reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -42,6 +48,10 @@ object KCore {
       cur = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"k-core peel did not converge in $maxIter rounds (k=$k); " +
+          "result would contain sub-k nodes — raise maxIter")
     cur.groupBy("u").agg(count(lit(1)).as("core_degree"))
       .select(col("u").as("node"), col("core_degree"))
   }

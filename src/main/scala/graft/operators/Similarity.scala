@@ -127,7 +127,7 @@ object Similarity {
     transform(top, s => -s.getField("negid"))
   }
 
-  /** Debug hook: top-1 list id for a vector (Scratch profiling only). */
+  /** Debug hook: top-1 list id for a vector (Scratch stage profiler, test tree, only). */
   def ivfDebugList(v: Column, centroids: Array[Array[Float]]): Column =
     nearestLists(v, centroids, 1)(0)
 

@@ -400,6 +400,17 @@ object DedupQueries {
     // this asks it of the sources' whole trigram sets): per-source
     // distinct gid sets, pair overlap by one gid-keyed join; the pair
     // frame is source²-dim. The exact twin D13 estimates.
+    //
+    // UNIVERSAL-shingle prune (the r9 perf item): a gid present in every
+    // source contributes df² = |sources|² rows to the overlap join — the
+    // worst quadratic row of the shuffle — yet adds exactly +1 to EVERY
+    // pair's intersection. So the join runs on df < |sources| gids only,
+    // and the universal count is added back uniformly over the full pair
+    // frame (closed-form exact; df = |sources|−1 and below can't be
+    // corrected this way and stay in the join). Same output bit-for-bit —
+    // the oracle brute-forces the unpruned form. At 100 TB this is the
+    // boilerplate guard: web-corpus trigram dfs are Zipfian and the top
+    // of the curve is exactly what this drops.
     QueryDef.sql("d_source_similarity",
       s"""WITH ${DedupQueries.idsCte(3)},
          |ids2 AS (SELECT DISTINCT dd.source, ids.gid
@@ -417,10 +428,27 @@ object DedupQueries {
         .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
         .select(col("source"), explode(col("gs")).as("gid")).distinct()
       val sz = ids2.groupBy("source").agg(count(lit(1)).as("n"))
-      val ov = ids2.select(col("source").as("src_a"), col("gid"))
-        .join(ids2.select(col("source").as("src_b"), col("gid")), "gid")
+      val nsrc = sz.agg(count(lit(1)).as("nsrc"))                      // 1 row
+      val dfg = ids2.groupBy("gid").agg(count(lit(1)).as("dfg"))
+        .crossJoin(broadcast(nsrc))
+      val keep = dfg.filter(col("dfg") < col("nsrc")).select("gid")
+      val uni = dfg.filter(col("dfg") === col("nsrc"))
+        .agg(count(lit(1)).as("uni"))                                  // 1 row
+      val ids2p = ids2.join(keep, Seq("gid"), "left_semi")
+      val ovp = ids2p.select(col("source").as("src_a"), col("gid"))
+        .join(ids2p.select(col("source").as("src_b"), col("gid")), "gid")
         .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("ic"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("icp"))
+      // full source-pair frame (source²-dim, tiny): a pair whose every
+      // shared shingle is universal must still surface, with ic = uni
+      val ov = sz.select(col("source").as("src_a"))
+        .crossJoin(sz.select(col("source").as("src_b")))
+        .filter(col("src_a") < col("src_b"))
+        .join(ovp, Seq("src_a", "src_b"), "left")
+        .crossJoin(broadcast(uni))
+        .select(col("src_a"), col("src_b"),
+          (coalesce(col("icp"), lit(0L)) + col("uni")).as("ic"))
+        .filter(col("ic") > 0)
       ov.join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
         .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
         .select(col("src_a"), col("src_b"), col("ic"), col("na"), col("nb"),

@@ -79,6 +79,55 @@ object TextQueries {
       .select("doc_id", "text", "source", "n_tokens", "quality")
   }
 
+  /** C24 body: BPE merge training over the word-frequency table.
+    * `minCount` floors the frequency table BEFORE the driver collect
+    * (HF/sentencepiece's min_frequency): the Zipf tail is typically
+    * half the distinct vocabulary at weight ≤ minCount−1 each, so the
+    * floor bounds driver memory by the HEAD of the curve while the
+    * merges live at the top of it — MetricsSpec pins that the learned
+    * sequence on the test corpus is identical with and without the
+    * floor. Exposed for that spec; queries ship minCount = 2. */
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+                              minCount: Long): org.apache.spark.sql.DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount) // Zipf-tail floor — bounds the collect
+      .collect().map(r => (r.getString(0), r.getLong(1))) // vocab-HEAD-sized
+    var segs: Array[(Array[String], Long)] =
+      words.map { case (w, n) => (w.map(_.toString).toArray :+ "</w>", n) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    while (round <= 12) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + n
+          i += 1
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((l, r), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((round.toLong, l, r, c))
+        segs = segs.map { case (syms, n) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              merged += (l + r); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.toArray, n)
+        }
+      }
+      round += 1
+    }
+    import s.implicits._
+    out.toSeq.toDF("round", "left", "right", "pair_count")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // C1 — token count (whitespace+regex tokenizer) + char length.
@@ -1021,44 +1070,7 @@ object TextQueries {
     // non-increasing max-count invariant (a merged pair's successors
     // can't outnumber it), and that applying the merges re-segments a
     // word consistently.
-    QueryDef.rowsOnly("t_bpe_train") { (s, d) =>
-      val words = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1))) // vocab-sized
-      var segs: Array[(Array[String], Long)] =
-        words.map { case (w, n) => (w.map(_.toString).toArray :+ "</w>", n) }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-      var round = 1
-      while (round <= 12) {
-        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
-        segs.foreach { case (syms, n) =>
-          var i = 0
-          while (i < syms.length - 1) {
-            val k = (syms(i), syms(i + 1))
-            pc(k) = pc.getOrElse(k, 0L) + n
-            i += 1
-          }
-        }
-        if (pc.nonEmpty) {
-          val ((l, r), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
-          out += ((round.toLong, l, r, c))
-          segs = segs.map { case (syms, n) =>
-            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                merged += (l + r); i += 2
-              } else { merged += syms(i); i += 1 }
-            }
-            (merged.toArray, n)
-          }
-        }
-        round += 1
-      }
-      import s.implicits._
-      out.toSeq.toDF("round", "left", "right", "pair_count")
-    },
+    QueryDef.rowsOnly("t_bpe_train")(TextQueries.bpeTrain(_, _, minCount = 2)),
 
     // C25 — token TREND detection (emerging-topic surfacing — which
     // vocabulary is gaining share across ingest cohorts): per-cohort

@@ -62,6 +62,29 @@ object RestExtract {
     }
   }
 
+  /** Per-REQUEST bounded exponential backoff (the reference retries only
+    * at task level, airflow.py:92-131 — one flaky page there re-runs the
+    * whole extract): a transient fetch failure retries in place with
+    * deterministic base·2^attempt sleeps, so one 429/timeout costs
+    * milliseconds, not a full re-land. Exhausted retries rethrow — the
+    * task-level retry (Orchestrator) stays the outer guard. */
+  private[sources] def fetchWithBackoff(fetcher: PageFetcher, offset: Long,
+      limit: Int, maxRetries: Int, baseBackoffMs: Long): Option[String] = {
+    var attempt = 0
+    while (true) {
+      try return fetcher.fetch(offset, limit)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= maxRetries)
+            throw new java.io.IOException(
+              s"fetch(offset=$offset) failed after ${maxRetries + 1} attempts", e)
+          Thread.sleep(baseBackoffMs << attempt) // base·2^attempt, bounded
+          attempt += 1
+      }
+    }
+    None // unreachable
+  }
+
   /** Serial paging loop: fetch pages until exhaustion (or `maxPages`, a
     * runaway-feed guard) and land each verbatim as
     * `landingDir/page-<offset>.json`. Returns the number of pages landed.
@@ -69,7 +92,8 @@ object RestExtract {
     * is the bytes the API served, not whatever this engine version parsed
     * out of them. */
   def land(spark: SparkSession, fetcher: PageFetcher, landingDir: String,
-           limit: Int = 1000, maxPages: Int = 10000): Int = {
+           limit: Int = 1000, maxPages: Int = 10000,
+           maxRetries: Int = 4, baseBackoffMs: Long = 200L): Int = {
     require(limit > 0, s"page limit must be positive, got $limit")
     val dir = new Path(landingDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -79,7 +103,7 @@ object RestExtract {
     var pages = 0
     var done = false
     while (!done && pages < maxPages) {
-      fetcher.fetch(offset, limit) match {
+      fetchWithBackoff(fetcher, offset, limit, maxRetries, baseBackoffMs) match {
         case Some(body) if body.trim.nonEmpty =>
           val out = fs.create(new Path(dir, s"page-$offset.json"), true)
           try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -267,9 +267,11 @@ class MetricsSpec extends AnyFunSuite {
       created += (l + r)
     }
     // round 1 equals an independent weighted adjacent-char-pair recompute
+    // over the same min_frequency-floored word table the query trains on
     val words = sources.Tables.documents(spark, TestSpark.sfDir)
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
-      .groupBy("w").count().collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy("w").count().filter(col("count") >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
     words.foreach { case (w, n) =>
       val syms = w.map(_.toString) :+ "</w>"
@@ -280,6 +282,18 @@ class MetricsSpec extends AnyFunSuite {
     val (bk, bc) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
     assert((rows.head._2, rows.head._3) == bk, s"round-1 merge: got ${(rows.head._2, rows.head._3)} want $bk")
     assert(rows.head._4 == bc)
+  }
+
+  test("t_bpe_train min_frequency floor leaves the merge sequence unchanged on the test corpus (C24)") {
+    // the floor bounds the driver collect by the Zipf HEAD; the merges
+    // live at the top of the frequency curve, so the learned sequence —
+    // though not the tail-inclusive pair counts — must be identical
+    def seqOf(minCount: Long) =
+      queries.TextQueries.bpeTrain(spark, TestSpark.sfDir, minCount)
+        .orderBy("round").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(seqOf(2) == seqOf(1),
+      "min_frequency=2 must not change the learned merge sequence here")
   }
 
   test("q_holt_linear forecasts are exactly linear in h and match an independent recursion (B107)") {

@@ -94,6 +94,20 @@ class PropertySpec extends AnyFunSuite {
       }
     }
 
+    test(s"k-core peel throws on maxIter exhaustion instead of returning a superset (seed $seed)") {
+      // a path graph peels one layer per round: 0-1-2-...-9 with k=2
+      // strips both endpoints each round and needs ~5 rounds to empty —
+      // maxIter=1 cannot converge and must FAIL LOUDLY (the survivors
+      // after one round still contain sub-k nodes)
+      val path = (0L until 9L).map(i => (i, i + 1))
+      val ex = intercept[IllegalStateException] {
+        graft.operators.KCore.kcore(path.toDF("u", "v"), k = 2, maxIter = 1).collect()
+      }
+      assert(ex.getMessage.contains("did not converge"))
+      // and with enough rounds the same input converges (to the empty core)
+      assert(graft.operators.KCore.kcore(path.toDF("u", "v"), k = 2).count() == 0)
+    }
+
     test(s"saltedJoin == plain join (seed $seed)") {
       val rnd = new Random(2000 + seed)
       // heavily skewed keys on the big side — the case salting exists for

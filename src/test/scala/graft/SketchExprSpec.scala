@@ -104,24 +104,34 @@ class SketchExprSpec extends AnyFunSuite {
       "merge must be layout-invariant (associative + commutative elementwise min)")
   }
 
-  test("graft_minhash_agg edge cases: empty gid sets and null inputs leave the sentinel (D13)") {
+  test("graft_minhash_agg edge cases: empty groups emit the EMPTY signature, not the sentinel (D13)") {
     import org.apache.spark.sql.functions._
-    // all-empty gid sets: no permutation min ever lands → the signature
-    // stays the Long.MaxValue sentinel (defined behavior: such a group
-    // has NO shingles; comparing two empty groups is 0/0 Jaccard and the
-    // consumer filters size-0 doc sets before aggregating, as
-    // Dedup.hashedDocSets does)
+    // all-empty gid sets: no permutation min ever lands → eval must emit
+    // an EMPTY array (the scalar graft_minhash contract), NOT the raw
+    // k× Long.MaxValue buffer — two degenerate sources would otherwise
+    // compare slot-for-slot equal and score Jaccard 1.0
     val empty = Seq((1L, Seq.empty[Long]), (2L, Seq.empty[Long]))
       .toDF("doc", "gs")
     val sig = empty.groupBy().agg(expr("graft_minhash_agg(gs, 8)").as("sig"))
       .head().getAs[scala.collection.Seq[Long]]("sig")
-    assert(sig.forall(_ == Long.MaxValue))
+    assert(sig.isEmpty, "an all-empty group's signature must be empty")
+    // two all-empty sources through the D13 estimate arithmetic score 0
+    val two = Seq(("a", Seq.empty[Long]), ("b", Seq.empty[Long])).toDF("source", "gs")
+    val sigs = two.groupBy("source").agg(expr("graft_minhash_agg(gs, 8)").as("sig"))
+    val a = sigs.filter(col("source") === "a").select(col("sig").as("sa"))
+    val b = sigs.filter(col("source") === "b").select(col("sig").as("sb"))
+    val est = a.crossJoin(b)
+      .select((expr("aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+        .cast("double") / 8.0).as("j"))
+      .head().getAs[Double]("j")
+    assert(est == 0.0, s"two empty sources must estimate Jaccard 0, got $est")
     // null rows are skipped, non-null rows still fold
     val mixed = Seq((1L, Option(Seq(42L))), (2L, Option.empty[Seq[Long]]))
       .toDF("doc", "gs")
     val sig2 = mixed.groupBy().agg(expr("graft_minhash_agg(gs, 8)").as("sig"))
       .head().getAs[scala.collection.Seq[Long]]("sig")
-    assert(sig2.forall(_ != Long.MaxValue), "the non-null row must populate every slot")
+    assert(sig2.length == 8 && sig2.forall(_ != Long.MaxValue),
+      "the non-null row must populate every slot")
   }
 
   test("d_source_sim_est sits inside the MinHash error envelope of the exact D13a values") {

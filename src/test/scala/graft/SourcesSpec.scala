@@ -185,6 +185,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(RestExtract.read(spark, landing, schema).count() == 700)
   }
 
+  test("paged-REST extract retries flaky pages with bounded backoff (G10)") {
+    import graft.sources.RestExtract
+    val rows = (0 until 500).map(i => s"""{"id":$i,"name":"biz_$i"}""")
+    // fails the FIRST TWO attempts at every offset, then serves — a
+    // transient 429/timeout at each page boundary
+    class Flaky extends RestExtract.PageFetcher {
+      val inner = RestExtract.RowsFetcher(rows)
+      val attempts = scala.collection.mutable.HashMap.empty[Long, Int]
+      def fetch(offset: Long, limit: Int): Option[String] = {
+        val a = attempts.getOrElse(offset, 0); attempts(offset) = a + 1
+        if (a < 2) throw new java.io.IOException(s"transient at $offset")
+        inner.fetch(offset, limit)
+      }
+    }
+    val landing = Files.createTempDirectory("graft_rest_flaky").toString + "/landing"
+    val pages = RestExtract.land(spark, new Flaky, landing,
+      limit = 256, maxRetries = 4, baseBackoffMs = 1L)
+    assert(pages == 2, "every flaky page must land after in-place retries")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    assert(RestExtract.read(spark, landing, schema).count() == 500)
+    // exhausted retries rethrow — the task-level retry stays the outer guard
+    class Dead extends RestExtract.PageFetcher {
+      def fetch(offset: Long, limit: Int): Option[String] =
+        throw new java.io.IOException("permanent outage")
+    }
+    val ex = intercept[java.io.IOException] {
+      RestExtract.land(spark, new Dead,
+        Files.createTempDirectory("graft_rest_dead").toString + "/landing",
+        limit = 256, maxRetries = 2, baseBackoffMs = 1L)
+    }
+    assert(ex.getMessage.contains("after 3 attempts"))
+  }
+
   test("paged-REST extract enforces the schema contract FAILFAST (G10)") {
     import graft.sources.RestExtract
     val rows = IndexedSeq("""{"id":1,"name":"ok"}""", """{"id":"not-a-number","name":"bad"}""")
