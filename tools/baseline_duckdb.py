@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Per-query DuckDB baseline timings, committed beside each round's bench.
+
+Usage: python3 tools/baseline_duckdb.py <sfDir> <oracleSqlJson> [outJson]
+
+Runs every oracle SQL from <oracleSqlJson> (graft.Verify's dump) against the
+<sfDir> parquet tables in DuckDB (32 threads, mirroring the bench's
+local[32]) and writes {"sf_dir", "duckdb_version", "threads", "total_sec",
+"queries": {name: sec}} to outJson (default baseline_duckdb.json). This is
+the artifact the judge was re-measuring by hand every round: the bench's
+denominator, produced by the same oracle strings the correctness gate runs.
+"""
+import json, os, sys, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir = sys.argv[1]
+    sql_json = sys.argv[2]
+    out_json = sys.argv[3] if len(sys.argv) > 3 else "baseline_duckdb.json"
+    oracles = json.load(open(sql_json))
+    con = duckdb.connect()
+    con.execute("SET threads TO 32")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    times = {}
+    failed = {}
+    for name in sorted(oracles):
+        t0 = time.monotonic()
+        try:
+            con.execute(oracles[name]).fetchall()
+            times[name] = round(time.monotonic() - t0, 4)
+        except Exception as e:  # noqa: BLE001 - record, don't abort the sweep
+            failed[name] = str(e).splitlines()[0][:200]
+    out = {
+        "sf_dir": sf_dir,
+        "duckdb_version": duckdb.__version__,
+        "threads": 32,
+        "n_queries": len(times),
+        "total_sec": round(sum(times.values()), 3),
+        "queries": times,
+    }
+    if failed:
+        out["failed"] = failed
+    json.dump(out, open(out_json, "w"), indent=1, sort_keys=True)
+    print(f"{len(times)} queries, total {out['total_sec']} s -> {out_json}"
+          + (f" ({len(failed)} FAILED)" if failed else ""))
+
+
+if __name__ == "__main__":
+    main()

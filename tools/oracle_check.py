@@ -20,9 +20,12 @@ def norm_val(v):
         # drift IS a driver FAIL. Rounds 1/7/8 all shipped "green locally,
         # red at the driver" because this compare rounded to 9 sig digits.
         if math.isnan(v):
-            return "NaN"  # canonicalize NaN payloads
-        if v == 0:
-            v = 0.0  # -0.0 and +0.0 hash identically in the driver compare
+            return "NaN"  # canonicalize NaN payloads (the Python float
+            # path already collapses them before this compare)
+        # NO -0.0 canonicalization: the driver hashes raw parquet bytes,
+        # and -0.0/+0.0 have different byte images — a sign-of-zero
+        # divergence must be RED here too, not green-locally-red-there
+        # (the exact gap the bit-image compare exists to close).
         return struct.pack(">d", v).hex()
     if isinstance(v, bytes):
         return v.hex()
