@@ -107,6 +107,22 @@ object PortableMath {
   /** Bit-portable log base 2: pLn(x) · (1/ln 2). */
   def pLog2(x: Column): Column = pLn(x) * lit(LOG2_INV)
 
+  /** Scalar twin of [[pLn]]/[[lnSql]] — the identical op order in plain
+    * doubles (Java arithmetic is the same IEEE correctly-rounded ops, so
+    * a driver-side constant folded into a plan matches the engines'
+    * column form bit-for-bit; the PortableGeoImpl precedent). */
+  def lnScalar(x: Double): Double = {
+    var y = x
+    var i = 0
+    while (i < 6) { y = math.sqrt(y); i += 1 }
+    val t = (y - 1.0) / (y + 1.0)
+    val u = t * t
+    val rev = atanhC.reverse
+    var acc = rev.head
+    rev.tail.foreach(c => acc = c + u * acc)
+    (t * acc) * 128.0
+  }
+
   /** Bit-portable sin on |x| ≤ 3.2. */
   def pSin(x: Column): Column = { val u = x * x; x * horner(u, sinC) }
 

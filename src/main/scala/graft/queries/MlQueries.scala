@@ -389,14 +389,18 @@ object MlQueries {
          |         FROM tet t JOIN vt ON vt.tok = t.tok
          |         CROSS JOIN (SELECT lang FROM prior) c
          |         LEFT JOIN ltc ON ltc.lang = c.lang AND ltc.tok = t.tok),
+         |cand2 AS (SELECT doc_id, true_lang, k, class, (kc + 1.0) / (t + v) AS pr
+         |         FROM cand JOIN ltot ON ltot.lang = cand.class CROSS JOIN vocab),
          |sc AS (SELECT doc_id, true_lang, class,
-         |         sum(k * ln((kc + 1.0) / (t + v))) AS ll
-         |       FROM cand JOIN ltot ON ltot.lang = cand.class CROSS JOIN vocab
-         |       GROUP BY 1, 2, 3),
+         |         sum(k * ${graft.functions.PortableMath.lnSql("pr")}) AS ll
+         |       FROM cand2 GROUP BY 1, 2, 3),
+         |pri AS (SELECT lang,
+         |          ${graft.functions.PortableMath.lnSql("(CAST(nd AS DOUBLE) / nd_all)")} AS lnprior
+         |        FROM prior CROSS JOIN ndoc),
          |pred AS (SELECT doc_id, true_lang, class AS pred_lang,
          |           row_number() OVER (PARTITION BY doc_id ORDER BY
-         |             ln(CAST(p.nd AS DOUBLE) / na.nd_all) + sc.ll DESC, class) AS rn
-         |         FROM sc JOIN prior p ON p.lang = sc.class CROSS JOIN ndoc na)
+         |             p.lnprior + sc.ll DESC, class) AS rn
+         |         FROM sc JOIN pri p ON p.lang = sc.class)
          |SELECT true_lang, pred_lang, count(*) AS n
          |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     }) { (s, d) =>
@@ -439,7 +443,8 @@ object MlQueries {
       // the vocab fits, shuffle when it outgrows — the engine-wide rule).
       val model = ltc.groupBy("tok").pivot("lang", classes).agg(first("k"))
         .select(col("tok"), array(classes.map(c =>
-          log((coalesce(col(s"`$c`"), lit(0L)) + 1.0) / (ltot(c) + v))): _*).as("lp"))
+          graft.functions.PortableMath.pLn(
+            (coalesce(col(s"`$c`"), lit(0L)) + 1.0) / (ltot(c) + v))): _*).as("lp"))
       // Score: per-(doc,tok) counts (k·ln form, matching the oracle's
       // arithmetic), model probe, then per-doc per-class sums as |C|
       // parallel aggregates — every step inherits hashpartitioning(doc_id)
@@ -457,7 +462,7 @@ object MlQueries {
       // classes is sorted, and array_position returns the FIRST max —
       // the oracle's (score DESC, class ASC) row_number ordering.
       val scores = array(classes.zipWithIndex.map { case (c, i) =>
-        lit(math.log(prior(c).toDouble / ndAll)) + col(s"ll_$i") }: _*)
+        lit(graft.functions.PortableMath.lnScalar(prior(c).toDouble / ndAll)) + col(s"ll_$i") }: _*)
       val classArr = array(classes.map(lit(_)): _*)
       perDoc
         .select(col("true_lang"),
@@ -539,16 +544,18 @@ object MlQueries {
     // same-magnitude positive terms — accumulation-order noise is
     // ~1e-13 relative, invisible at the 9-significant-digit gate
     // (q_seasonality_strength's precedent).
-    QueryDef.sql("m_brier",
-      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    QueryDef.sql("m_brier", {
+      import graft.functions.PortableMath
+      s"""WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
         |s AS (SELECT least(greatest((value - mn) / (mx - mn), 0.000001), 0.999999) AS p,
         |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
         |      FROM events CROSS JOIN b)
         |SELECT count(*) AS n,
         |  sum((p - y) * (p - y)) / count(*) AS brier,
-        |  sum(-(y * ln(p) + (1 - y) * ln(1.0 - p))) / count(*) AS logloss,
+        |  sum(-(y * ${PortableMath.lnSql("p")} + (1 - y) * ${PortableMath.lnSql("(1.0 - p)")})) / count(*) AS logloss,
         |  CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
-        |FROM s""".stripMargin) { (s, d) =>
+        |FROM s""".stripMargin
+    }) { (s, d) =>
       val ev = Tables.events(s, d)
       val b = ev.agg(min("value").as("mn"), max("value").as("mx"))
       val sc = ev.crossJoin(broadcast(b))
@@ -558,8 +565,8 @@ object MlQueries {
           when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
       sc.agg(count(lit(1)).as("n"),
         (sum((col("p") - col("y")) * (col("p") - col("y"))) / count(lit(1))).as("brier"),
-        (sum(-(col("y") * log(col("p")) +
-          (lit(1) - col("y")) * log(lit(1.0) - col("p")))) / count(lit(1))).as("logloss"),
+        (sum(-(col("y") * graft.functions.PortableMath.pLn(col("p")) +
+          (lit(1) - col("y")) * graft.functions.PortableMath.pLn(lit(1.0) - col("p")))) / count(lit(1))).as("logloss"),
         (sum("y").cast("double") / count(lit(1))).as("pos_rate"))
     },
 

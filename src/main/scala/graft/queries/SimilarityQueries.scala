@@ -114,9 +114,9 @@ object SimilarityQueries {
          |              FROM embeddings) c USING (bucket)
          |        WHERE p.q <> c.n)) WHERE rank <= 3),
          |rel AS (SELECT q, n, CAST(4 - rank AS DOUBLE) AS rel FROM ex),
-         |dcg AS (SELECT ls.q, sum(coalesce(rel.rel, 0) / log2(ls.rank + 1)) AS dcg
+         |dcg AS (SELECT ls.q, sum(coalesce(rel.rel, 0) / ${graft.functions.PortableMath.log2Sql("(ls.rank + 1)")}) AS dcg
          |        FROM ls LEFT JOIN rel ON ls.q = rel.q AND ls.n = rel.n GROUP BY 1),
-         |idcg AS (SELECT q, sum(CAST(4 - rank AS DOUBLE) / log2(rank + 1)) AS idcg FROM ex GROUP BY q)
+         |idcg AS (SELECT q, sum(CAST(4 - rank AS DOUBLE) / ${graft.functions.PortableMath.log2Sql("(rank + 1)")}) AS idcg FROM ex GROUP BY q)
          |SELECT idcg.q, coalesce(dcg.dcg, 0.0) AS dcg, idcg.idcg,
          |  coalesce(dcg.dcg, 0.0) / idcg.idcg AS ndcg
          |FROM idcg LEFT JOIN dcg ON idcg.q = dcg.q
@@ -130,9 +130,11 @@ object SimilarityQueries {
       val dcg = ls.as("l")
         .join(rel.as("r"), col("l.q") === col("r.q") && col("l.n") === col("r.n"), "left")
         .groupBy(col("l.q").as("q"))
-        .agg(sum(coalesce(col("rel"), lit(0.0)) / log2(col("l.rank") + 1)).as("dcg"))
+        .agg(sum(coalesce(col("rel"), lit(0.0)) /
+          graft.functions.PortableMath.pLog2(col("l.rank") + 1)).as("dcg"))
       val idcg = ex.groupBy("q")
-        .agg(sum((lit(4) - col("rank")).cast("double") / log2(col("rank") + 1)).as("idcg"))
+        .agg(sum((lit(4) - col("rank")).cast("double") /
+          graft.functions.PortableMath.pLog2(col("rank") + 1)).as("idcg"))
       idcg.join(dcg, Seq("q"), "left")
         .select(col("q"), coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
           (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))

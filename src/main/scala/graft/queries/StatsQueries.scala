@@ -211,7 +211,7 @@ object StatsQueries {
     // a NULL contribution (the standard epsilon fudge hides real
     // emptiness; a monitor should SEE it).
     QueryDef.sql("q_psi_drift",
-      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx,
+      s"""WITH b AS (SELECT min(value) AS mn, max(value) AS mx,
         |                  min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
         |binned AS (
         |  SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin,
@@ -221,14 +221,16 @@ object StatsQueries {
         |        sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
         |        sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
         |      FROM binned GROUP BY 1),
-        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c)
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c),
+        |pq AS (SELECT bin, n_ref, n_cur,
+        |         CAST(n_ref AS DOUBLE) / tr AS p, CAST(n_cur AS DOUBLE) / tc AS q
+        |       FROM c CROSS JOIN t)
         |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
-        |  CAST(n_ref AS DOUBLE) / tr AS p, CAST(n_cur AS DOUBLE) / tc AS q,
+        |  p, q,
         |  CASE WHEN n_ref > 0 AND n_cur > 0
-        |       THEN (CAST(n_ref AS DOUBLE)/tr - CAST(n_cur AS DOUBLE)/tc)
-        |            * ln((CAST(n_ref AS DOUBLE)/tr) / (CAST(n_cur AS DOUBLE)/tc))
+        |       THEN (p - q) * ${graft.functions.PortableMath.lnSql("(p / q)")}
         |  END AS psi_term
-        |FROM c CROSS JOIN t ORDER BY bin""".stripMargin) { (s, d) =>
+        |FROM pq ORDER BY bin""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val b = ev.agg(min("value").as("mn"), max("value").as("mx"),
         min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
@@ -250,7 +252,8 @@ object StatsQueries {
       c.crossJoin(broadcast(t))
         .select(col("bin"), col("n_ref").cast("long").as("n_ref"),
           col("n_cur").cast("long").as("n_cur"), p.as("p"), q.as("q"),
-          when(col("n_ref") > 0 && col("n_cur") > 0, (p - q) * log(p / q)).as("psi_term"))
+          when(col("n_ref") > 0 && col("n_cur") > 0,
+            (p - q) * graft.functions.PortableMath.pLn(p / q)).as("psi_term"))
         .orderBy("bin")
     },
 
@@ -343,23 +346,29 @@ object StatsQueries {
     // log10 follows C10's values-not-ranks precedent. One narrow
     // projection + a 9-key aggregate; the n total rides along as a
     // broadcast scalar.
-    QueryDef.sql("q_benford",
-      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    QueryDef.sql("q_benford", {
+      import graft.functions.PortableMath
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
         |           FROM orders WHERE o_totalprice > 0),
         |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
-        |t AS (SELECT sum(n) AS total FROM c)
+        |t AS (SELECT sum(n) AS total FROM c),
+        |e AS (SELECT digit, n, total,
+        |        ${PortableMath.lnSql("(1.0 + 1.0/digit)")} / ${PortableMath.lnSql("10.0")} AS benford
+        |      FROM c CROSS JOIN t)
         |SELECT digit, CAST(n AS BIGINT) AS n,
         |  CAST(n AS DOUBLE) / total AS share,
-        |  ln(1.0 + 1.0/digit) / ln(10.0) AS benford,
-        |  pow(CAST(n AS DOUBLE) - total * (ln(1.0 + 1.0/digit) / ln(10.0)), 2)
-        |    / (total * (ln(1.0 + 1.0/digit) / ln(10.0))) AS chi2_term
-        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin) { (s, d) =>
+        |  benford,
+        |  pow(CAST(n AS DOUBLE) - total * benford, 2)
+        |    / (total * benford) AS chi2_term
+        |FROM e ORDER BY digit""".stripMargin
+    }) { (s, d) =>
       val digit = substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
         .cast("long").as("digit")
       val c = Tables.orders(s, d).filter(col("o_totalprice") > 0)
         .select(digit).groupBy("digit").agg(count(lit(1)).as("n"))
       val t = c.agg(sum("n").as("total"))
-      val benford = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+      val benford = graft.functions.PortableMath.pLn(lit(1.0) + lit(1.0) / col("digit")) /
+        graft.functions.PortableMath.pLn(lit(10.0))
       c.crossJoin(broadcast(t))
         .select(col("digit"), col("n").cast("long").as("n"),
           (col("n").cast("double") / col("total")).as("share"),
