@@ -1303,6 +1303,199 @@ object StatsQueries {
         pAsin(col("z")).as("asin_z"),
         expr(exp2SparkSql("ex")).as("exp2_x"))
         .orderBy("g")
+    },
+
+    // B110 — Cramér's V: the EFFECT-SIZE companion to B58's chi² report
+    // (a chi² statistic grows with n; V normalizes it to [0,1] so the
+    // association strength is comparable across corpus sizes — the number
+    // a 100 TB drift monitor actually thresholds on). Same contingency
+    // shape as B58: cell counts in one partial agg, margins as two
+    // agg-sized broadcasts; chi² is a pinned left fold over the ≤ r·c
+    // cell terms (B84's list_reduce / aggregate(array_sort(...)) pair —
+    // a plain double SUM would be engine-order-dependent); V closes with
+    // one division + one correctly-rounded sqrt.
+    QueryDef.sql("q_cramers_v",
+      """WITH obs AS (
+        |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |         count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS c FROM obs GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |cell AS (
+        |  SELECT obs.event_type, obs.dow,
+        |    (obs.o - CAST(rt.r AS DOUBLE) * ct.c / t.n)
+        |      * (obs.o - CAST(rt.r AS DOUBLE) * ct.c / t.n)
+        |      / (CAST(rt.r AS DOUBLE) * ct.c / t.n) AS term
+        |  FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN t),
+        |agg AS (
+        |  SELECT (SELECT n FROM t) AS n,
+        |    (SELECT count(*) FROM rt) AS rk,
+        |    (SELECT count(*) FROM ct) AS ck,
+        |    list_reduce(list(term ORDER BY event_type, dow), (a, b) -> a + b) AS chi2
+        |  FROM cell)
+        |SELECT CAST(n AS BIGINT) AS n, CAST((rk - 1) * (ck - 1) AS BIGINT) AS dof, chi2,
+        |  sqrt(chi2 / CAST(n * (least(rk, ck) - 1) AS DOUBLE)) AS cramers_v
+        |FROM agg""".stripMargin) { (s, d) =>
+      val obs = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (((dayofweek(to_date(col("ts"))) + 5) % 7) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy("event_type").agg(sum("o").as("r"))
+      val ct = obs.groupBy("dow").agg(sum("o").as("c"))
+      val t = obs.agg(sum("o").cast("long").as("n"))
+      val rk = rt.agg(count(lit(1)).as("rk"))
+      val ck = ct.agg(count(lit(1)).as("ck"))
+      val e = col("r").cast("double") * col("c") / col("n")
+      obs.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(t))
+        .select(col("event_type"), col("dow"), col("n"),
+          ((col("o") - e) * (col("o") - e) / e).as("term"))
+        .agg(first("n").as("n"),
+          expr("aggregate(array_sort(collect_list(struct(event_type, dow, term))), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x.term)").as("chi2"))
+        .crossJoin(broadcast(rk)).crossJoin(broadcast(ck))
+        .selectExpr("CAST(n AS BIGINT) AS n",
+          "CAST((rk - 1) * (ck - 1) AS BIGINT) AS dof", "chi2",
+          "sqrt(chi2 / CAST(n * (least(rk, ck) - 1) AS DOUBLE)) AS cramers_v")
+    },
+
+    // B111 — Cohen's d: pairwise standardized mean difference of order
+    // value across market segments — the effect size behind B59's Welch
+    // t (a t-statistic says "significant at this n"; d says "big enough
+    // to matter", which is n-free). Group moments are ONE exact-DECIMAL
+    // partial agg (B84's discipline: cents-exact sums, correctly-rounded
+    // DECIMAL→DOUBLE exit on both engines via the VARCHAR path in
+    // DuckDB); the k(k−1)/2 pairs come from a self-join of the 5-row
+    // stats frame — segment² is a constant, never data-scale. Pooled-SD
+    // closed form is one fixed IEEE expression.
+    QueryDef.sql("q_cohens_d",
+      """WITH g AS (
+        |  SELECT c_mktsegment AS seg, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+        |    sum(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4))) AS q
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |st AS (
+        |  SELECT seg, CAST(n AS BIGINT) AS n,
+        |    CAST(CAST(s AS VARCHAR) AS DOUBLE) / n AS mean,
+        |    (CAST(CAST(q AS VARCHAR) AS DOUBLE)
+        |      - (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+        |        * CAST(CAST(s AS VARCHAR) AS DOUBLE)) / (n - 1) AS vr
+        |  FROM g)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+        |  a.mean AS mean_a, b.mean AS mean_b,
+        |  (a.mean - b.mean)
+        |    / sqrt(((a.n - 1) * a.vr + (b.n - 1) * b.vr) / (a.n + b.n - 2)) AS cohens_d
+        |FROM st a JOIN st b ON a.seg < b.seg
+        |ORDER BY seg_a, seg_b""".stripMargin) { (s, d) =>
+      val seg = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      val st = Tables.orders(s, d)
+        .join(seg, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("s"),
+          expr("sum(CAST(o_totalprice*o_totalprice AS DECIMAL(38,4)))").as("q"))
+        .selectExpr("seg", "CAST(n AS BIGINT) AS n",
+          "CAST(s AS DOUBLE) / n AS mean",
+          "(CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) / n) * CAST(s AS DOUBLE)) / (n - 1) AS vr")
+      val a = st.select(col("seg").as("seg_a"), col("n").as("n_a"),
+        col("mean").as("mean_a"), col("vr").as("vr_a"))
+      val b = st.select(col("seg").as("seg_b"), col("n").as("n_b"),
+        col("mean").as("mean_b"), col("vr").as("vr_b"))
+      a.join(broadcast(b), col("seg_a") < col("seg_b"))
+        .selectExpr("seg_a", "seg_b", "n_a", "n_b", "mean_a", "mean_b",
+          "(mean_a - mean_b) / sqrt(((n_a - 1) * vr_a + (n_b - 1) * vr_b) " +
+            "/ (n_a + n_b - 2)) AS cohens_d")
+        .orderBy("seg_a", "seg_b")
+    },
+
+    // B112 — two-proportion z-test: the A/B-test primitive (did variant
+    // A's conversion rate beat B's beyond noise?). Cohorts are a
+    // deterministic user_id split; "converted" = the user crossed a
+    // fixed purchase-count threshold (≥14 — chosen off the cross-scale
+    // median so neither cohort is ever all-0/all-1, which would zero the
+    // pooled variance) — the whole test reduces to FOUR integers, so the
+    // statistic is
+    // a fixed closed form over exact counts (no variance estimation on
+    // doubles at all). At 100 TB the per-user reduce is the only
+    // data-scale stage and it's one partial agg.
+    QueryDef.sql("q_prop_ztest",
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT user_id % 2 AS grp, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(conv) AS BIGINT) AS x
+        |      FROM pu GROUP BY 1),
+        |p AS (SELECT
+        |  max(CASE WHEN grp = 0 THEN n END) AS n0, max(CASE WHEN grp = 0 THEN x END) AS x0,
+        |  max(CASE WHEN grp = 1 THEN n END) AS n1, max(CASE WHEN grp = 1 THEN x END) AS x1
+        |  FROM g)
+        |SELECT n0, x0, n1, x1,
+        |  CAST(x0 AS DOUBLE) / n0 AS p0, CAST(x1 AS DOUBLE) / n1 AS p1,
+        |  (CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
+        |    / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |        * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |        * (1.0 / n0 + 1.0 / n1)) AS z
+        |FROM p""".stripMargin) { (s, d) =>
+      val pu = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(when(sum(when(col("event_type") === "purchase", 1).otherwise(0)) >= 14, 1)
+          .otherwise(0).as("conv"))
+      pu.groupBy((col("user_id") % 2).as("grp"))
+        .agg(count(lit(1)).cast("long").as("n"), sum("conv").cast("long").as("x"))
+        .agg(max(when(col("grp") === 0, col("n"))).as("n0"),
+          max(when(col("grp") === 0, col("x"))).as("x0"),
+          max(when(col("grp") === 1, col("n"))).as("n1"),
+          max(when(col("grp") === 1, col("x"))).as("x1"))
+        .selectExpr("n0", "x0", "n1", "x1",
+          "CAST(x0 AS DOUBLE) / n0 AS p0", "CAST(x1 AS DOUBLE) / n1 AS p1",
+          "(CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1) " +
+            "/ sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) " +
+            "* (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) " +
+            "* (1.0 / n0 + 1.0 / n1)) AS z")
+    },
+
+    // B113 — Herfindahl–Hirschman concentration index per nation: how
+    // concentrated is each nation's revenue across its customers (the
+    // antitrust statistic, and the data-pipeline statistic for "is one
+    // source/customer dominating this shard"). Revenue is cents-exact
+    // BIGINT; the share-square sum needs rev² — up to ~2.5e19 per
+    // customer, past BIGINT — so it accumulates in DECIMAL(38,0) (Spark)
+    // / HUGEINT (DuckDB), both exiting to DOUBLE correctly rounded (the
+    // VARCHAR path on the DuckDB side). HHI = 10⁴·Σrev²/(Σrev)² — one
+    // fixed expression per nation; headroom: Σrev < 2^53 to ~sf100.
+    QueryDef.sql("q_herfindahl",
+      """WITH crev AS (
+        |  SELECT c_nationkey, o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(rev) AS BIGINT) AS rev_cents,
+        |    CAST(CAST(sum(CAST(rev AS HUGEINT) * rev) AS VARCHAR) AS DOUBLE) AS sumsq
+        |  FROM crev GROUP BY 1)
+        |SELECT n_name AS nation, n_customers, rev_cents,
+        |  10000.0 * sumsq / (CAST(rev_cents AS DOUBLE) * rev_cents) AS hhi
+        |FROM agg JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY nation""".stripMargin) { (s, d) =>
+      val crev = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      val agg = crev.groupBy("c_nationkey")
+        .agg(count(lit(1)).cast("long").as("n_customers"),
+          sum("rev").cast("long").as("rev_cents"),
+          expr("CAST(sum(CAST(rev AS DECIMAL(38,0)) * rev) AS DOUBLE)").as("sumsq"))
+      agg.join(broadcast(Tables.nation(s, d)),
+          col("n_nationkey") === col("c_nationkey"))
+        .selectExpr("n_name AS nation", "n_customers", "rev_cents",
+          "10000.0 * sumsq / (CAST(rev_cents AS DOUBLE) * rev_cents) AS hhi")
+        .orderBy("nation")
     }
   )
 }
