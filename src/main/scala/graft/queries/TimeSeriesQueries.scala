@@ -1265,6 +1265,195 @@ object TimeSeriesQueries {
         .select(col("prio"), col("n"), col("within_30"), col("within_60"),
           col("within_90"), (col("within_30").cast("double") / col("n")).as("sla_30"))
         .orderBy("prio")
+    },
+
+    // B114 — Bollinger bands over daily revenue: the volatility envelope
+    // (20-day mean ± 2σ) every monitoring dashboard draws. The raw
+    // stream reduces to the date-dimension rollup first (§5 discipline);
+    // the 20-row window runs over that dim-sized series with EXACT
+    // decimal sums of the daily totals and their squares — variance is
+    // the fixed closed form over those two sums, never a streaming
+    // stddev (engine-order-dependent). Squared daily totals pass 2^53
+    // unscaled, so both engines exit via the correctly-rounded path
+    // (DuckDB VARCHAR). Warm-up rows (n < 2) emit NULL bands — never a
+    // zero divide under ANSI.
+    QueryDef.sql("q_bollinger",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT day, CAST(CAST(total AS VARCHAR) AS DOUBLE) AS close,
+        |    count(*) OVER win AS n,
+        |    CAST(CAST(sum(total) OVER win AS VARCHAR) AS DOUBLE) AS s,
+        |    CAST(CAST(sum(total*total) OVER win AS VARCHAR) AS DOUBLE) AS q
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day_idx ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day,'%Y-%m-%d') AS day, close, s / n AS ma20,
+        |  CASE WHEN n >= 2 THEN s / n + 2.0 * sqrt((q - (s/n)*s) / (n - 1)) END AS band_upper,
+        |  CASE WHEN n >= 2 THEN s / n - 2.0 * sqrt((q - (s/n)*s) / (n - 1)) END AS band_lower
+        |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("total"))
+        .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val win = Window.orderBy("day_idx").rowsBetween(-19, 0)
+      daily.select(col("day"),
+          col("total").cast("double").as("close"),
+          count(lit(1)).over(win).as("n"),
+          sum("total").over(win).cast("double").as("s"),
+          sum(expr("total*total")).over(win).cast("double").as("q"))
+        .selectExpr("date_format(day,'yyyy-MM-dd') AS day", "close", "s / n AS ma20",
+          "CASE WHEN n >= 2 THEN s / n + 2.0D * sqrt((q - (s/n)*s) / (n - 1)) END AS band_upper",
+          "CASE WHEN n >= 2 THEN s / n - 2.0D * sqrt((q - (s/n)*s) / (n - 1)) END AS band_lower")
+        .orderBy("day")
+    },
+
+    // B115 — maximum drawdown per event type: peak-to-trough decline of
+    // the daily-value series (the risk statistic behind B54's changepoint
+    // and B38's anomaly scan — "how bad did it get, and when"). Running
+    // peak is an EXACT decimal running max over the dim-sized daily
+    // rollup; drawdown is one double division per dim row; the trough is
+    // the argmax picked by a totally-ordered row_number (dd DESC, day) —
+    // ties resolve to the earliest day in both engines.
+    QueryDef.sql("q_drawdown",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events GROUP BY 1, 2, 3),
+        |dd AS (
+        |  SELECT event_type, day, total,
+        |    max(total) OVER (PARTITION BY event_type ORDER BY day_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, day,
+        |    CAST(peak AS DOUBLE) AS peak_value, CAST(total AS DOUBLE) AS trough_value,
+        |    (CAST(peak AS DOUBLE) - total) / CAST(peak AS DOUBLE) AS drawdown,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY (CAST(peak AS DOUBLE) - total) / CAST(peak AS DOUBLE) DESC, day) AS rn
+        |  FROM dd)
+        |SELECT event_type, strftime(day,'%Y-%m-%d') AS trough_day,
+        |  peak_value, trough_value, drawdown AS max_drawdown
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("sum(CAST(value AS DECIMAL(18,2)))").as("total"))
+        .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val peakW = Window.partitionBy("event_type").orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily.withColumn("peak", max("total").over(peakW))
+        .withColumn("drawdown",
+          (col("peak").cast("double") - col("total")) / col("peak").cast("double"))
+      val rnW = Window.partitionBy("event_type").orderBy(col("drawdown").desc, col("day"))
+      dd.withColumn("rn", row_number().over(rnW))
+        .filter(col("rn") === 1)
+        .selectExpr("event_type", "date_format(day,'yyyy-MM-dd') AS trough_day",
+          "CAST(peak AS DOUBLE) AS peak_value", "CAST(total AS DOUBLE) AS trough_value",
+          "drawdown AS max_drawdown")
+        .orderBy("event_type")
+    },
+
+    // B116 — 14-day RSI (Cutler's simple-average form) of daily revenue:
+    // the bounded momentum oscillator — unlike Wilder's recursive EWMA
+    // form it is a pure windowed ratio, so it stays declarative and
+    // mergeable. Day-over-day deltas, gains/losses, and their 14-row
+    // window sums are all EXACT decimal over the date-dim rollup; RSI =
+    // (100·g)/(g+l) is one fixed double expression; windows shorter than
+    // 14 deltas emit NULL (warm-up), an all-flat window emits NULL (zero
+    // denominator), both as explicit CASE arms — never an ANSI divide
+    // error. Headroom: 14-day gain sums in cents stay under 2^53 to
+    // ~sf10k.
+    QueryDef.sql("q_rsi",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders GROUP BY 1, 2),
+        |delta AS (
+        |  SELECT day, total,
+        |    total - lag(total) OVER (ORDER BY day_idx) AS diff
+        |  FROM daily),
+        |gl AS (
+        |  SELECT day, total,
+        |    CASE WHEN diff > 0 THEN diff ELSE CAST(0 AS DECIMAL(18,2)) END AS gain,
+        |    CASE WHEN diff < 0 THEN -diff ELSE CAST(0 AS DECIMAL(18,2)) END AS loss,
+        |    CASE WHEN diff IS NULL THEN 0 ELSE 1 END AS has_diff
+        |  FROM delta),
+        |w AS (
+        |  SELECT day, CAST(total AS DOUBLE) AS close,
+        |    sum(has_diff) OVER win AS n_diffs,
+        |    CAST(sum(gain) OVER win AS DOUBLE) AS g,
+        |    CAST(sum(loss) OVER win AS DOUBLE) AS l
+        |  FROM gl
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day,'%Y-%m-%d') AS day, close,
+        |  CASE WHEN n_diffs >= 14 AND g + l > 0 THEN (100.0 * g) / (g + l) END AS rsi14
+        |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("total"))
+        .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val lagW = Window.orderBy("day_idx")
+      val gl = daily
+        .withColumn("diff", col("total") - lag("total", 1).over(lagW))
+        .selectExpr("day", "total",
+          "CASE WHEN diff > 0 THEN diff ELSE CAST(0 AS DECIMAL(18,2)) END AS gain",
+          "CASE WHEN diff < 0 THEN -diff ELSE CAST(0 AS DECIMAL(18,2)) END AS loss",
+          "CASE WHEN diff IS NULL THEN 0 ELSE 1 END AS has_diff")
+      val win = Window.orderBy("day").rowsBetween(-13, 0)
+      gl.select(col("day"), col("total").cast("double").as("close"),
+          sum("has_diff").over(win).as("n_diffs"),
+          sum("gain").over(win).cast("double").as("g"),
+          sum("loss").over(win).cast("double").as("l"))
+        .selectExpr("date_format(day,'yyyy-MM-dd') AS day", "close",
+          "CASE WHEN n_diffs >= 14 AND g + l > 0 THEN (100.0D * g) / (g + l) END AS rsi14")
+        .orderBy("day")
+    },
+
+    // B117 — peak interval concurrency: how many orders are OPEN
+    // (placed, not yet fully shipped) on the busiest days — the classic
+    // sweep-line / gaps-and-overlaps operator (B13's range join asks
+    // "which pairs overlap"; this asks "how deep does the overlap
+    // stack"). Intervals reduce to ±1 boundary deltas (+1 at placement,
+    // −1 the day after the last shipment), the sweep is ONE running sum
+    // over the date-dimension delta rollup — the raw fact tables are
+    // touched exactly once each, and the 100 TB cost is the per-order
+    // max(l_shipdate) partial agg. Top-20 under total order
+    // (concurrency DESC, day). Integer end to end.
+    QueryDef.sql("q_interval_overlap",
+      """WITH iv AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_day,
+        |         max(CAST(l_shipdate AS DATE)) AS end_day
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT start_day AS day, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT end_day + INTERVAL 1 DAY, CAST(-1 AS BIGINT) FROM iv),
+        |curve AS (
+        |  SELECT CAST(day AS DATE) AS day, sum(delta) AS d FROM deltas GROUP BY 1),
+        |sweep AS (
+        |  SELECT day, CAST(sum(d) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
+        |  FROM curve)
+        |SELECT strftime(day,'%Y-%m-%d') AS day, concurrency
+        |FROM sweep ORDER BY concurrency DESC, day LIMIT 20""".stripMargin) { (s, d) =>
+      val iv = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("start_day"))
+        .agg(max(to_date(col("l_shipdate"))).as("end_day"))
+      val deltas = iv.select(col("start_day").as("day"), lit(1L).as("delta"))
+        .unionAll(iv.select(date_add(col("end_day"), 1).as("day"), lit(-1L).as("delta")))
+      val curve = deltas.groupBy("day").agg(sum("delta").as("d"))
+      val sweepW = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.operators.Relational.topKByAgg(
+        curve.select(col("day"), sum("d").over(sweepW).cast("long").as("concurrency")),
+        20, Seq(col("concurrency").desc, col("day")))
+        .selectExpr("date_format(day,'yyyy-MM-dd') AS day", "concurrency")
     }
   )
 }
