@@ -794,6 +794,51 @@ object AnalyticsQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")
+    },
+
+    // B118 — 2-D SKYLINE (Pareto frontier): orders not dominated on
+    // (order date, price) — "the best trade-offs", the multi-objective
+    // top-k no single ORDER BY can express. The naive form is an O(n²)
+    // NOT EXISTS self-join; the Spark-first plan is the sweep-line
+    // equivalence: reduce to the DATE-DIM rollup (max price per day),
+    // take the suffix-max over that dim-sized series (one dim window,
+    // never a window over the fact table), then one broadcast join back —
+    // a fact row survives iff no strictly-later day reaches its price and
+    // its own day's max doesn't exceed it. Facts scan once; the O(n²)
+    // pair space is never materialized. Integer cents end to end.
+    QueryDef.sql("q_skyline",
+      """WITH f AS (
+        |  SELECT o_orderkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders),
+        |dm AS (SELECT day_idx, max(pc) AS day_max FROM f GROUP BY 1),
+        |sx AS (
+        |  SELECT day_idx, day_max,
+        |    max(day_max) OVER (ORDER BY day_idx
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS later_max
+        |  FROM dm)
+        |SELECT f.o_orderkey, strftime(f.day,'%Y-%m-%d') AS day,
+        |  CAST(f.pc AS DOUBLE) / 100.0 AS price
+        |FROM f JOIN sx USING (day_idx)
+        |WHERE coalesce(sx.later_max, -1) < f.pc AND sx.day_max <= f.pc
+        |ORDER BY day, o_orderkey""".stripMargin) { (s, d) =>
+      val f = Tables.orders(s, d).select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).as("day_idx"),
+        to_date(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc"))
+      import org.apache.spark.sql.expressions.Window
+      val dm = f.groupBy("day_idx").agg(max("pc").as("day_max"))
+      val sx = dm.withColumn("later_max",
+        max("day_max").over(Window.orderBy("day_idx")
+          .rowsBetween(1, Window.unboundedFollowing)))
+      f.join(broadcast(sx), Seq("day_idx"))
+        .filter(coalesce(col("later_max"), lit(-1L)) < col("pc") &&
+          col("day_max") <= col("pc"))
+        .selectExpr("o_orderkey", "date_format(day,'yyyy-MM-dd') AS day",
+          "CAST(pc AS DOUBLE) / 100.0 AS price")
+        .orderBy("day", "o_orderkey")
     }
   )
 

@@ -1017,6 +1017,53 @@ object MlQueries {
           ((col("n1") - 1).cast("double") / (col("n") - 1)).as("loo_pos"),
           (col("n1").cast("double") / (col("n") - 1)).as("loo_neg"))
         .orderBy("seg")
+    },
+
+    // F26 — multiclass MCC (Gorodkin's R_K) + Cohen's kappa over the kNN
+    // confusion matrix: the two chance-corrected single-number scores
+    // F11's per-class precision/recall can't give (accuracy lies under
+    // class imbalance; MCC and kappa don't). Everything reduces to exact
+    // BIGINT contingency sums over the k×k cm frame — c·s, Σt_k·p_k,
+    // Σp_k², Σt_k² — so both statistics are one fixed double closed form
+    // each; degenerate single-class predictions NULL out via nullif, not
+    // an ANSI divide error. The only data-scale stage is the kNN scoring
+    // pipeline itself (shared with F11).
+    QueryDef.sql("m_mcc_kappa",
+      s"""WITH ${SimilarityQueries.knnConfusionCte},
+         |tt AS (SELECT true_label AS label, CAST(sum(n) AS BIGINT) AS t FROM cm GROUP BY 1),
+         |pp AS (SELECT pred_label AS label, CAST(sum(n) AS BIGINT) AS p FROM cm GROUP BY 1),
+         |m AS (SELECT
+         |  (SELECT CAST(sum(n) AS BIGINT) FROM cm) AS s,
+         |  (SELECT coalesce(CAST(sum(n) AS BIGINT), 0)
+         |     FROM cm WHERE true_label = pred_label) AS c,
+         |  (SELECT CAST(sum(t.t * coalesce(p.p, 0)) AS BIGINT)
+         |     FROM tt t LEFT JOIN pp p USING (label)) AS stp,
+         |  (SELECT CAST(sum(p * p) AS BIGINT) FROM pp) AS sp2,
+         |  (SELECT CAST(sum(t * t) AS BIGINT) FROM tt) AS st2)
+         |SELECT s AS n, c AS n_correct, CAST(c AS DOUBLE) / s AS accuracy,
+         |  (CAST(c AS DOUBLE) * s - stp)
+         |    / nullif(sqrt((CAST(s AS DOUBLE) * s - sp2) * (CAST(s AS DOUBLE) * s - st2)), 0) AS mcc,
+         |  (CAST(c AS DOUBLE) * s - stp)
+         |    / nullif(CAST(s AS DOUBLE) * s - stp, 0) AS kappa
+         |FROM m""".stripMargin) { (s, d) =>
+      val (te, tr) = SimilarityQueries.knnSplit(Tables.embeddings(s, d))
+      val cm = SimilarityQueries.knnConfusion(SimilarityQueries.knnPredictions(
+        te, tr, graft.operators.Similarity.bruteForceTopK(te, tr, 5)))
+        .persist()
+      val tt = cm.groupBy(col("true_label").as("label")).agg(sum("n").cast("long").as("t"))
+      val pp = cm.groupBy(col("pred_label").as("label")).agg(sum("n").cast("long").as("p"))
+      val base = cm.agg(sum("n").cast("long").as("s"),
+        coalesce(sum(when(col("true_label") === col("pred_label"), col("n"))), lit(0L))
+          .cast("long").as("c"))
+      val stp = tt.join(pp, Seq("label"), "left")
+        .agg(sum(col("t") * coalesce(col("p"), lit(0L))).cast("long").as("stp"))
+      val sp2 = pp.agg(sum(col("p") * col("p")).cast("long").as("sp2"))
+      val st2 = tt.agg(sum(col("t") * col("t")).cast("long").as("st2"))
+      base.crossJoin(broadcast(stp)).crossJoin(broadcast(sp2)).crossJoin(broadcast(st2))
+        .selectExpr("s AS n", "c AS n_correct", "CAST(c AS DOUBLE) / s AS accuracy",
+          "(CAST(c AS DOUBLE) * s - stp) " +
+            "/ nullif(sqrt((CAST(s AS DOUBLE) * s - sp2) * (CAST(s AS DOUBLE) * s - st2)), 0) AS mcc",
+          "(CAST(c AS DOUBLE) * s - stp) / nullif(CAST(s AS DOUBLE) * s - stp, 0) AS kappa")
     }
   )
 
