@@ -345,6 +345,39 @@ object CurationQueries {
           "'lang_en', CAST(2 AS BIGINT), d2, t2, " +
           "'exact_dedup', CAST(3 AS BIGINT), d3, t3) AS (stage, stage_idx, docs, tokens)"))
         .orderBy("stage_idx")
+    },
+
+    // H11 — deterministic per-epoch shuffle: a training run needs a
+    // DIFFERENT document order each epoch, reproducible across reruns
+    // and engines — so the order is md5(epoch:doc_id), never an RNG
+    // (H6's selector discipline applied to ORDERING). The oracled row is
+    // the bounded head (first 20 positions per epoch) — Spark 4 compiles
+    // the rank-limit window to WindowGroupLimit, a running top-n per
+    // partition that prunes before the shuffle; the FULL permutation at
+    // 100 TB assigns positions by A1's range-partition surrogate-rank
+    // trick over the same hash key (sort keys, not data, move).
+    QueryDef.sql("p_epoch_shuffle",
+      """WITH f AS (
+        |  SELECT g.k AS epoch, doc_id,
+        |    md5(CAST(g.k AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents CROSS JOIN unnest(range(0, 3)) AS g(k)),
+        |r AS (SELECT epoch, doc_id,
+        |        row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+        |      FROM f)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS BIGINT) AS pos, doc_id
+        |FROM r WHERE pos <= 20 ORDER BY epoch, pos""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val epochs = s.range(0, 3).select(col("id").as("epoch"))
+      val f = Tables.documents(s, d).select("doc_id")
+        .crossJoin(broadcast(epochs))
+        .select(col("epoch"), col("doc_id"),
+          md5(concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))).as("h"))
+      f.withColumn("pos",
+          row_number().over(Window.partitionBy("epoch").orderBy("h", "doc_id")))
+        .filter(col("pos") <= 20)
+        .select(col("epoch"), col("pos").cast("long").as("pos"), col("doc_id"))
+        .orderBy("epoch", "pos")
     }
   )
 }

@@ -574,6 +574,59 @@ object DedupQueries {
       xa.join(xb, "h").filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
         .orderBy("a", "b")
+    },
+
+    // D14 — survivor selection per duplicate cluster: the step a real
+    // dedup pipeline runs AFTER D6's components — which copy do we KEEP?
+    // Policy here: longest text wins, doc_id breaks ties (content-aware,
+    // unlike D6's min-id canonical flag). One join from the
+    // cluster-assignment frame to the documents dim for n_chars, then a
+    // single per-cluster rank window over the cluster-sized frame (the
+    // windows run over component assignments, never raw text). Emits the
+    // per-cluster keep decision plus the size accounting a removal
+    // report needs.
+    QueryDef.sql("d_survivor_pick",
+      s"""WITH RECURSIVE ${idsCte(3)},
+         |${minhashVerifyCte(0.5)},
+         |edges AS (SELECT a AS u, b AS v FROM nd UNION SELECT b, a FROM nd),
+         |walk AS (
+         |  SELECT u AS node, u AS reach FROM edges
+         |  UNION
+         |  SELECT w.node, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+         |comp AS (SELECT min(reach) AS cluster_id, node AS doc FROM walk GROUP BY node),
+         |j AS (SELECT c.cluster_id, c.doc, d.n_chars
+         |      FROM comp c JOIN documents d ON d.doc_id = c.doc),
+         |r AS (SELECT cluster_id, doc, n_chars,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n_chars DESC, doc) AS rn,
+         |        count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |        sum(n_chars) OVER (PARTITION BY cluster_id) AS total_chars
+         |      FROM j)
+         |SELECT cluster_id, doc AS survivor_doc, n_chars AS survivor_chars,
+         |  CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(total_chars AS BIGINT) AS total_chars
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val docSets = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docSets.count()
+      val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2))
+      val pairs = Dedup.verifiedJaccard(cand, docSets).filter(col("jaccard") >= 0.5)
+      val comp = Dedup.components(pairs, "a", "b")
+        .select(col("component").as("cluster_id"), col("doc"))
+      val j = comp.join(docs.select(col("doc_id").as("doc"), col("n_chars")), "doc")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("cluster_id")
+      j.select(col("cluster_id"), col("doc"), col("n_chars"),
+          row_number().over(w.orderBy(col("n_chars").desc, col("doc"))).as("rn"),
+          count(lit(1)).over(w).as("n_members"),
+          sum("n_chars").over(w).as("total_chars"))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc").as("survivor_doc"),
+          col("n_chars").as("survivor_chars"),
+          col("n_members").cast("long").as("n_members"),
+          col("total_chars").cast("long").as("total_chars"))
+        .orderBy("cluster_id")
     }
   )
 }

@@ -394,6 +394,55 @@ object GraphQueries {
           """(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
             |(sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
             | sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) AS assortativity""".stripMargin)
+    },
+
+    // B119 — BFS hop distances from the minimum-id node over the strong
+    // (w ≥ 2) co-purchase graph: single-source shortest paths in hops —
+    // the reachability primitive under B34's global rank and D6's
+    // components ("HOW FAR is everything from here", not just "is it
+    // connected"). Aggregate-then-iterate (§5): the staged edge table is
+    // built once; each of the ≤ 8 rounds is a frontier⋈edges equi-join
+    // with an anti-join against the visited set — both frontier-sized,
+    // never data-scale — pinned per round with an eager localCheckpoint
+    // so lineage stays flat. The oracle is DuckDB's recursive CTE over
+    // the identical edge construction; dist caps at 8 on both sides so
+    // the recursion is bounded by construction.
+    QueryDef.sql("g_bfs_levels",
+      """WITH RECURSIVE pr AS (
+        |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2),
+        |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |src AS (SELECT min(u) AS s0 FROM e),
+        |bfs AS (
+        |  SELECT s0 AS node, CAST(0 AS BIGINT) AS dist FROM src
+        |  UNION
+        |  SELECT adj.b, bfs.dist + 1 FROM bfs JOIN adj ON adj.a = bfs.node
+        |  WHERE bfs.dist < 8)
+        |SELECT node, min(dist) AS dist FROM bfs
+        |GROUP BY node ORDER BY dist, node""".stripMargin) { (s, d) =>
+      val e = stagedCoEdges(s, d).filter(col("w") >= 2).select("u", "v")
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(true)
+      var visited = e.agg(min("u").as("node"))
+        .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+      var frontier = visited
+      var i = 1
+      // each localCheckpoint is eager, so the emptiness probe is free —
+      // an exhausted frontier ends the sweep instead of burning the
+      // remaining rounds on empty joins (the sparse-graph case)
+      while (i <= 8 && !frontier.isEmpty) {
+        frontier = frontier.join(adj, frontier("node") === adj("a"))
+          .select(col("b").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(i.toLong).as("dist"))
+          .localCheckpoint(true)
+        visited = visited.unionAll(frontier).localCheckpoint(true)
+        i += 1
+      }
+      visited.select(col("node"), col("dist")).orderBy("dist", "node")
     }
   )
 }
