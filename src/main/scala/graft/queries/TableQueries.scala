@@ -184,6 +184,21 @@ object TableQueries {
           sum(col("o_orderkey")).as("key_sum"),
           sum(col("price").cast("decimal(18,2)")).cast("double").as("price_sum"))
         .orderBy("transition", "change_type")
+    },
+
+    // G21 — RESTORE: roll the table back to a prior version after a bad
+    // write, as a NEW commit (the audit trail keeps the bad version; the
+    // rollback is itself history). Manifest-only — restoring a 100 TB
+    // table costs one manifest write, zero data movement, because data
+    // files are immutable and the restored manifest re-references them.
+    // The scenario deletes status-'P' rows (the "bad write") then
+    // restores to the post-merge version; the latest read must land on
+    // the v1 state bit for bit — the oracle is v1's set algebra, so a
+    // restore that leaks the delete, loses the merge, or re-reads the
+    // wrong files breaks the hash.
+    QueryDef.sql("q_table_restore",
+      s"WITH $mergedCte\n${aggSql.format("v1")}") { (s, d) =>
+      stateAgg(SnapshotTable.read(s, restoreScenario(s, d)))
     }
   )
 
@@ -223,6 +238,29 @@ object TableQueries {
       SnapshotTable.merge(s, dir, updates.unionByName(inserts), "o_orderkey")
       SnapshotTable.delete(s, dir, col("o_orderstatus") === "P", "o_orderkey")
       SnapshotTable.compact(s, dir, "o_orderkey", targetFiles = 2)
+    }
+    dir
+  }
+
+  /** G21 scenario: create → merge → delete (the "bad write") → RESTORE
+    * back to the post-merge version. */
+  private def restoreScenario(s: org.apache.spark.sql.SparkSession, d: String): String = scenarioLock.synchronized {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snaptable_r_" +
+      Integer.toHexString(d.hashCode)
+    if (SnapshotTable.latestVersion(dir) < 3) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").as("price"))
+      SnapshotTable.create(s, dir, base, "o_orderkey")
+      val updates = base.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("price") + 100.0).as("price"))
+      val inserts = base.filter(col("o_orderkey") % 101 === 5)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(50.0).as("price"))
+      SnapshotTable.merge(s, dir, updates.unionByName(inserts), "o_orderkey")
+      SnapshotTable.delete(s, dir, col("o_orderstatus") === "P", "o_orderkey")
+      SnapshotTable.restore(s, dir, 1)
     }
     dir
   }

@@ -273,6 +273,22 @@ object SnapshotTable {
       landFiles(s, dir, read(s, dir, v), key, v + 1, "compact", targetFiles))
   }
 
+  /** RESTORE (G21): re-commit version `toVersion`'s manifest as the new
+    * latest — the rollback operation after a bad write. Manifest-only:
+    * ZERO data movement or rewrite (data files are immutable and the
+    * restored manifest re-references them), so restoring a 100 TB table
+    * costs one manifest write. History records a 'restore' op with the
+    * restored row count; the rolled-back intermediate versions stay
+    * time-travelable until vacuum expires them. */
+  def restore(s: SparkSession, dir: String, toVersion: Int): Unit = commitLock.synchronized {
+    val latest = latestVersion(dir)
+    require(latest >= 0, s"$dir has no committed version")
+    require(toVersion >= 0 && toVersion <= latest,
+      s"version $toVersion outside committed range 0..$latest")
+    commit(s, dir, latest + 1,
+      manifest(s, dir, toVersion).withColumn("op", lit("restore")))
+  }
+
   /** VACUUM (G19): physically delete data files referenced ONLY by
     * versions older than the newest `retainVersions`, then drop those
     * versions' manifests. Time travel works within the retention window

@@ -267,4 +267,27 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(applied.orderBy("k").collect().toSeq == v1.orderBy("k").collect().toSeq,
       "feed applied to v0 must reproduce v1 row-for-row")
   }
+
+  test("restore rolls back to a prior version manifest-only and keeps the bad version (G21)") {
+    val dir = mk("restore")
+    SnapshotTable.delete(spark, dir, col("k") >= 500, "k") // the "bad write" (v1)
+    val filesBefore = Option(new java.io.File(s"$dir/data").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    SnapshotTable.restore(spark, dir, 0)                   // v2
+
+    // latest state is bit-identical to v0
+    val v0 = SnapshotTable.read(spark, dir, 0).orderBy("k").collect().toSeq
+    assert(SnapshotTable.read(spark, dir).orderBy("k").collect().toSeq == v0)
+    // manifest-only: zero new data files were written
+    val filesAfter = Option(new java.io.File(s"$dir/data").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(filesAfter == filesBefore, "restore must not move or write data")
+    // the rolled-back version stays time-travelable (audit trail)
+    assert(SnapshotTable.read(spark, dir, 1).count() == 500)
+    // history records the restore with the restored row count
+    val h = SnapshotTable.history(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3))).toSeq
+    assert(h.map(t => (t._1, t._2)) == Seq((0, "create"), (1, "delete"), (2, "restore")))
+    assert(h.last._3 == 1000L)
+  }
 }
