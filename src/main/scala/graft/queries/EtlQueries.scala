@@ -732,6 +732,33 @@ object EtlQueries {
           "'priority_domain', CAST(2 AS BIGINT), b2, n, " +
           "'clean', CAST(3 AS BIGINT), b3, n) AS (rule, rule_idx, n_bad, n)"))
         .orderBy("rule_idx")
+    },
+
+    // A27 — PII-safe data masking for sharing a dimension outside the
+    // trust boundary (the TABLE-level companion to C9's free-text
+    // scrub): (1) key → deterministic md5 TOKEN — pseudonymous but
+    // join-stable, so downstream equi-joins on the token still work
+    // across tables masked the same way; (2) name → first-4 + '*' pad —
+    // format-preserving redaction (length survives for layout QA); (3)
+    // balance → generalized to the nearest 100 (k-anonymity
+    // generalization: coarse enough to pool, ordered enough to
+    // analyze); quasi-identifiers (nation, segment) pass through for
+    // utility. One projection-only scan — narrow, codegen'd, zero
+    // shuffles at any scale.
+    QueryDef.sql("q_data_mask",
+      """SELECT
+        |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS key_token,
+        |  substr(c_name, 1, 4) || repeat('*', greatest(0, length(c_name) - 4)) AS name_masked,
+        |  CAST(round(c_acctbal / 100.0) AS BIGINT) * 100 AS acctbal_bucket,
+        |  c_nationkey, c_mktsegment
+        |FROM customer ORDER BY key_token""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).selectExpr(
+          "substr(md5(CAST(c_custkey AS STRING)), 1, 16) AS key_token",
+          "concat(substr(c_name, 1, 4), " +
+            "repeat('*', greatest(0, length(c_name) - 4))) AS name_masked",
+          "CAST(round(c_acctbal / 100.0D) AS BIGINT) * 100 AS acctbal_bucket",
+          "c_nationkey", "c_mktsegment")
+        .orderBy("key_token")
     }
   )
 

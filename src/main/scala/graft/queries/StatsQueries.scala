@@ -1496,6 +1496,79 @@ object StatsQueries {
         .selectExpr("n_name AS nation", "n_customers", "rev_cents",
           "10000.0 * sumsq / (CAST(rev_cents AS DOUBLE) * rev_cents) AS hhi")
         .orderBy("nation")
+    },
+
+    // B120 — CUPED variance reduction for the B112 A/B cohorts: adjust
+    // each cohort's post-period mean by θ·(pre-period deviation), the
+    // industry-standard experiment-sensitivity technique (θ = pooled
+    // cov(pre,post)/var(pre); pre-period behavior explains away noise
+    // the treatment can't have caused). The pre/post split is integer
+    // day arithmetic off the global [min,max] midpoint; per-user pre and
+    // post are ONE exact-DECIMAL conditional partial agg; θ and the
+    // adjusted means are fixed closed forms over the exact co-moment
+    // sums (m_linreg's sufficient-statistics discipline — adjusted means
+    // need NO per-row pass: mean_adj = mean_post − θ·(mean_pre −
+    // grand_mean_pre) is agg algebra). DECIMAL exits via the
+    // correctly-rounded VARCHAR path (products pass 2^53 unscaled).
+    QueryDef.sql("q_cuped",
+      """WITH b AS (
+        |  SELECT min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS lo,
+        |         max(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS hi
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, user_id % 2 AS cohort,
+        |    sum(CASE WHEN datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) <= (lo + hi) // 2
+        |        THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS pre,
+        |    sum(CASE WHEN datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) > (lo + hi) // 2
+        |        THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS post
+        |  FROM events CROSS JOIN b GROUP BY 1, 2),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(CAST(sum(pre) AS VARCHAR) AS DOUBLE) AS sx,
+        |        CAST(CAST(sum(post) AS VARCHAR) AS DOUBLE) AS sy,
+        |        CAST(CAST(sum(pre*pre) AS VARCHAR) AS DOUBLE) AS sxx,
+        |        CAST(CAST(sum(pre*post) AS VARCHAR) AS DOUBLE) AS sxy
+        |      FROM pu),
+        |t AS (SELECT sx / n AS gmean_pre,
+        |        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta
+        |      FROM u),
+        |c AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users,
+        |        CAST(CAST(sum(pre) AS VARCHAR) AS DOUBLE) AS csx,
+        |        CAST(CAST(sum(post) AS VARCHAR) AS DOUBLE) AS csy
+        |      FROM pu GROUP BY 1)
+        |SELECT cohort, n_users,
+        |  csy / n_users AS mean_post, csx / n_users AS mean_pre,
+        |  csy / n_users - theta * (csx / n_users - gmean_pre) AS mean_adjusted,
+        |  theta
+        |FROM c CROSS JOIN t ORDER BY cohort""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).as("day"))
+      val b = ev.agg(min("day").as("lo"), max("day").as("hi"))
+      val pu = ev.crossJoin(broadcast(b))
+        .groupBy(col("user_id"), (col("user_id") % 2).as("cohort"))
+        .agg(
+          sum(expr("CASE WHEN day <= (lo + hi) DIV 2 " +
+            "THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END")).as("pre"),
+          sum(expr("CASE WHEN day > (lo + hi) DIV 2 " +
+            "THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END")).as("post"))
+        .persist()
+      val t = pu.agg(count(lit(1)).cast("long").as("n"),
+          expr("CAST(sum(pre) AS DOUBLE)").as("sx"),
+          expr("CAST(sum(post) AS DOUBLE)").as("sy"),
+          expr("CAST(sum(pre*pre) AS DOUBLE)").as("sxx"),
+          expr("CAST(sum(pre*post) AS DOUBLE)").as("sxy"))
+        .selectExpr("sx / n AS gmean_pre",
+          "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta")
+      pu.groupBy("cohort")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          expr("CAST(sum(pre) AS DOUBLE)").as("csx"),
+          expr("CAST(sum(post) AS DOUBLE)").as("csy"))
+        .crossJoin(broadcast(t))
+        .selectExpr("cohort", "n_users",
+          "csy / n_users AS mean_post", "csx / n_users AS mean_pre",
+          "csy / n_users - theta * (csx / n_users - gmean_pre) AS mean_adjusted",
+          "theta")
+        .orderBy("cohort")
     }
   )
 }

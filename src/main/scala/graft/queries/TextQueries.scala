@@ -1121,6 +1121,43 @@ object TextQueries {
             """(CAST(nm AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
               |(CAST(nm AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope""".stripMargin),
         10, Seq(col("slope").desc, col("tok")))
+    },
+
+    // C26 — Flesch reading-ease per document: the classic readability
+    // score as a quality-gate feature beside C2 (a corpus filter often
+    // drops both unreadably dense AND trivially repetitive text).
+    // Syllables are the standard vowel-group heuristic ([aeiouy]+ runs —
+    // exact syllabification needs a dictionary; the heuristic is the
+    // score's own published approximation), sentences are punctuation
+    // runs floored at 1. Every input is an exact integer count from ONE
+    // projection-only scan (regex counts, no explode, no shuffle —
+    // embarrassingly parallel at 100 TB), and the score is one fixed
+    // per-row IEEE expression — no cross-row double sums at all.
+    QueryDef.sql("t_readability",
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+         |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+         |  CASE WHEN len($toks) > 0 THEN
+         |    206.835
+         |      - 1.015 * (CAST(len($toks) AS DOUBLE)
+         |          / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+         |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+         |          / len($toks))
+         |  END AS flesch
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_words"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .cast("long").as("n_syllables"),
+          greatest(lit(1), size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+            .cast("long").as("n_sentences"))
+        .selectExpr("doc_id", "n_words", "n_syllables", "n_sentences",
+          """CASE WHEN n_words > 0 THEN
+            |  206.835D - 1.015D * (CAST(n_words AS DOUBLE) / n_sentences)
+            |    - 84.6D * (CAST(n_syllables AS DOUBLE) / n_words)
+            |END AS flesch""".stripMargin)
+        .orderBy("doc_id")
     }
   )
 }
