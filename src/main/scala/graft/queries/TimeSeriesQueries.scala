@@ -1454,6 +1454,92 @@ object TimeSeriesQueries {
         curve.select(col("day"), sum("d").over(sweepW).cast("long").as("concurrency")),
         20, Seq(col("concurrency").desc, col("day")))
         .selectExpr("date_format(day,'yyyy-MM-dd') AS day", "concurrency")
+    },
+
+    // B121 — rolling 30-day OLS trend slope of daily revenue: the local
+    // trend estimate B97's global Theil–Sen summarizes (a dashboard
+    // wants "slope right NOW", windowed). Every window co-moment is
+    // EXACT — x (day index) and x² sums are integers, y and x·y sums
+    // are decimals — so the slope is one fixed closed form per dim row
+    // with a single double exit per sum; the x·y sums pass 2^53
+    // unscaled → VARCHAR-path exit. Windows ride the date-dim rollup.
+    // Warm-up rows (n < 2) emit NULL — never an ANSI zero divide.
+    QueryDef.sql("q_rolling_beta",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT day,
+        |    CAST(count(*) OVER win AS BIGINT) AS n,
+        |    CAST(sum(x) OVER win AS BIGINT) AS sx,
+        |    CAST(sum(x*x) OVER win AS BIGINT) AS sxx,
+        |    CAST(CAST(sum(y) OVER win AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(y*x) OVER win AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY x ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day,'%Y-%m-%d') AS day, n,
+        |  CASE WHEN n >= 2 THEN
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)
+        |  END AS slope30
+        |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("y"))
+        .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val win = Window.orderBy("x").rowsBetween(-29, 0)
+      daily.select(col("day"),
+          count(lit(1)).over(win).cast("long").as("n"),
+          sum("x").over(win).cast("long").as("sx"),
+          sum(expr("x*x")).over(win).cast("long").as("sxx"),
+          sum("y").over(win).cast("double").as("sy"),
+          sum(expr("y*x")).over(win).cast("double").as("sxy"))
+        .selectExpr("date_format(day,'yyyy-MM-dd') AS day", "n",
+          """CASE WHEN n >= 2 THEN
+            |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            |    / CAST(n * sxx - sx * sx AS DOUBLE)
+            |END AS slope30""".stripMargin)
+        .orderBy("day")
+    },
+
+    // B122 — conversion-latency distribution: hours from a user's FIRST
+    // view to their FIRST purchase (for users whose first purchase
+    // followed their first view) — B22/B99 report IF users convert; this
+    // reports HOW LONG conversion takes, the number an SLA or attribution
+    // window is tuned against. ONE per-user conditional min partial agg
+    // (the only data-scale stage), integer millisecond arithmetic, then
+    // an hours-dim histogram with an exact cumulative share — dim-sized
+    // window, one double division per row.
+    QueryDef.sql("q_conversion_lag",
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS p
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT user_id, (p - v) // 3600000 AS lag_hours
+        |      FROM pu WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v),
+        |g AS (SELECT lag_hours, CAST(count(*) AS BIGINT) AS n_users FROM l GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS total FROM g)
+        |SELECT lag_hours, n_users,
+        |  CAST(sum(n_users) OVER (ORDER BY lag_hours
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total AS cum_share
+        |FROM g CROSS JOIN t ORDER BY lag_hours""".stripMargin) { (s, d) =>
+      val pu = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", unix_millis(col("ts")))).as("v"),
+          min(when(col("event_type") === "purchase", unix_millis(col("ts")))).as("p"))
+      val g = pu.filter(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+        .select(expr("(p - v) DIV 3600000").as("lag_hours"))
+        .groupBy("lag_hours").agg(count(lit(1)).cast("long").as("n_users"))
+      val t = g.agg(sum("n_users").cast("long").as("total"))
+      val cumW = Window.orderBy("lag_hours")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.crossJoin(broadcast(t))
+        .select(col("lag_hours"), col("n_users"),
+          (sum("n_users").over(cumW).cast("double") / col("total")).as("cum_share"))
+        .orderBy("lag_hours")
     }
   )
 }

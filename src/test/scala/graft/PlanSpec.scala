@@ -292,4 +292,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
     assert(df.count() == 10)
   }
+
+  test("epoch-shuffle head prunes to k rows per epoch before any shuffle (H11)") {
+    // the rank-limit must compile to the native TopKPerGroup partial/final
+    // pair (or Spark's own partial WindowGroupLimit) — never a full
+    // per-epoch sort of the corpus just to keep 20 rows
+    val p = plan("p_epoch_shuffle")
+    assert(p.contains("TopKPerGroup") ||
+      (p.contains("WindowGroupLimit") && p.contains("Partial")),
+      s"expected pre-shuffle rank pruning in:\n$p")
+  }
+
+  test("skyline never plans the O(n²) pair space (B118)") {
+    val p = plan("q_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not materialize the quadratic dominance join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the day-rollup join back onto the facts must broadcast:\n$p")
+  }
+
+  test("interval-overlap sweep ends in a top-k reduce, not a global sort of the curve (B117)") {
+    val p = plan("q_interval_overlap")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-20 reduce in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("data masking is projection-only: no joins, no hash exchange (A27)") {
+    val p = plan("q_data_mask")
+    assert(!p.contains("hashpartitioning") && !p.contains("Join"),
+      s"masking must stay a narrow projection:\n$p")
+  }
 }
