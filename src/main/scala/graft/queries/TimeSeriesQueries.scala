@@ -1540,6 +1540,94 @@ object TimeSeriesQueries {
         .select(col("lag_hours"), col("n_users"),
           (sum("n_users").over(cumW).cast("double") / col("total")).as("cum_share"))
         .orderBy("lag_hours")
+    },
+
+    // B123 — DAU growth accounting: every day's active-user count
+    // decomposed into NEW + RETAINED + RESURRECTED, with CHURNED =
+    // yesterday's actives who vanished (actives(d−1) − retained(d)) —
+    // the canonical growth dashboard, and the decomposition B23's
+    // retention triangle can't give (retention tracks one cohort
+    // forward; this explains each month's composition). The stream
+    // reduces to the distinct (user, month) frame first (ONE partial
+    // agg — the only data-scale stage); classification is two
+    // user-partitioned window functions over that dim-sized frame;
+    // churn is a self-join on day−1 over the date-dim counts.
+    // Integer day arithmetic end to end.
+    QueryDef.sql("q_growth_accounting",
+      """WITH um AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS m
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, m,
+        |    min(m) OVER (PARTITION BY user_id) AS first_m,
+        |    lag(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m
+        |  FROM um),
+        |c AS (
+        |  SELECT m, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN m = first_m THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN m <> first_m AND prev_m = m - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN m <> first_m AND prev_m <> m - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM f GROUP BY 1)
+        |SELECT c.m AS day_idx, c.n_active, c.n_new, c.n_retained, c.n_resurrected,
+        |  coalesce(p.n_active, 0) - c.n_retained AS n_churned
+        |FROM c LEFT JOIN c p ON p.m = c.m - 1
+        |ORDER BY day_idx""".stripMargin) { (s, d) =>
+      val um = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("m"))
+        .distinct()
+      val uw = Window.partitionBy("user_id")
+      val f = um.select(col("user_id"), col("m"),
+        min("m").over(uw).as("first_m"),
+        lag("m", 1).over(uw.orderBy("m")).as("prev_m"))
+      val c = f.groupBy("m")
+        .agg(count(lit(1)).cast("long").as("n_active"),
+          sum(when(col("m") === col("first_m"), 1).otherwise(0)).cast("long").as("n_new"),
+          sum(when(col("m") =!= col("first_m") && col("prev_m") === col("m") - 1, 1)
+            .otherwise(0)).cast("long").as("n_retained"),
+          sum(when(col("m") =!= col("first_m") && col("prev_m") =!= col("m") - 1, 1)
+            .otherwise(0)).cast("long").as("n_resurrected"))
+      val p = c.select(col("m").as("pm"), col("n_active").as("prev_active"))
+      c.join(broadcast(p), col("pm") === col("m") - 1, "left")
+        .select(col("m").as("day_idx"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"),
+          (coalesce(col("prev_active"), lit(0L)) - col("n_retained")).as("n_churned"))
+        .orderBy("day_idx")
+    },
+
+    // B124 — DAU/WAU stickiness per week: average daily actives over
+    // weekly actives — the engagement-intensity scalar beside B123's
+    // composition and B31's rolling WAU. Both numerator and denominator
+    // are exact distinct counts off the SAME (user, day) reduce (one
+    // data-scale pass); stickiness is one double division per week row.
+    QueryDef.sql("q_stickiness",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+        |  FROM events),
+        |g AS (
+        |  SELECT wk, CAST(count(*) AS BIGINT) AS user_days,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM ud GROUP BY 1)
+        |SELECT strftime(wk,'%Y-%m-%d') AS week, n_days, wau,
+        |  CAST(user_days AS DOUBLE) / n_days AS avg_dau,
+        |  CAST(user_days AS DOUBLE) / n_days / wau AS stickiness
+        |FROM g ORDER BY week""".stripMargin) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          date_trunc("week", to_date(col("ts"))).cast("date").as("wk"))
+        .distinct()
+      ud.groupBy("wk")
+        .agg(count(lit(1)).cast("long").as("user_days"),
+          countDistinct("day").cast("long").as("n_days"),
+          countDistinct("user_id").cast("long").as("wau"))
+        .selectExpr("date_format(wk,'yyyy-MM-dd') AS week", "n_days", "wau",
+          "CAST(user_days AS DOUBLE) / n_days AS avg_dau",
+          "CAST(user_days AS DOUBLE) / n_days / wau AS stickiness")
+        .orderBy("week")
     }
   )
 }
