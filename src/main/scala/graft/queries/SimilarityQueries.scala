@@ -369,15 +369,14 @@ object SimilarityQueries {
          |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY 1),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
          |pr AS (SELECT doc_id AS q FROM documents WHERE doc_id % 25 = 0),
-         |kw0 AS (SELECT pr.q, t2.doc_id AS d, df.df AS dfv,
-         |         CAST(nd AS DOUBLE)/df AS rr
+         |idf AS (SELECT tok,
+         |         CAST(round(${graft.functions.PortableMath.lnSql("(CAST(nd AS DOUBLE)/df)")} * 1099511627776.0) AS BIGINT) AS idf_fp
+         |       FROM df CROSS JOIN nn),
+         |kw AS (SELECT pr.q, t2.doc_id AS d, CAST(sum(idf_fp) AS BIGINT) AS score
          |       FROM pr JOIN tk t1 ON t1.doc_id = pr.q
          |       JOIN tk t2 ON t2.tok = t1.tok AND t2.doc_id <> pr.q
-         |       JOIN df ON df.tok = t1.tok CROSS JOIN nn),
-         |kw AS (SELECT q, d,
-         |         list_reduce(list(${graft.functions.PortableMath.lnSql("rr")} ORDER BY dfv),
-         |                     (x, y) -> x + y) AS score
-         |       FROM kw0 GROUP BY 1, 2),
+         |       JOIN idf ON idf.tok = t1.tok
+         |       GROUP BY 1, 2),
          |kr AS (SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS r
          |       FROM kw QUALIFY r <= 10),
          |vp AS (SELECT p.q, e.vec_id AS d, $cos AS c
@@ -413,20 +412,27 @@ object SimilarityQueries {
       // the probe contract, like E1's probe side.
       val ptk = broadcast(pr
         .join(tk.select(col("doc_id").as("q"), col("tok")), Seq("q")))
+      // portable ln + FIXED-POINT score (round-10 rule, perf-reworked):
+      // the portable pLn runs ONCE per vocabulary entry, quantized to a
+      // 2^-40 integer grid (round(idf·2^40) — deterministic in both
+      // engines; a 1e-12 score quantum is far below any ranking
+      // distinction this corpus can produce). The pair score is then an
+      // EXACT BIGINT sum — associative and map-side combinable, so the
+      // 10^8-row token fan-out collapses in-place instead of feeding a
+      // per-pair double fold (the r10 collect_list fold measured 40+ s;
+      // this is the r9 partial-agg shape back, now bit-portable by
+      // integer arithmetic instead of a banned double→DECIMAL re-entry).
+      // Headroom: idf_fp ≤ ln(nd)·2^40 ≈ 4e13; 2^53 clears ~200 shared
+      // tokens per pair — and the sum is rank-only, never exits to
+      // DOUBLE.
+      val dfIdf = broadcast(dfTok.crossJoin(nn).select(col("tok"),
+        round(graft.functions.PortableMath.pLn(col("nd").cast("double") / col("df"))
+          * lit(1099511627776.0)).cast("long").as("idf_fp")))
       val kw = tk.select(col("doc_id").as("d"), col("tok"))
         .join(ptk, Seq("tok"))
         .filter(col("d") =!= col("q"))
-        .join(broadcast(dfTok), "tok").crossJoin(broadcast(nn))
-        // portable ln + df-pinned fold (round-10 rule): libm ln over a
-        // vocabulary of distinct idf inputs was maximal host exposure,
-        // and the old DECIMAL(28,18) re-entry leaned on DuckDB's
-        // not-correctly-rounded double->DECIMAL cast. Equal-df terms are
-        // EQUAL addends, so pinning by df alone fixes the fold order.
-        .select(col("q"), col("d"), col("df"),
-          graft.functions.PortableMath.pLn(col("nd").cast("double") / col("df")).as("idf"))
-        .groupBy("q", "d")
-        .agg(expr("aggregate(array_sort(collect_list(named_struct('df', df, 'v', idf))), " +
-          "CAST(0 AS DOUBLE), (x, y) -> x + y.v)").as("score"))
+        .join(dfIdf, "tok")
+        .groupBy("q", "d").agg(sum("idf_fp").cast("long").as("score"))
       val kr = kw
         .withColumn("r", row_number().over(
           Window.partitionBy("q").orderBy(col("score").desc, col("d"))))
