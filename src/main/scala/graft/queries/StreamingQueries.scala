@@ -414,6 +414,40 @@ object StreamingQueries {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n_events"), col("total_value"))
         .orderBy("window_start", "event_type")
+    },
+
+    // F1j — STREAM-STATIC enrichment join: the one classic streaming
+    // shape the family lacked (F1c is stream-stream with event-time
+    // bounds; this is the dimension-lookup every ingest pipeline runs).
+    // The static customer dim joins INSIDE each micro-batch as a
+    // broadcast hash join — no watermark, no join state at all (the
+    // stream side never waits for the dim side; Spark re-plans the
+    // static side per batch, which is also how slowly-changing dims pick
+    // up updates between batches). At 100 TB the dim is exactly the
+    // broadcast-sized side by construction, and the post-join aggregate
+    // is the usual mergeable partial agg over segment×type.
+    QueryDef.sql("f_stream_enrich",
+      """SELECT c_mktsegment AS segment, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON c_custkey = user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Events.readEventStream(s, stagedEvents(s, d))
+      val dim = graft.sources.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = ev.join(broadcast(dim), col("c_custkey") === col("user_id"))
+        .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total_value"))
+      val sink = "f_stream_enrich_sink"
+      withStatePartitions(s, 8) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        awaitBounded(q)
+      }
+      s.table(sink).orderBy("segment", "event_type")
     }
   )
 
