@@ -839,6 +839,134 @@ object AnalyticsQueries {
         .selectExpr("o_orderkey", "date_format(day,'yyyy-MM-dd') AS day",
           "CAST(pc AS DOUBLE) / 100.0 AS price")
         .orderBy("day", "o_orderkey")
+    },
+
+    // B125 — repeat-charge audit: same customer, same $100 amount
+    // bucket, DIFFERENT order — the fin-ops double-charge sweep (A4
+    // dedups exact key duplicates; this finds the suspicious
+    // near-duplicates exact dedup is blind to). The self-join is an
+    // EQUI-join on (custkey, bucket) — the composite key bounds the
+    // pair space per key, never O(n²); pairs oriented a < b report each
+    // incident once, with the day gap in the output so the reviewer
+    // sees recency. Integer cents and day arithmetic end to end.
+    // (Bucket width is policy: cent-exact within 7 days is the
+    // production default; this corpus's uniform synthetic prices only
+    // collide at the $100 grain, so that is what the gate exercises.)
+    QueryDef.sql("q_double_charge",
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bucket,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx
+        |  FROM orders)
+        |SELECT a.o_custkey AS custkey,
+        |  a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+        |  CAST(a.bucket * 100 AS BIGINT) AS amount_bucket,
+        |  b.day_idx - a.day_idx AS days_apart
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey AND a.bucket = b.bucket
+        | AND a.o_orderkey < b.o_orderkey
+        |ORDER BY custkey, order_a, order_b""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).selectExpr("o_orderkey", "o_custkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) DIV 10000 AS bucket",
+        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS day_idx")
+      val a = o.select(col("o_custkey").as("custkey"), col("o_orderkey").as("order_a"),
+        col("bucket"), col("day_idx").as("da"))
+      val b = o.select(col("o_custkey").as("custkey"), col("o_orderkey").as("order_b"),
+        col("bucket"), col("day_idx").as("db"))
+      a.join(b, Seq("custkey", "bucket"))
+        .filter(col("order_a") < col("order_b"))
+        .select(col("custkey"), col("order_a"), col("order_b"),
+          (col("bucket") * 100).cast("long").as("amount_bucket"),
+          (col("db") - col("da")).as("days_apart"))
+        .orderBy("custkey", "order_a", "order_b")
+    },
+
+    // B126 — ABC inventory classification: parts ranked by revenue,
+    // bucketed A (first 80% of cumulative revenue), B (to 95%), C
+    // (rest) — the warehouse-policy operator behind B66's Pareto curve
+    // (the curve describes concentration; ABC turns it into a
+    // three-way policy decision). One part-keyed partial agg (the only
+    // data-scale stage), an exact-decimal cumulative window over the
+    // part-dim rollup under a TOTAL order (revenue DESC, partkey), the
+    // class boundaries evaluated on exact cent integers — no double
+    // compare decides a class. Output is the 3-row policy summary.
+    QueryDef.sql("q_abc_class",
+      """WITH p AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM p),
+        |c AS (
+        |  SELECT l_partkey, rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM p),
+        |cls AS (
+        |  SELECT l_partkey, rev,
+        |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |         WHEN cum * 100 <= total * 95 THEN 'B'
+        |         ELSE 'C' END AS abc
+        |  FROM c CROSS JOIN t)
+        |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) / (SELECT total FROM t) AS rev_share
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .cast("long").as("rev"))
+      val t = p.agg(sum("rev").cast("long").as("total"))
+      val cumW = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.withColumn("cum", sum("rev").over(cumW).cast("long"))
+        .crossJoin(broadcast(t))
+        .selectExpr("l_partkey", "rev",
+          """CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            |     WHEN cum * 100 <= total * 95 THEN 'B'
+            |     ELSE 'C' END AS abc""".stripMargin, "total")
+        .groupBy("abc")
+        .agg(count(lit(1)).cast("long").as("n_parts"),
+          (sum("rev").cast("long").cast("double") / 100.0).as("revenue"),
+          (sum("rev").cast("long").cast("double") / first("total")).as("rev_share"))
+        .orderBy("abc")
+    },
+
+    // B127 — reorder rate per part: the share of (customer, part)
+    // relationships with a SECOND purchase — the repeat-demand signal
+    // behind B57's basket rules and B52's cohort LTV. The stream
+    // reduces to the distinct (customer, part, order) incidence once,
+    // then per-(customer, part) order counts; the per-part rate is
+    // exact integers + one division, and only parts with ≥ 20 buyers
+    // report (small-n rates are noise). Top-20 under total order.
+    QueryDef.sql("q_reorder_rate",
+      """WITH cpo AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p, l_orderkey AS o
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |cp AS (SELECT c, p, CAST(count(*) AS BIGINT) AS n_orders FROM cpo GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT p AS partkey, CAST(count(*) AS BIGINT) AS n_buyers,
+        |    CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
+        |  FROM cp GROUP BY 1)
+        |SELECT partkey, n_buyers, n_repeat,
+        |  CAST(n_repeat AS DOUBLE) / n_buyers AS reorder_rate
+        |FROM pr WHERE n_buyers >= 20
+        |ORDER BY reorder_rate DESC, partkey LIMIT 20""".stripMargin) { (s, d) =>
+      val cpo = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
+          col("l_orderkey").as("o"))
+        .distinct()
+      val cp = cpo.groupBy("c", "p").agg(count(lit(1)).cast("long").as("n_orders"))
+      val pr = cp.groupBy(col("p").as("partkey"))
+        .agg(count(lit(1)).cast("long").as("n_buyers"),
+          sum(when(col("n_orders") >= 2, 1).otherwise(0)).cast("long").as("n_repeat"))
+      graft.operators.Relational.topKByAgg(
+        pr.filter(col("n_buyers") >= 20)
+          .withColumn("reorder_rate",
+            col("n_repeat").cast("double") / col("n_buyers")),
+        20, Seq(col("reorder_rate").desc, col("partkey")))
     }
   )
 
