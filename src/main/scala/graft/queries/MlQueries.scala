@@ -1064,6 +1064,58 @@ object MlQueries {
           "(CAST(c AS DOUBLE) * s - stp) " +
             "/ nullif(sqrt((CAST(s AS DOUBLE) * s - sp2) * (CAST(s AS DOUBLE) * s - st2)), 0) AS mcc",
           "(CAST(c AS DOUBLE) * s - stp) / nullif(CAST(s AS DOUBLE) * s - stp, 0) AS kappa")
+    },
+
+    // F27 — KS score separation: max |CDF₊(s) − CDF₋(s)| over score
+    // thresholds — the credit-risk standard for "how separable are the
+    // classes" (F9's AUC integrates separation; KS reports its PEAK and
+    // the threshold where it happens, which is where a cutoff goes).
+    // The stream reduces to per-DISTINCT-SCORE class counts first (the
+    // only data-scale stage); the cumulative window runs over the score
+    // DOMAIN, which is 2-decimal-bounded (≤ ~56k rows at ANY sf — the
+    // B18 histogram argument), so the global window is dim-sized, not
+    // data-sized. Exact integer cumulative counts, one |Δ| per domain
+    // row, argmax under total order (ks DESC, score).
+    QueryDef.sql("m_ks_score",
+      """WITH s AS (SELECT value AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS p,
+        |        CAST(count(*) - sum(y) AS BIGINT) AS q
+        |      FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nq FROM g),
+        |c AS (SELECT score,
+        |    CAST(sum(p) OVER w AS BIGINT) AS cp, CAST(sum(q) OVER w AS BIGINT) AS cq
+        |  FROM g WINDOW w AS (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT score,
+        |    abs(CAST(cp AS DOUBLE) / np - CAST(cq AS DOUBLE) / nq) AS ks
+        |  FROM c CROSS JOIN t),
+        |r AS (SELECT score, ks, row_number() OVER (ORDER BY ks DESC, score) AS rn FROM d)
+        |SELECT (SELECT np FROM t) AS npos, (SELECT nq FROM t) AS nneg,
+        |  score AS ks_threshold, ks
+        |FROM r WHERE rn = 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.events(s, d)
+        .select(col("value").as("score"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("score")
+        .agg(sum("y").cast("long").as("p"),
+          (count(lit(1)) - sum("y")).cast("long").as("q"))
+      val t = g.agg(sum("p").cast("long").as("np"), sum("q").cast("long").as("nq"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = g.select(col("score"),
+          sum("p").over(w).cast("long").as("cp"),
+          sum("q").over(w).cast("long").as("cq"))
+        .crossJoin(broadcast(t))
+        .select(col("score"), col("np"), col("nq"),
+          abs(col("cp").cast("double") / col("np") -
+            col("cq").cast("double") / col("nq")).as("ks"))
+      dd.withColumn("rn",
+          row_number().over(Window.orderBy(col("ks").desc, col("score"))))
+        .filter(col("rn") === 1)
+        .select(col("np").as("npos"), col("nq").as("nneg"),
+          col("score").as("ks_threshold"), col("ks"))
     }
   )
 
