@@ -759,6 +759,58 @@ object EtlQueries {
           "CAST(round(c_acctbal / 100.0D) AS BIGINT) * 100 AS acctbal_bucket",
           "c_nationkey", "c_mktsegment")
         .orderBy("key_token")
+    },
+
+    // A28 — SCD2 POINT-IN-TIME lookup: join every fact to the dimension
+    // VERSION that was valid at the fact's own date — the read side of
+    // A17's history maintenance (A17 builds the versioned dim; this is
+    // how a fact table consumes it without leaking attributes from the
+    // future — "as-was", not "as-is"). Plan shape: an EQUI-join on the
+    // natural key with the validity window as a residual predicate —
+    // versions per key are few and non-overlapping, so the fan-out is
+    // bounded by history depth, never a range/cross join; at 100 TB the
+    // dim side is key×versions and broadcasts or co-shuffles like any
+    // dimension. The per-version fingerprint sums the looked-up
+    // attribute, so one fact row matched to the wrong version breaks
+    // the hash.
+    QueryDef.sql("q_scd2_lookup",
+      """WITH dim AS (
+        |  SELECT c_custkey AS k, CAST(1 AS BIGINT) AS version,
+        |    TIMESTAMP '1992-01-01' AS vf, TIMESTAMP '1997-01-01' AS vt,
+        |    CAST(c_acctbal AS DOUBLE) AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(2 AS BIGINT),
+        |    TIMESTAMP '1997-01-01', TIMESTAMP '1999-01-01',
+        |    CAST(c_acctbal + 100.0 AS DOUBLE)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(3 AS BIGINT),
+        |    TIMESTAMP '1999-01-01', TIMESTAMP '9999-01-01',
+        |    CAST(c_acctbal + 200.0 AS DOUBLE)
+        |  FROM customer)
+        |SELECT d.version, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(d.bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+        |FROM orders o JOIN dim d ON d.k = o.o_custkey
+        |  AND o.o_orderdate >= d.vf AND o.o_orderdate < d.vt
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      def ver(n: Int, vf: String, vt: String, shift: Double) =
+        cust.select(col("c_custkey").as("k"), lit(n.toLong).as("version"),
+          lit(vf).cast("timestamp").as("vf"), lit(vt).cast("timestamp").as("vt"),
+          (col("c_acctbal") + shift).cast("double").as("bal"))
+      val dim = ver(1, "1992-01-01", "1997-01-01", 0.0)
+        .unionAll(ver(2, "1997-01-01", "1999-01-01", 100.0))
+        .unionAll(ver(3, "1999-01-01", "9999-01-01", 200.0))
+      Tables.orders(s, d)
+        .join(dim, col("k") === col("o_custkey") &&
+          col("o_orderdate") >= col("vf") && col("o_orderdate") < col("vt"))
+        .groupBy("version")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"),
+          expr("CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)").as("bal_sum"))
+        .orderBy("version")
     }
   )
 
