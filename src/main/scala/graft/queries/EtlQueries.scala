@@ -811,6 +811,47 @@ object EtlQueries {
           expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"),
           expr("CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)").as("bal_sum"))
         .orderBy("version")
+    },
+
+    // A29 — ingest-volume anomaly report: days whose row count sits
+    // more than 2σ from THEIR WEEKDAY's mean — the pipeline-health
+    // check every scheduled load runs before publishing (a raw global
+    // z-score would flag every weekend; conditioning on day-of-week is
+    // what makes the alarm usable — B44's profile turned into a gate).
+    // Daily counts are ONE partial agg; the per-DOW moments are exact
+    // INTEGER sums over the 7-row date-dim rollup; z is one fixed
+    // closed form per day row; zero-variance weekdays are excluded by
+    // an exact integer predicate (ss·k > s²), never a double compare.
+    QueryDef.sql("q_volume_anomaly",
+      """WITH dc AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |st AS (SELECT dow, CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS s,
+        |         CAST(sum(n*n) AS BIGINT) AS ss
+        |       FROM dc GROUP BY 1),
+        |z AS (SELECT day, dc.dow, n,
+        |    (n - CAST(s AS DOUBLE) / k)
+        |      / sqrt((ss - (CAST(s AS DOUBLE) / k) * s) / (k - 1)) AS z
+        |  FROM dc JOIN st ON dc.dow = st.dow
+        |  WHERE k >= 2 AND ss * k > s * s)
+        |SELECT strftime(day,'%Y-%m-%d') AS day, dow, n AS n_orders, z
+        |FROM z WHERE abs(z) > 2.0 ORDER BY day""".stripMargin) { (s, d) =>
+      val dc = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"),
+          (((dayofweek(to_date(col("o_orderdate"))) + 5) % 7) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val st = dc.groupBy("dow")
+        .agg(count(lit(1)).cast("long").as("k"), sum("n").cast("long").as("s"),
+          sum(expr("n*n")).cast("long").as("ss"))
+      dc.join(broadcast(st), "dow")
+        .filter(col("k") >= 2 && col("ss") * col("k") > col("s") * col("s"))
+        .selectExpr("date_format(day,'yyyy-MM-dd') AS day", "dow", "n AS n_orders",
+          "(n - CAST(s AS DOUBLE) / k) " +
+            "/ sqrt((ss - (CAST(s AS DOUBLE) / k) * s) / (k - 1)) AS z")
+        .filter(abs(col("z")) > 2.0)
+        .orderBy("day")
     }
   )
 

@@ -443,6 +443,41 @@ object GraphQueries {
         i += 1
       }
       visited.select(col("node"), col("dist")).orderBy("dist", "node")
+    },
+
+    // B128 — connected-components summary of the strong co-purchase
+    // graph: node count, component count, giant-component size and
+    // share — the fragmentation scalar over B119's reachability (a GCC
+    // share near 1 says the catalog cross-sells as one market; near 0
+    // says islands). Reuses operators.Dedup.components (min-label
+    // propagation + pointer jumping, O(log n) rounds) on the staged
+    // edge table; the summary is two dim-sized aggregates over the
+    // label frame. Oracle = the same recursive-CTE walk as B119/D6.
+    QueryDef.sql("g_components_summary",
+      """WITH RECURSIVE pr AS (
+        |  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= 2),
+        |edges AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+        |walk AS (
+        |  SELECT a AS node, a AS reach FROM edges
+        |  UNION
+        |  SELECT w.node, ed.b FROM walk w JOIN edges ed ON w.reach = ed.a),
+        |lab AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node),
+        |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(sum(sz) AS BIGINT) AS n_nodes,
+        |  CAST(max(sz) AS BIGINT) AS gcc_size,
+        |  CAST(max(sz) AS DOUBLE) / sum(sz) AS gcc_share
+        |FROM cs""".stripMargin) { (s, d) =>
+      val e = stagedCoEdges(s, d).filter(col("w") >= 2).select("u", "v")
+      val lab = graft.operators.Dedup.components(e, "u", "v")
+      val cs = lab.groupBy("component").agg(count(lit(1)).cast("long").as("sz"))
+      cs.agg(count(lit(1)).cast("long").as("n_components"),
+          sum("sz").cast("long").as("n_nodes"),
+          max("sz").cast("long").as("gcc_size"),
+          (max("sz").cast("double") / sum("sz")).as("gcc_share"))
     }
   )
 }
