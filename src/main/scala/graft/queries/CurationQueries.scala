@@ -378,6 +378,38 @@ object CurationQueries {
         .filter(col("pos") <= 20)
         .select(col("epoch"), col("pos").cast("long").as("pos"), col("doc_id"))
         .orderBy("epoch", "pos")
+    },
+
+    // H12 — corpus length profile per source: document-length bucket
+    // mix (short / medium / long / very-long) with within-source shares
+    // — the first chart on any corpus datasheet, and the input to H8's
+    // token budgeting (a source that is all snippets needs different
+    // packing than one that is all books). ONE conditional partial agg
+    // over the stored n_chars column (the text itself is never
+    // scanned); bucket boundaries are exact integer compares; share is
+    // one double division per (source, bucket) row.
+    QueryDef.sql("p_length_profile",
+      """WITH g AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars < 500 THEN 0 WHEN n_chars < 1000 THEN 1
+        |         WHEN n_chars < 2000 THEN 2 ELSE 3 END AS bucket,
+        |    CAST(count(*) AS BIGINT) AS docs
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(docs) AS BIGINT) AS total FROM g GROUP BY 1)
+        |SELECT g.source, CAST(bucket AS BIGINT) AS bucket, docs,
+        |  CAST(docs AS DOUBLE) / total AS share
+        |FROM g JOIN t ON g.source = t.source
+        |ORDER BY g.source, bucket""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .groupBy(col("source"),
+          when(col("n_chars") < 500, 0).when(col("n_chars") < 1000, 1)
+            .when(col("n_chars") < 2000, 2).otherwise(3).as("bucket"))
+        .agg(count(lit(1)).cast("long").as("docs"))
+      val t = g.groupBy("source").agg(sum("docs").cast("long").as("total"))
+      g.join(broadcast(t), "source")
+        .select(col("source"), col("bucket").cast("long").as("bucket"), col("docs"),
+          (col("docs").cast("double") / col("total")).as("share"))
+        .orderBy("source", "bucket")
     }
   )
 }

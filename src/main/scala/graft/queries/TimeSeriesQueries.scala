@@ -1628,6 +1628,61 @@ object TimeSeriesQueries {
           "CAST(user_days AS DOUBLE) / n_days AS avg_dau",
           "CAST(user_days AS DOUBLE) / n_days / wau AS stickiness")
         .orderBy("week")
+    },
+
+    // B129 — customer SEGMENT MIGRATION matrix: spend terciles in the
+    // first half of the date range vs the second, cross-tabulated — the
+    // who-moved-where view B53's static RFM grid can't give (and B29's
+    // event transitions lifted to the customer-value dimension). Two
+    // conditional exact-cents partial aggs in ONE orders pass; terciles
+    // assigned by ntile(3) under a TOTAL order (cents DESC, custkey) so
+    // both engines cut identical boundaries; customers absent from a
+    // period land in tercile 0 ("inactive") via the outer-join
+    // coalesce. Output is the ≤4×4 migration matrix with exact counts.
+    QueryDef.sql("q_segment_migration",
+      """WITH b AS (
+        |  SELECT min(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS lo,
+        |         max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS hi
+        |  FROM orders),
+        |cr AS (
+        |  SELECT o_custkey AS c,
+        |    sum(CASE WHEN datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |             <= (lo + hi) // 2
+        |        THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS r1,
+        |    sum(CASE WHEN datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |             > (lo + hi) // 2
+        |        THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS r2
+        |  FROM orders CROSS JOIN b GROUP BY 1),
+        |t1 AS (SELECT c, CAST(ntile(3) OVER (ORDER BY r1 DESC, c) AS BIGINT) AS seg1
+        |       FROM cr WHERE r1 > 0),
+        |t2 AS (SELECT c, CAST(ntile(3) OVER (ORDER BY r2 DESC, c) AS BIGINT) AS seg2
+        |       FROM cr WHERE r2 > 0),
+        |m AS (SELECT coalesce(t1.c, t2.c) AS c,
+        |        coalesce(seg1, 0) AS seg_from, coalesce(seg2, 0) AS seg_to
+        |      FROM t1 FULL JOIN t2 ON t1.c = t2.c)
+        |SELECT seg_from, seg_to, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val days = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+      val o = Tables.orders(s, d).select(col("o_custkey").as("c"),
+        days.as("day"), expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val b = o.agg(min("day").as("lo"), max("day").as("hi"))
+      val cr = o.crossJoin(broadcast(b))
+        .groupBy("c")
+        .agg(sum(when(col("day") <= expr("(lo + hi) DIV 2"), col("cents"))
+            .otherwise(0L)).as("r1"),
+          sum(when(col("day") > expr("(lo + hi) DIV 2"), col("cents"))
+            .otherwise(0L)).as("r2"))
+        .persist()
+      val t1 = cr.filter(col("r1") > 0).select(col("c"),
+        ntile(3).over(Window.orderBy(col("r1").desc, col("c"))).cast("long").as("seg1"))
+      val t2 = cr.filter(col("r2") > 0).select(col("c").as("c2"),
+        ntile(3).over(Window.orderBy(col("r2").desc, col("c"))).cast("long").as("seg2"))
+      t1.join(t2, col("c") === col("c2"), "full_outer")
+        .select(coalesce(col("seg1"), lit(0L)).as("seg_from"),
+          coalesce(col("seg2"), lit(0L)).as("seg_to"))
+        .groupBy("seg_from", "seg_to")
+        .agg(count(lit(1)).cast("long").as("n_customers"))
+        .orderBy("seg_from", "seg_to")
     }
   )
 }
