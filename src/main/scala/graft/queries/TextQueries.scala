@@ -1158,6 +1158,55 @@ object TextQueries {
             |    - 84.6D * (CAST(n_syllables AS DOUBLE) / n_words)
             |END AS flesch""".stripMargin)
         .orderBy("doc_id")
+    },
+
+    // C27 — vocabulary GROWTH curve (Heaps' law empirics): distinct
+    // vocabulary vs cumulative corpus size at ten ingestion checkpoints
+    // — the curve that says whether more data still buys new words
+    // (flattening ⇒ the tokenizer/vocab budget is saturating; the
+    // planning input behind C24's BPE training). Each token's FIRST
+    // document is one partial agg over the (doc, distinct-token)
+    // explode; checkpoints are INTEGER id-range cuts (lo−1+⌈span·k/10⌉ —
+    // never a global ntile window over the corpus); every checkpoint
+    // statistic is a ≤10× broadcast-join fan-out over id projections.
+    // Exact integers end to end.
+    QueryDef.sql("t_vocab_growth",
+      s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
+         |ft AS (SELECT tok, min(doc_id) AS first_doc FROM dt GROUP BY 1),
+         |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |cp AS (SELECT k, lo - 1 + ((hi - lo + 1) * k) // 10 AS cut
+         |       FROM b CROSS JOIN unnest(range(1, 11)) AS g(k)),
+         |docs AS (SELECT k, cut, CAST(count(*) AS BIGINT) AS n_docs,
+         |           CAST(sum(len($toks)) AS BIGINT) AS tokens_cum
+         |         FROM cp JOIN documents ON doc_id <= cut GROUP BY 1, 2),
+         |voc AS (SELECT k, CAST(count(*) AS BIGINT) AS vocab
+         |        FROM cp JOIN ft ON first_doc <= cut GROUP BY 1)
+         |SELECT CAST(docs.k AS BIGINT) AS decile, cut AS cut_doc, n_docs,
+         |  tokens_cum, vocab
+         |FROM docs JOIN voc ON docs.k = voc.k
+         |ORDER BY decile""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, d)
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+      val ft = dt.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val cp = broadcast(s.range(1, 11).select(col("id").as("k"))
+        .crossJoin(broadcast(b))
+        .selectExpr("k", "lo - 1 + ((hi - lo + 1) * k) DIV 10 AS cut"))
+      val dstats = docs
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("ntok"))
+        .join(cp, col("doc_id") <= col("cut"))
+        .groupBy("k", "cut")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("ntok").cast("long").as("tokens_cum"))
+      val voc = ft.join(cp, col("first_doc") <= col("cut"))
+        .groupBy(col("k").as("k2"))
+        .agg(count(lit(1)).cast("long").as("vocab"))
+      dstats.join(voc, col("k") === col("k2"))
+        .selectExpr("CAST(k AS BIGINT) AS decile", "cut AS cut_doc", "n_docs",
+          "tokens_cum", "vocab")
+        .orderBy("decile")
     }
   )
 }
