@@ -322,4 +322,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning") && !p.contains("Join"),
       s"masking must stay a narrow projection:\n$p")
   }
+
+  test("SCD2 lookup plans as an equi-join on the key, never a nested-loop range join (A28)") {
+    // the validity window must ride as a residual predicate on a hash
+    // join — a BroadcastNestedLoopJoin here would be the O(facts×dim)
+    // scale-killer the comment claims is impossible
+    val p = plan("q_scd2_lookup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"SCD2 lookup must not plan a non-equi join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a keyed hash/merge join in:\n$p")
+  }
 }
