@@ -398,19 +398,31 @@ object DedupQueries {
     // D13a — EXACT source-pair shingle Jaccard (which sources mirror each
     // other at the vocabulary level — D9 asks it of verified doc pairs,
     // this asks it of the sources' whole trigram sets): per-source
-    // distinct gid sets, pair overlap by one gid-keyed join; the pair
-    // frame is source²-dim. The exact twin D13 estimates.
+    // distinct gid sets, pair overlap grouped per gid; the pair frame is
+    // source²-dim. The exact twin D13 estimates.
     //
     // UNIVERSAL-shingle prune (the r9 perf item): a gid present in every
-    // source contributes df² = |sources|² rows to the overlap join — the
-    // worst quadratic row of the shuffle — yet adds exactly +1 to EVERY
-    // pair's intersection. So the join runs on df < |sources| gids only,
-    // and the universal count is added back uniformly over the full pair
-    // frame (closed-form exact; df = |sources|−1 and below can't be
-    // corrected this way and stay in the join). Same output bit-for-bit —
-    // the oracle brute-forces the unpruned form. At 100 TB this is the
-    // boilerplate guard: web-corpus trigram dfs are Zipfian and the top
-    // of the curve is exactly what this drops.
+    // source contributes df² = |sources|² pair rows — the worst quadratic
+    // row — yet adds exactly +1 to EVERY pair's intersection. So pairs are
+    // generated from df < |sources| gids only, and the universal count is
+    // added back uniformly over the full pair frame (closed-form exact;
+    // df = |sources|−1 and below can't be corrected this way and stay in).
+    // Same output bit-for-bit — the oracle brute-forces the unpruned form.
+    // At 100 TB this is the boilerplate guard: web-corpus trigram dfs are
+    // Zipfian and the top of the curve is exactly what this drops.
+    //
+    // r11 rework of the r10 perf-weak row (2.63 s vs DuckDB 0.78): the old
+    // plan recomputed the (source, gid) frame — a full shingle explode +
+    // distinct over the corpus — once per consumer (sizes, df, and twice
+    // in the gid self-join), and shuffled the pruned frame twice more
+    // through that join. Now the frame is computed ONCE and persisted
+    // (it is vocabulary-bounded: |sources| × |distinct shingles|, both
+    // sublinear in corpus size; the harness clears the cache per query),
+    // and the overlap join is replaced by a per-gid source-set aggregate
+    // whose a<b combinations explode map-side straight into the source²-dim
+    // partial count — one shuffle on gid instead of three over the
+    // exploded frame. The source list per gid is source-catalog-bounded
+    // (dims, not data), so collect_set stays O(|sources|) at any corpus.
     QueryDef.sql("d_source_similarity",
       s"""WITH ${DedupQueries.idsCte(3)},
          |ids2 AS (SELECT DISTINCT dd.source, ids.gid
@@ -427,17 +439,21 @@ object DedupQueries {
       val ids2 = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
         .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
         .select(col("source"), explode(col("gs")).as("gid")).distinct()
+        .persist()
       val sz = ids2.groupBy("source").agg(count(lit(1)).as("n"))
       val nsrc = sz.agg(count(lit(1)).as("nsrc"))                      // 1 row
-      val dfg = ids2.groupBy("gid").agg(count(lit(1)).as("dfg"))
+      val byGid = ids2.groupBy("gid")
+        .agg(collect_set(col("source")).as("srcs"))
         .crossJoin(broadcast(nsrc))
-      val keep = dfg.filter(col("dfg") < col("nsrc")).select("gid")
-      val uni = dfg.filter(col("dfg") === col("nsrc"))
+      val uni = byGid.filter(size(col("srcs")) === col("nsrc"))
         .agg(count(lit(1)).as("uni"))                                  // 1 row
-      val ids2p = ids2.join(keep, Seq("gid"), "left_semi")
-      val ovp = ids2p.select(col("source").as("src_a"), col("gid"))
-        .join(ids2p.select(col("source").as("src_b"), col("gid")), "gid")
-        .filter(col("src_a") < col("src_b"))
+      val ovp = byGid
+        .filter(size(col("srcs")) < col("nsrc") && size(col("srcs")) >= 2)
+        .select(explode(expr(
+          """filter(flatten(transform(srcs, x -> transform(srcs,
+            |  y -> struct(x AS src_a, y AS src_b)))),
+            |p -> p.src_a < p.src_b)""".stripMargin)).as("p"))
+        .select(col("p.src_a"), col("p.src_b"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("icp"))
       // full source-pair frame (source²-dim, tiny): a pair whose every
       // shared shingle is universal must still surface, with ic = uni
