@@ -14,12 +14,22 @@ import org.apache.spark.sql.functions._
   *    count, key min/max, op). The log is itself a Spark-readable table —
   *    no bespoke JSON machinery, and a 100k-file manifest is just another
   *    small DataFrame.
-  *  - **Commit protocol**: data files land first, then the manifest, whose
-  *    `_SUCCESS` marker IS the commit — a reader resolves max committed N
-  *    and sees either the old or the new version, never a torn one.
-  *    (On an object store the marker write becomes the one conditional
-  *    put / metastore swap, exactly where Delta puts its log entry; a
-  *    JVM-wide lock serializes local committers.)
+  *  - **Commit protocol — optimistic concurrency**: data files land first
+  *    under attempt-unique names (`v{N}-{token}-{i}.parquet`, token a
+  *    per-attempt nonce, so two writers racing to the same version can
+  *    never overwrite each other's data), then the manifest is staged
+  *    under `_log/_stage-v{N}-{token}` and ATOMICALLY RENAMED to
+  *    `_log/v{N}` — the rename is the compare-and-swap commit point: the
+  *    filesystem accepts exactly one rename to a given version directory,
+  *    so the first committer wins and every later committer of the same
+  *    version fails the rename, rolls back its own staged manifest and
+  *    data files, and raises a clean ConcurrentModificationException
+  *    telling the caller to re-read the (now newer) snapshot and retry —
+  *    the Delta/Iceberg optimistic-conflict contract. A reader resolves
+  *    max committed N (the `_SUCCESS` marker inside the renamed manifest)
+  *    and sees either the old or the new version, never a torn one. (On
+  *    an object store the rename becomes the one conditional put /
+  *    metastore swap, exactly where Delta puts its log entry.)
   *  - **Copy-on-write MERGE**: update keys are stat-pruned against the
   *    manifest's per-file key ranges (file-count-sized table, broadcast),
   *    then exactly the files CONTAINING a matched key are rewritten;
@@ -41,10 +51,29 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotTable {
 
-  private val commitLock = new Object
+  /** Only VACUUM still serializes in-JVM: its delete loop removes files
+    * that a concurrently *committing* writer may be reading, and deletion
+    * has no staging/rename to make it atomic. Every mutating commit path
+    * (create/merge/delete/compact/restore) is protected by the CAS rename
+    * instead and runs lock-free — concurrent writers are safe by
+    * construction, one wins, the rest fail cleanly. */
+  private val vacuumLock = new Object
+
+  /** Raised when a writer loses the version CAS: another writer committed
+    * the same version number first. The losing attempt's staged manifest
+    * and data files are already rolled back when this is thrown — re-read
+    * the latest snapshot and retry the operation on top of it. */
+  final class ConcurrentCommitException(dir: String, v: Int)
+    extends java.util.ConcurrentModificationException(
+      s"snapshot table $dir: version $v was committed by a concurrent " +
+        "writer; re-read the latest snapshot and retry")
 
   private def logDir(dir: String) = s"$dir/_log"
   private def manifestDir(dir: String, v: Int) = s"${logDir(dir)}/v$v"
+
+  /** Per-commit-attempt nonce: makes data file and staging names unique
+    * across racing writers (and across retries of the same writer). */
+  private def newToken(): String = java.util.UUID.randomUUID().toString.take(8)
 
   /** Largest committed version, or -1 for "not a table". */
   def latestVersion(dir: String): Int = {
@@ -68,7 +97,7 @@ object SnapshotTable {
     * small constant. */
   private def landFiles(s: SparkSession, dir: String, df: DataFrame,
                         key: String, v: Int, op: String,
-                        filesPerCommit: Int): DataFrame = {
+                        filesPerCommit: Int, token: String): DataFrame = {
     import s.implicits._
     val b = df.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
     if (b.isNullAt(0)) return Seq.empty[(String, Long, Long, Long, String)]
@@ -81,7 +110,7 @@ object SnapshotTable {
     val entries = (0 until filesPerCommit).flatMap { i =>
       val slice = bucketed.filter(col("__b") === i).drop("__b")
         .coalesce(1).sortWithinPartitions(key)
-      val tmp = s"$dir/_tmp_v$v-$i"
+      val tmp = s"$dir/_tmp_v$v-$token-$i"
       slice.write.mode("overwrite").parquet(tmp)
       val part = {
         val st = Files.list(Paths.get(tmp))
@@ -89,7 +118,7 @@ object SnapshotTable {
         finally st.close()
       }
       val out = if (part.isPresent) {
-        val name = s"v$v-$i.parquet"
+        val name = s"v$v-$token-$i.parquet"
         Files.createDirectories(Paths.get(s"$dir/data"))
         Files.move(part.get, Paths.get(s"$dir/data/$name"),
           StandardCopyOption.REPLACE_EXISTING)
@@ -111,17 +140,38 @@ object SnapshotTable {
         col("rows"), col("key_min"), col("key_max"), lit(op).as("op"))
   }
 
+  /** The CAS commit: stage the manifest under an attempt-unique name,
+    * then atomically rename it to `_log/v{N}`. rename(2) to an existing
+    * directory fails, so exactly one writer per version succeeds; a loser
+    * rolls back its staged manifest AND its token's data files, then
+    * raises [[ConcurrentCommitException]] — no torn state either way. */
   private def commit(s: SparkSession, dir: String, v: Int,
-                     entries: DataFrame): Unit =
-    // manifest LAST; its _SUCCESS is the commit point
-    entries.coalesce(1).write.mode("overwrite").parquet(manifestDir(dir, v))
+                     entries: DataFrame, token: String): Unit = {
+    val stage = s"${logDir(dir)}/_stage-v$v-$token"
+    entries.coalesce(1).write.mode("overwrite").parquet(stage)
+    try Files.move(Paths.get(stage), Paths.get(manifestDir(dir, v)),
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+        Option(new java.io.File(s"$dir/data").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(s"v$v-$token-"))
+          .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+        // distinguish "lost the race" from a genuine IO fault
+        if (new java.io.File(manifestDir(dir, v), "_SUCCESS").isFile)
+          throw new ConcurrentCommitException(dir, v)
+        else throw e
+    }
+  }
 
   /** Create version 0 from `df`, keyed (for stats + merge) on the long
     * column `key`. */
   def create(s: SparkSession, dir: String, df: DataFrame, key: String,
-             filesPerCommit: Int = 4): Unit = commitLock.synchronized {
+             filesPerCommit: Int = 4): Unit = {
     require(latestVersion(dir) < 0, s"$dir is already a snapshot table")
-    commit(s, dir, 0, landFiles(s, dir, df, key, 0, "create", filesPerCommit))
+    val token = newToken()
+    commit(s, dir, 0,
+      landFiles(s, dir, df, key, 0, "create", filesPerCommit, token), token)
   }
 
   /** Snapshot read. `version < 0` = latest. Filters/projections push into
@@ -161,7 +211,8 @@ object SnapshotTable {
     * retyped; with `evolve = false` (default) extra update columns are
     * rejected rather than silently dropped. */
   def merge(s: SparkSession, dir: String, updates: DataFrame, key: String,
-            filesPerCommit: Int = 4, evolve: Boolean = false): Unit = commitLock.synchronized {
+            filesPerCommit: Int = 4, evolve: Boolean = false): Unit = {
+    val token = newToken()
     val v = latestVersion(dir)
     require(v >= 0, s"$dir has no committed version")
     val baseSchema = read(s, dir, v).schema
@@ -219,19 +270,22 @@ object SnapshotTable {
     }.toIndexedSeq: _*)
     val newData = (survivors.toSeq ++ matched.toSeq :+ inserts)
       .map(conform).reduce(_ unionByName _)
-    val fresh = landFiles(s, dir, newData, key, v + 1, "merge", filesPerCommit)
+    val fresh = landFiles(s, dir, newData, key, v + 1, "merge", filesPerCommit, token)
     val carried = man.filter(!col("file").isin(affectedNames.toSeq: _*))
       .select(col("file"), col("rows"), col("key_min"), col("key_max"),
         lit("merge").as("op"))
-    commit(s, dir, v + 1, carried.unionByName(fresh))
-    if (cand != null) cand.unpersist()
-    man.unpersist()
+    try commit(s, dir, v + 1, carried.unionByName(fresh), token)
+    finally {
+      if (cand != null) cand.unpersist()
+      man.unpersist()
+    }
   }
 
   /** DELETE WHERE `cond` (SQL semantics: NULL-predicate rows are kept),
     * rewriting only files that contain matching rows. */
   def delete(s: SparkSession, dir: String, cond: Column, key: String,
-             filesPerCommit: Int = 4): Unit = commitLock.synchronized {
+             filesPerCommit: Int = 4): Unit = {
+    val token = newToken()
     val v = latestVersion(dir)
     require(v >= 0, s"$dir has no committed version")
     val man = manifest(s, dir, v).persist()
@@ -241,7 +295,7 @@ object SnapshotTable {
       .select(input_file_name().as("p")).distinct()
       .collect().map(r => r.getString(0).split('/').last).toSet
     val fresh = if (affectedNames.isEmpty)
-      landFiles(s, dir, all.limit(0), key, v + 1, "delete", filesPerCommit)
+      landFiles(s, dir, all.limit(0), key, v + 1, "delete", filesPerCommit, token)
     else {
       val affectedPaths = affectedNames.toSeq.sorted.map(n => s"$dir/data/$n")
       // mergeSchema: the affected set can mix pre- and post-evolution
@@ -249,13 +303,13 @@ object SnapshotTable {
       // their evolved columns (same data-loss class as the merge path).
       val kept = s.read.option("mergeSchema", "true").parquet(affectedPaths: _*)
         .filter(!coalesce(cond, lit(false)))
-      landFiles(s, dir, kept, key, v + 1, "delete", filesPerCommit)
+      landFiles(s, dir, kept, key, v + 1, "delete", filesPerCommit, token)
     }
     val carried = man.filter(!col("file").isin(affectedNames.toSeq: _*))
       .select(col("file"), col("rows"), col("key_min"), col("key_max"),
         lit("delete").as("op"))
-    commit(s, dir, v + 1, carried.unionByName(fresh))
-    man.unpersist()
+    try commit(s, dir, v + 1, carried.unionByName(fresh), token)
+    finally man.unpersist()
   }
 
   /** COMPACT (G12's small-files maintenance as a table operation): rewrite
@@ -266,11 +320,13 @@ object SnapshotTable {
     * versions still resolves because old data files are immutable and
     * referenced by their manifests. */
   def compact(s: SparkSession, dir: String, key: String,
-              targetFiles: Int = 2): Unit = commitLock.synchronized {
+              targetFiles: Int = 2): Unit = {
+    val token = newToken()
     val v = latestVersion(dir)
     require(v >= 0, s"$dir has no committed version")
     commit(s, dir, v + 1,
-      landFiles(s, dir, read(s, dir, v), key, v + 1, "compact", targetFiles))
+      landFiles(s, dir, read(s, dir, v), key, v + 1, "compact", targetFiles, token),
+      token)
   }
 
   /** RESTORE (G21): re-commit version `toVersion`'s manifest as the new
@@ -280,13 +336,19 @@ object SnapshotTable {
     * costs one manifest write. History records a 'restore' op with the
     * restored row count; the rolled-back intermediate versions stay
     * time-travelable until vacuum expires them. */
-  def restore(s: SparkSession, dir: String, toVersion: Int): Unit = commitLock.synchronized {
+  def restore(s: SparkSession, dir: String, toVersion: Int): Unit = {
     val latest = latestVersion(dir)
     require(latest >= 0, s"$dir has no committed version")
     require(toVersion >= 0 && toVersion <= latest,
       s"version $toVersion outside committed range 0..$latest")
+    // a vacuumed target passes the range check but its manifest is gone —
+    // fail here with the real reason, not an opaque parquet path error
+    require(new java.io.File(manifestDir(dir, toVersion), "_SUCCESS").isFile,
+      s"version $toVersion was vacuumed; only versions with a retained " +
+        "manifest can be restored")
+    if (toVersion == latest) return // already the latest state — no-op
     commit(s, dir, latest + 1,
-      manifest(s, dir, toVersion).withColumn("op", lit("restore")))
+      manifest(s, dir, toVersion).withColumn("op", lit("restore")), newToken())
   }
 
   /** VACUUM (G19): physically delete data files referenced ONLY by
@@ -297,7 +359,7 @@ object SnapshotTable {
     * readers of retained versions are safe; returns the deleted file
     * names. */
   def vacuum(s: SparkSession, dir: String,
-             retainVersions: Int = 2): Seq[String] = commitLock.synchronized {
+             retainVersions: Int = 2): Seq[String] = vacuumLock.synchronized {
     require(retainVersions >= 1, "must retain at least the latest version")
     val latest = latestVersion(dir)
     require(latest >= 0, s"$dir has no committed version")

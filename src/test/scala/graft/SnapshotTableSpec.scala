@@ -290,4 +290,81 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(h.map(t => (t._1, t._2)) == Seq((0, "create"), (1, "delete"), (2, "restore")))
     assert(h.last._3 == 1000L)
   }
+
+  test("restore rejects a vacuumed target version with the real reason; restore(latest) is a no-op") {
+    val dir = mk("restoreguard")
+    SnapshotTable.merge(spark, dir,
+      spark.range(3).select(col("id").as("k"), lit("x").as("grp"),
+        lit(0.0).as("v")), "k")                              // v1
+    SnapshotTable.merge(spark, dir,
+      spark.range(3).select(col("id").as("k"), lit("y").as("grp"),
+        lit(1.0).as("v")), "k")                              // v2
+    SnapshotTable.vacuum(spark, dir, retainVersions = 2)     // v0 expired
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, dir, 0)
+    }
+    assert(e.getMessage.contains("vacuum"), s"wrong reason: ${e.getMessage}")
+    // restoring the version that is already latest must not bump the version
+    SnapshotTable.restore(spark, dir, 2)
+    assert(SnapshotTable.latestVersion(dir) == 2)
+  }
+
+  test("optimistic concurrency: of two interleaved merges one commits, one fails cleanly, state equals the winner's") {
+    val s = spark
+    import s.implicits._
+    val dir = mk("occ")
+    SnapGate.entered = false
+    SnapGate.latch = new java.util.concurrent.CountDownLatch(1)
+    // Writer B reads snapshot v0, then stalls inside its own update-frame
+    // evaluation until writer A has committed v1 — a deterministic
+    // read-snapshot / commit interleaving, not a sleep race.
+    val updB = spark.range(5).repartition(1)
+      .map { i => SnapGate.entered = true; SnapGate.latch.await(); i }
+      .select(col("value").as("k"), lit("B").as("grp"), lit(-2.0).as("v"))
+    @volatile var bErr: Throwable = null
+    val tB = new Thread(() => {
+      try SnapshotTable.merge(spark, dir, updB, "k", filesPerCommit = 4)
+      catch { case t: Throwable => bErr = t }
+    })
+    tB.start()
+    val t0 = System.nanoTime()
+    while (!SnapGate.entered && (System.nanoTime() - t0) < 60e9) Thread.sleep(10)
+    assert(SnapGate.entered, "writer B never reached its update evaluation")
+    // Writer A commits v1 while B is still computing against v0.
+    SnapshotTable.merge(spark, dir,
+      spark.range(5).select(col("id").as("k"), lit("A").as("grp"),
+        lit(-1.0).as("v")), "k", filesPerCommit = 4)
+    assert(SnapshotTable.latestVersion(dir) == 1)
+    SnapGate.latch.countDown()
+    tB.join(120000)
+    assert(!tB.isAlive, "writer B never finished")
+    // Exactly one writer won; the loser surfaced the conflict cleanly.
+    assert(bErr != null, "writer B should have lost the version CAS")
+    assert(bErr.isInstanceOf[SnapshotTable.ConcurrentCommitException],
+      s"expected ConcurrentCommitException, got $bErr")
+    // No torn state: latest is still A's commit, bit-for-bit.
+    assert(SnapshotTable.latestVersion(dir) == 1)
+    val grp = SnapshotTable.read(spark, dir).filter(col("k") < 5)
+      .select("grp").distinct().collect().map(_.getString(0)).toSeq
+    assert(grp == Seq("A"), s"winner's rows must hold, got $grp")
+    // The loser rolled back: every data file on disk is referenced by a
+    // committed manifest, and no staged manifest remains.
+    val referenced = (0 to 1).flatMap(v =>
+      SnapshotTable.manifest(spark, dir, v).select("file").collect()
+        .map(_.getString(0))).toSet
+    val onDisk = Option(new java.io.File(s"$dir/data").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(onDisk == referenced, s"orphans: ${onDisk.diff(referenced)}")
+    val logEntries = Option(new java.io.File(s"$dir/_log").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(logEntries == Set("v0", "v1"), s"torn log: $logEntries")
+  }
+}
+
+/** Static handshake for the concurrency spec: lets a merge's update frame
+  * block mid-evaluation (local mode shares one JVM, so statics reach the
+  * task threads). */
+object SnapGate {
+  @volatile var entered: Boolean = false
+  @volatile var latch: java.util.concurrent.CountDownLatch = _
 }
