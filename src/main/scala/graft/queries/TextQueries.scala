@@ -128,6 +128,22 @@ object TextQueries {
     out.toSeq.toDF("round", "left", "right", "pair_count")
   }
 
+  /** One BPE merge round as a codegen'd column fold: scan the symbol
+    * array left-to-right, replacing each adjacent (l, r) with their
+    * concatenation. The accumulator fold reproduces [[bpeTrain]]'s
+    * merge-then-skip scan exactly: a freshly merged symbol can only pair
+    * with the NEXT input symbol, never re-pair with the one it consumed
+    * (`try_element_at` keeps the empty-accumulator probe NULL-safe under
+    * ANSI mode). Applied per DISTINCT word, so the fold's cost is
+    * vocabulary-sized regardless of corpus volume. */
+  private[graft] def bpeApplyMerge(syms: org.apache.spark.sql.Column,
+                                   l: String, r: String): org.apache.spark.sql.Column =
+    aggregate(syms, expr("CAST(array() AS array<string>)"),
+      (acc, x) => when(
+        try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
   val all: Seq[QueryDef] = Seq(
 
     // C1 — token count (whitespace+regex tokenizer) + char length.
@@ -1071,6 +1087,41 @@ object TextQueries {
     // can't outnumber it), and that applying the merges re-segments a
     // word consistently.
     QueryDef.rowsOnly("t_bpe_train")(TextQueries.bpeTrain(_, _, minCount = 2)),
+
+    // C24x — BPE ENCODE: apply the merge table C24 learns to the corpus —
+    // the missing half of the train→encode→budget loop (r10 verdict item
+    // 4: C1x counts tokens with a fixed regex scheme; this counts them
+    // under the LEARNED tokenizer, which is what a token budget for an
+    // actual model run needs). Scale shape: the merge table is a
+    // tokenizer artifact (hyperparameter-sized — 12 rows here, ≤ vocab
+    // size always), so it folds into the PLAN as literals; encoding runs
+    // once per DISTINCT word (dictionary encode — the corpus's occurrence
+    // table joins the vocabulary-sized result back by broadcast), never
+    // once per token occurrence; each merge round is one codegen'd
+    // aggregate() fold over the word's symbol array, reproducing the
+    // train loop's merge-then-skip scan exactly (MetricsSpec pins the
+    // per-word segmentation against an independent driver recompute).
+    // Iterative training input ⇒ rows-only, like C24 itself.
+    QueryDef.rowsOnly("t_bpe_encode") { (s, d) =>
+      val merges = TextQueries.bpeTrain(s, d, minCount = 2)
+        .orderBy("round").collect() // merge-table-sized (training artifact)
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      val occ = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val enc = merges.foldLeft(
+        concat(split(col("w"), ""), array(lit("</w>")))) {
+        case (c0, (l, r)) => TextQueries.bpeApplyMerge(c0, l, r)
+      }
+      val encoded = occ.select("w").distinct() // vocabulary-sized
+        .select(col("w"), size(enc).as("n_sym"))
+      occ.join(broadcast(encoded), "w")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * col("n_sym")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
 
     // C25 — token TREND detection (emerging-topic surfacing — which
     // vocabulary is gaining share across ingest cohorts): per-cohort

@@ -284,6 +284,56 @@ class MetricsSpec extends AnyFunSuite {
     assert(rows.head._4 == bc)
   }
 
+  test("t_bpe_encode segmentation matches an independent driver-side BPE apply, word for word (C24x)") {
+    val merges = queries.TextQueries.bpeTrain(spark, TestSpark.sfDir, 2)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    assert(merges.nonEmpty)
+    // independent encode: the canonical merge-then-skip loop, in plain Scala
+    def encode(w: String): Seq[String] = {
+      var syms: Vector[String] = w.map(_.toString).toVector :+ "</w>"
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    // the query's column fold, evaluated per distinct word
+    val vocab = sources.Tables.documents(spark, TestSpark.sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .distinct()
+    val enc = merges.foldLeft(
+      concat(split(col("w"), ""), array(lit("</w>")))) {
+      case (c0, (l, r)) => queries.TextQueries.bpeApplyMerge(c0, l, r)
+    }
+    val got = vocab.select(col("w"), enc.as("syms")).collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toSeq))
+    assert(got.nonEmpty)
+    got.foreach { case (w, syms) =>
+      assert(syms == encode(w), s"segmentation of '$w' diverged")
+    }
+    // and the registered query's doc-level counts are internally sound:
+    // every word yields >= 1 symbol, merges only shrink, so
+    // n_words <= n_bpe_tokens <= n_chars-ish upper bound isn't needed —
+    // cross-check one doc against the encode() totals instead
+    val res = SparkEntry.queries("t_bpe_encode")(spark, TestSpark.sfDir)
+      .limit(3).collect()
+    assert(res.nonEmpty)
+    val docTok = sources.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .filter(col("doc_id") === res.head.getAs[Long]("doc_id"))
+      .head().getSeq[String](1)
+    assert(res.head.getAs[Long]("n_words") == docTok.size.toLong)
+    assert(res.head.getAs[Long]("n_bpe_tokens") ==
+      docTok.map(encode(_).size.toLong).sum)
+  }
+
   test("t_bpe_train min_frequency floor leaves the merge sequence unchanged on the test corpus (C24)") {
     // the floor bounds the driver collect by the Zipf HEAD; the merges
     // live at the top of the frequency curve, so the learned sequence —
