@@ -4,9 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, AttributeReference, EqualTo, Expression, IntegerLiteral,
-  LessThan, LessThanOrEqual, NamedExpression, Rank, RowNumber, SortOrder,
-  UnsafeProjection, UnsafeRow, WindowExpression}
+  Alias, Attribute, AttributeReference, BoundReference, DenseRank, EqualTo,
+  Expression, IntegerLiteral, LessThan, LessThanOrEqual, NamedExpression,
+  Rank, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
@@ -56,12 +56,28 @@ import org.apache.spark.sql.execution.SparkStrategy
   * identically — the 200+-oracle hash gate runs against the rewritten
   * plans, which is the end-to-end proof of the rewrite's semantics.
   */
+/** Which rank function the filtered window computed — decides both the
+  * heap's retention rule and the emitted rank numbering:
+  *  - [[RankMode.RowNum]]: exactly k rows per group, ranks 1..k
+  *    (selection among full-order ties is arbitrary, like row_number);
+  *  - [[RankMode.Ranked]]: every row with < k strictly-better rows;
+  *    competition (gapped) numbering, boundary tie classes kept whole;
+  *  - [[RankMode.Dense]]: every row of the k best distinct order-value
+  *    CLASSES; gapless numbering — the heap advances per class, not per
+  *    row, so a hot class retains all its members. */
+sealed trait RankMode
+object RankMode {
+  case object RowNum extends RankMode
+  case object Ranked extends RankMode
+  case object Dense extends RankMode
+}
+
 case class TopKPerGroupNode(
     part: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    ties: Boolean,
+    mode: RankMode,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def maxRows: Option[Long] = child.maxRows
@@ -69,13 +85,16 @@ case class TopKPerGroupNode(
     copy(child = newChild)
 }
 
-/** Rewrites `Filter(rank-predicate, Window(row_number | rank))` to the
-  * native node. Injected via `SparkSessionExtensions.injectOptimizerRule`,
+/** Rewrites `Filter(rank-predicate, Window(row_number | rank | dense_rank))`
+  * to the native node. Injected via `SparkSessionExtensions.injectOptimizerRule`,
   * so it runs in the user-rules batch after standard optimization.
   *
-  * `rank()` filters (`ties = true`) keep every row TIED at the heap
+  * `rank()` filters ([[RankMode.Ranked]]) keep every row TIED at the heap
   * boundary — rank ≤ k retains all rows with fewer than k strictly-better
   * rows, with competition (gapped) rank numbers, matching stock `rank()`.
+  * `dense_rank()` filters ([[RankMode.Dense]]) retain the k best distinct
+  * order-value classes WHOLE, numbered gaplessly — the heap's advance rule
+  * moves per class instead of per row.
   *
   * An EMPTY partitionSpec (`row_number() OVER (ORDER BY x) <= k`, the
   * global-top-k shape) is SUPPORTED, not skipped: the final exec demands
@@ -86,22 +105,23 @@ case class TopKRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w: Window) =>
       (rankedAlias(w), boundFromCond(cond)) match {
-        case (Some((alias, ties)), Some((rankRef, k)))
+        case (Some((alias, mode)), Some((rankRef, k)))
             if alias.exprId == rankRef.exprId && k >= 1 &&
               w.partitionSpec.forall(_.references.subsetOf(w.child.outputSet)) &&
               w.orderSpec.forall(_.references.subsetOf(w.child.outputSet)) =>
           TopKPerGroupNode(w.partitionSpec, w.orderSpec, k,
-            alias.toAttribute, ties, w.child)
+            alias.toAttribute, mode, w.child)
         case _ => f
       }
   }
 
-  /** The window's single `row_number()` or `rank()` alias, if that is ALL
-    * it computes. Returns (alias, ties): ties=true for rank(). */
-  private def rankedAlias(w: Window): Option[(Alias, Boolean)] =
+  /** The window's single `row_number()`, `rank()` or `dense_rank()`
+    * alias, if that is ALL it computes, with its [[RankMode]]. */
+  private def rankedAlias(w: Window): Option[(Alias, RankMode)] =
     w.windowExpressions match {
-      case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) => Some((a, false))
-      case Seq(a @ Alias(WindowExpression(_: Rank, _), _)) => Some((a, true))
+      case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) => Some((a, RankMode.RowNum))
+      case Seq(a @ Alias(WindowExpression(_: DenseRank, _), _)) => Some((a, RankMode.Dense))
+      case Seq(a @ Alias(WindowExpression(_: Rank, _), _)) => Some((a, RankMode.Ranked))
       case _ => None
     }
 
@@ -119,10 +139,10 @@ case class TopKRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   * → final. Injected via `injectPlannerStrategy`. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(part, order, k, rankAttr, ties, child) =>
-      val pre = TopKPerGroupExec(part, order, k, rankAttr, ties,
+    case TopKPerGroupNode(part, order, k, rankAttr, mode, child) =>
+      val pre = TopKPerGroupExec(part, order, k, rankAttr, mode,
         partial = true, planLater(child))
-      TopKPerGroupExec(part, order, k, rankAttr, ties, partial = false, pre) :: Nil
+      TopKPerGroupExec(part, order, k, rankAttr, mode, partial = false, pre) :: Nil
     case _ => Nil
   }
 }
@@ -140,7 +160,7 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    ties: Boolean,
+    mode: RankMode,
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -157,13 +177,107 @@ case class TopKPerGroupExec(
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override protected def doExecute(): RDD[InternalRow] =
+    if (mode == RankMode.Dense) doExecuteDense() else doExecuteRowHeap()
+
+  /** dense_rank() <= k: the heap advances per distinct order-value CLASS,
+    * not per row — each group retains the k best classes whole (a class's
+    * members are unbounded by k, exactly like the stock window's output).
+    * Per group: a max-heap of ≤ k class keys (the projected order-by
+    * values) + a class→members map; a (k+1)-th strictly-better class
+    * evicts the worst class with all its members. The final drains
+    * classes best-first and numbers them 1..k gaplessly. */
+  private def doExecuteDense(): RDD[InternalRow] = {
     val partExprs = part
     val orderExprs = order
     val childOutput = child.output
     val limit = k
     val isPartial = partial
-    val keepTies = ties
+    val outAttrs = output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val classProj = UnsafeProjection.create(orderExprs.map(_.child), childOutput)
+      val boundOrder = orderExprs.zipWithIndex.map { case (so, i) =>
+        SortOrder(BoundReference(i, so.child.dataType, so.child.nullable),
+          so.direction, so.nullOrdering, Seq.empty)
+      }
+      val classOrd = GenerateOrdering.generate(boundOrder, Nil)
+      val revClassOrd = classOrd.reverse
+      final class Group {
+        val classes = new java.util.PriorityQueue[UnsafeRow](limit + 1, revClassOrd)
+        val members = new java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]]()
+        def add(row: InternalRow, ckey: UnsafeRow): Unit = {
+          val lst = members.get(ckey)
+          if (lst != null) lst.add(row.copy())
+          else if (classes.size() < limit) {
+            val ck = ckey.copy()
+            classes.add(ck)
+            val l = new java.util.ArrayList[InternalRow](); l.add(row.copy())
+            members.put(ck, l)
+          } else if (classOrd.compare(ckey, classes.peek()) < 0) {
+            members.remove(classes.poll()) // worst class out, whole
+            val ck = ckey.copy()
+            classes.add(ck)
+            val l = new java.util.ArrayList[InternalRow](); l.add(row.copy())
+            members.put(ck, l)
+          } // else: not among the k best classes — drop
+        }
+      }
+      val groups = new java.util.HashMap[UnsafeRow, Group]()
+      val passThrough = new java.util.ArrayList[InternalRow]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val gkey = keyProj(row)
+        var g = groups.get(gkey)
+        if (g == null) {
+          if (isPartial && groups.size() >= TopKPerGroupExec.maxPartialGroups) {
+            passThrough.add(row.copy()) // pressure valve: forward unpruned
+            g = null
+          } else {
+            g = new Group
+            groups.put(gkey.copy(), g)
+          }
+        }
+        if (g != null) g.add(row, classProj(row))
+      }
+      if (isPartial) {
+        val out = new java.util.ArrayList[InternalRow](passThrough.size())
+        groups.values().forEach(g =>
+          g.members.values().forEach(l => out.addAll(l)))
+        out.addAll(passThrough)
+        import scala.jdk.CollectionConverters._
+        out.iterator().asScala
+      } else {
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        groups.values().forEach { g =>
+          val keys = new Array[UnsafeRow](g.classes.size())
+          var i = keys.length - 1
+          while (i >= 0) { keys(i) = g.classes.poll(); i -= 1 } // worst-first drain
+          var ci = 0
+          while (ci < keys.length) {
+            rankRow.update(0, ci + 1) // gapless: one rank per class
+            g.members.get(keys(ci)).forEach { r =>
+              out += proj(joined(r, rankRow)).copy()
+            }
+            ci += 1
+          }
+        }
+        out.iterator
+      }
+    }
+  }
+
+  /** row_number() / rank() <= k: one bounded row heap per group. */
+  private def doExecuteRowHeap(): RDD[InternalRow] = {
+    val partExprs = part
+    val orderExprs = order
+    val childOutput = child.output
+    val limit = k
+    val isPartial = partial
+    val keepTies = mode == RankMode.Ranked
     val outAttrs = output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)

@@ -429,6 +429,36 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority", "rnk")
     },
 
+    // B10d — top-k distinct VALUE TIERS per group (dense_rank <= k): keep
+    // every line item in the 3 highest quantity tiers per return flag —
+    // the "all rows of the best k classes" ask that row_number/rank can't
+    // express (a tier's membership is unbounded). Plans through the B10n
+    // native operator's dense mode: the partial heap advances per CLASS,
+    // so the 47 losing tiers are pruned map-side and only top-tier rows
+    // cross the wire; the gapless tier numbers come out of the final heap.
+    // Tie-heavy by construction (integer quantities), so the dense path's
+    // whole-class retention is what the hash gate certifies.
+    QueryDef.sql("q_dense_topk",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |         CAST(dense_rank() OVER (PARTITION BY l_returnflag
+        |                                 ORDER BY l_quantity DESC) AS INT) AS tier
+        |  FROM lineitem)
+        |SELECT l_returnflag, tier, l_quantity AS qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM r WHERE tier <= 3
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_quantity")
+        .withColumn("tier", dense_rank().over(w))
+        .filter(col("tier") <= 3)
+        .groupBy(col("l_returnflag"), col("tier"), col("l_quantity").as("qty"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "tier")
+    },
+
     // B10 scale path — the same top-3-per-group via the two-phase salted
     // operator. SAME oracle SQL as q_topk_per_group: top-k is mergeable,
     // so the two-phase plan must be row-identical to the single window —

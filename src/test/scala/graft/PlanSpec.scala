@@ -280,6 +280,42 @@ class PlanSpec extends AnyFunSuite {
     assert(tied == Seq((1, 1), (2, 2), (2, 2)))
   }
 
+  test("dense_rank() <= k rewrites natively, keeps whole tie classes, numbers gaplessly (B10n)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("a", 2), ("a", 2), ("a", 3),
+                 ("b", 5), ("b", 5), ("c", 9)).toDF("g", "v")
+    val w = Window.partitionBy("g").orderBy(col("v"))
+    val q = df.withColumn("r", dense_rank().over(w)).filter(col("r") <= 2)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "dense_rank() filter must take the native path")
+    val got = q.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    // a: class {1} -> 1, class {2,2,2} kept WHOLE -> 2 (3 excluded: 3rd class);
+    // b: class {5,5} -> 1; c: {9} -> 1 — gapless numbering throughout
+    assert(got == Seq(("a", 1, 1), ("a", 2, 2), ("a", 2, 2), ("a", 2, 2),
+      ("b", 5, 1), ("b", 5, 1), ("c", 9, 1)))
+    // agree with the stock window plan row-for-row on real data (the +0
+    // in the filter blocks the rewrite on the stock side)
+    val wo = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc)
+    val native = sources.Tables.orders(spark, d)
+      .withColumn("r", dense_rank().over(wo)).filter(col("r") <= 3)
+      .select("o_orderpriority", "r", "o_orderkey")
+      .orderBy("o_orderpriority", "r", "o_orderkey").collect().toSeq
+    val stock = sources.Tables.orders(spark, d)
+      .withColumn("r", dense_rank().over(wo)).filter(col("r") + 0 <= 3)
+      .select("o_orderpriority", "r", "o_orderkey")
+      .orderBy("o_orderpriority", "r", "o_orderkey").collect().toSeq
+    assert(native == stock, "native dense_rank() plan must agree with stock row-for-row")
+    // empty PARTITION BY (global dense top-k) with boundary ties
+    val tied = Seq(1, 2, 2, 3).toDF("v")
+      .withColumn("r", dense_rank().over(Window.orderBy(col("v"))))
+      .filter(col("r") <= 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(tied == Seq((1, 1), (2, 2), (2, 2)))
+  }
+
   test("the TopK rewrite leaves non-matching windows alone (B10n guard)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
