@@ -429,15 +429,35 @@ object Dedup {
     require(bits % blocks == 0, s"bits=$bits not divisible into $blocks blocks")
     val cb = bits / blocks
     val mask = (1L << cb) - 1
-    val chunked = sims.select(col("doc"), col("sim"),
+    // SIGNATURE DEDUP FIRST (the sf1 lesson): corpora concentrate — at
+    // sf1 the synthetic vocabulary yields 3.85M identical-signature doc
+    // pairs, and every doc of a hot signature lands in the SAME bucket of
+    // EVERY block, so blocking alone degrades to doc-count-quadratic
+    // bucket scans (>600 s where this form takes seconds). Grouping docs
+    // by signature makes the bucket join run over DISTINCT signatures
+    // (the only thing hamming depends on); identical-signature pairs are
+    // emitted combinatorially from the membership lists with zero join,
+    // and each qualifying signature pair expands back to doc pairs by one
+    // projection. Work is now quadratic only in DISTINCT signatures per
+    // bucket — boilerplate-heavy corpora collapse the distinct count, not
+    // the runtime.
+    val groups = sims.groupBy("sim")
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+    // hamming = 0: all a < b combinations within one signature's members
+    val samePairs = groups.filter(size(col("docs")) > 1)
+      .select(posexplode(col("docs")).as(Seq("pos", "a")), col("docs"))
+      .select(col("a"),
+        explode(expr("slice(docs, pos + 2, size(docs))")).as("b"))
+      .select(col("a"), col("b"), lit(0).as("hamming"))
+    // hamming >= 1: chunk-key blocking over DISTINCT signatures, each
+    // carrying its member list; sort_array on (sim, docs) structs orders
+    // buckets by sim, so sa < sb holds by construction and the
+    // first-matching-block predicate dedups across blocks.
+    val chunked = groups.select(col("sim"), col("docs"),
       explode(array((0 until blocks).map(t =>
         struct(lit(t).as("blk"),
           expr(s"shiftright(sim, ${cb * t}) & $mask").as("ckey"))): _*)).as("c"))
-      .select(col("doc"), col("sim"), col("c.blk"), col("c.ckey"))
-    // Bucket group-by + intra-bucket pair explosion: the chunk table is
-    // scanned once (no self-join, no persist, no duplicated cold
-    // materialization). sort_array on (doc, sim) structs orders by doc,
-    // so a < b holds by construction.
+      .select(col("sim"), col("docs"), col("c.blk"), col("c.ckey"))
     val xorC = col("sa").bitwiseXOR(col("y.sim"))
     val firstMatch = (0 until blocks).map { t =>
       val earlierAllDiffer = (0 until t)
@@ -445,17 +465,24 @@ object Dedup {
         .foldLeft(lit(true))(_ && _)
       (col("blk") === t) && earlierAllDiffer
     }.reduce(_ || _)
-    chunked.groupBy("blk", "ckey")
-      .agg(sort_array(collect_set(struct(col("doc"), col("sim")))).as("ds"))
+    val crossPairs = chunked.groupBy("blk", "ckey")
+      .agg(sort_array(collect_list(struct(col("sim"), col("docs")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(col("blk"), col("ds"), posexplode(col("ds")))
-      .select(col("blk"), col("col.doc").as("a"), col("col.sim").as("sa"),
+      .select(col("blk"), col("col.sim").as("sa"), col("col.docs").as("da"),
         expr("slice(ds, pos + 2, size(ds))").as("rest"))
-      .select(col("blk"), col("a"), col("sa"), explode(col("rest")).as("y"))
+      .select(col("blk"), col("sa"), col("da"), explode(col("rest")).as("y"))
       .filter(firstMatch)
-      .select(col("a"), col("y.doc").as("b"),
+      .select(col("da"), col("y.docs").as("db"),
         expr("bit_count(sa ^ y.sim)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      // expand the signature pair to doc pairs; groups are disjoint, so
+      // least/greatest normalizes each doc pair exactly once
+      .select(explode(col("da")).as("x"), col("db"), col("hamming"))
+      .select(col("x"), explode(col("db")).as("yd"), col("hamming"))
+      .select(least(col("x"), col("yd")).as("a"),
+        greatest(col("x"), col("yd")).as("b"), col("hamming"))
+    samePairs.unionByName(crossPairs)
   }
 
   /** D7 — edit-distance near-dup pairs, prefix-blocked: candidates share

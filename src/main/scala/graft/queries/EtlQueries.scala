@@ -734,11 +734,16 @@ object EtlQueries {
         .orderBy("rule_idx")
     },
 
-    // A27 — PII-safe data masking for sharing a dimension outside the
-    // trust boundary (the TABLE-level companion to C9's free-text
-    // scrub): (1) key → deterministic md5 TOKEN — pseudonymous but
-    // join-stable, so downstream equi-joins on the token still work
-    // across tables masked the same way; (2) name → first-4 + '*' pad —
+    // A27 — data masking for sharing a dimension outside the trust
+    // boundary (the TABLE-level companion to C9's free-text scrub):
+    // (1) key → deterministic md5 TOKEN — PSEUDONYMOUS, NOT ANONYMIZED:
+    // an unsalted hash of a dense integer key space is reversible by
+    // enumerating keys, so this defends against casual exposure only;
+    // production use needs a keyed hash (HMAC with a secret) in place of
+    // the bare md5, which swaps in without changing the plan shape. It
+    // is join-stable either way — downstream equi-joins on the token
+    // still work across tables masked with the same key;
+    // (2) name → first-4 + '*' pad —
     // format-preserving redaction (length survives for layout QA); (3)
     // balance → generalized to the nearest 100 (k-anonymity
     // generalization: coarse enough to pool, ordered enough to

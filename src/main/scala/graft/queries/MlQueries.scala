@@ -429,14 +429,21 @@ object MlQueries {
       // PCA collect precedent) so the model compiles into ONE vocab-row
       // table carrying a fixed-width per-class log-prob array, and the
       // per-(doc,class) argmax becomes a scalar projection instead of a
-      // window over a doc×class fan-out.
-      val ltot = ltc.groupBy("lang").agg(sum("k").as("t")).collect()
+      // window over a doc×class fan-out. Per-class totals and the global
+      // |V| share ONE rollup action over the pinned ltc (the grand-total
+      // row's distinct-tok count IS |V|) — r10's profile pass flagged the
+      // stage-count overhead of running these as separate jobs; the prior
+      // collect stays its own (report-sized) action because it aggregates
+      // the doc grain, not the (lang, tok) grain.
+      val stats = ltc.rollup("lang")
+        .agg(sum("k").as("t"), countDistinct("tok").as("vd")).collect()
+      val ltot = stats.filter(!_.isNullAt(0))
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val v = stats.filter(_.isNullAt(0)).head.getLong(2)
       val prior = tr.groupBy("lang").agg(count(lit(1)).as("nd")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val classes = prior.keys.toSeq.sorted
       val ndAll = prior.values.sum
-      val v = ltc.select("tok").distinct().count()
       // tok → [ln P(tok|class)] for each class, Laplace-smoothed exactly
       // as the oracle: ln((kc + 1) / (t_class + |V|)). Vocabulary-sized;
       // the scoring join is left to the threshold + AQE (broadcast while

@@ -1436,9 +1436,9 @@ object StatsQueries {
         |SELECT n0, x0, n1, x1,
         |  CAST(x0 AS DOUBLE) / n0 AS p0, CAST(x1 AS DOUBLE) / n1 AS p1,
         |  (CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
-        |    / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |    / nullif(sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
         |        * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
-        |        * (1.0 / n0 + 1.0 / n1)) AS z
+        |        * (1.0 / n0 + 1.0 / n1)), 0) AS z
         |FROM p""".stripMargin) { (s, d) =>
       val pu = Tables.events(s, d)
         .groupBy("user_id")
@@ -1452,10 +1452,15 @@ object StatsQueries {
           max(when(col("grp") === 1, col("x"))).as("x1"))
         .selectExpr("n0", "x0", "n1", "x1",
           "CAST(x0 AS DOUBLE) / n0 AS p0", "CAST(x1 AS DOUBLE) / n1 AS p1",
+          // nullif(denominator, 0): an all- or never-converted cohort pair
+          // (pooled rate 0 or 1) must yield z = NULL IDENTICALLY in both
+          // engines — bare division diverges (Spark legacy NULL vs DuckDB
+          // IEEE inf/NaN) the moment some other scale degenerates the
+          // cohorts; threshold tuning alone was carrying this before.
           "(CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1) " +
-            "/ sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) " +
+            "/ nullif(sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) " +
             "* (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) " +
-            "* (1.0 / n0 + 1.0 / n1)) AS z")
+            "* (1.0 / n0 + 1.0 / n1)), 0) AS z")
     },
 
     // B113 — Herfindahl–Hirschman concentration index per nation: how
