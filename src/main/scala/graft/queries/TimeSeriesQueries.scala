@@ -510,8 +510,8 @@ object TimeSeriesQueries {
         |st AS (
         |  SELECT event_type, day, CAST(total AS DOUBLE) AS day_total,
         |    count(*) OVER w AS n,
-        |    CAST(sum(total) OVER w AS DOUBLE) AS s,
-        |    CAST(sum(total*total) OVER w AS DOUBLE) AS sq
+        |    CAST(CAST(sum(total) OVER w AS VARCHAR) AS DOUBLE) AS s,
+        |    CAST(CAST(sum(total*total) OVER w AS VARCHAR) AS DOUBLE) AS sq
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
         |               RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
