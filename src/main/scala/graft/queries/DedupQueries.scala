@@ -529,7 +529,8 @@ object DedupQueries {
          |SELECT least(sa, sb) AS source_1, greatest(sa, sb) AS source_2,
          |  count(*) AS n_pairs,
          |  CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
-         |  sum(jaccard) / count(*) AS mean_jaccard
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(jaccard ORDER BY a, b)), (x, y) -> x + y) / count(*) AS mean_jaccard
          |FROM sp GROUP BY 1, 2 ORDER BY n_pairs DESC, source_1, source_2""".stripMargin) { (s, d) =>
       import graft.operators.Dedup
       val docs = Tables.documents(s, d)
@@ -547,7 +548,14 @@ object DedupQueries {
           greatest(col("sa"), col("sb")).as("source_2"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("sa") === col("sb"), 1).otherwise(0)).cast("long").as("n_within"),
-          (sum("jaccard") / count(lit(1))).as("mean_jaccard"))
+          // (a, b)-PINNED double fold (B84 rule), not a bare sum(jaccard):
+          // groups hold several pairs from sf0.1 up, and the two engines'
+          // accumulation orders diverged by 1-2 ulp exactly there (caught
+          // by the r11 full sf0.1 sweep). Groups are verified-near-dup
+          // pairs per source pair — report-sized for any sane dup rate.
+          (expr("aggregate(array_sort(collect_list(struct(a, b, jaccard))), " +
+            "CAST(0 AS DOUBLE), (acc, p) -> acc + p.jaccard)") /
+            count(lit(1))).as("mean_jaccard"))
         .orderBy(col("n_pairs").desc, col("source_1"), col("source_2"))
     },
 
