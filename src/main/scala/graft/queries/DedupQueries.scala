@@ -415,14 +415,18 @@ object DedupQueries {
     // plan recomputed the (source, gid) frame — a full shingle explode +
     // distinct over the corpus — once per consumer (sizes, df, and twice
     // in the gid self-join), and shuffled the pruned frame twice more
-    // through that join. Now the frame is computed ONCE and persisted
-    // (it is vocabulary-bounded: |sources| × |distinct shingles|, both
-    // sublinear in corpus size; the harness clears the cache per query),
-    // and the overlap join is replaced by a per-gid source-set aggregate
-    // whose a<b combinations explode map-side straight into the source²-dim
-    // partial count — one shuffle on gid instead of three over the
-    // exploded frame. The source list per gid is source-catalog-bounded
-    // (dims, not data), so collect_set stays O(|sources|) at any corpus.
+    // through that join. Now the corpus is scanned once and shuffled ONCE,
+    // on gid, straight into the per-gid source-set aggregate (collect_set
+    // absorbs the old DISTINCT — partial sets dedup map-side and are
+    // |sources|-bounded per gid, dims not data), which is persisted at
+    // vocabulary size; per-source sizes, the universal-gid count and the
+    // a<b combination explode (map-side into the source²-dim pair count)
+    // all read that one cached frame. Everything past the pair count is
+    // source²-dim REPORT assembly and runs on the driver — the old plan
+    // re-scanned the cache five more times through crossJoin/broadcast
+    // plumbing to join 190 rows. The oracle brute-forces the unpruned
+    // self-join form; output is bit-identical (driver division is the
+    // same one IEEE op the oracle's CAST/divide performs).
     QueryDef.sql("d_source_similarity",
       s"""WITH ${DedupQueries.idsCte(3)},
          |ids2 AS (SELECT DISTINCT dd.source, ids.gid
@@ -435,40 +439,40 @@ object DedupQueries {
          |  CAST(ic AS DOUBLE) / (sa.n + sb.n - ic) AS jaccard
          |FROM ov JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      import s.implicits._
       val docs = Tables.documents(s, d)
-      val ids2 = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
-        .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
-        .select(col("source"), explode(col("gs")).as("gid")).distinct()
-        .persist()
-      val sz = ids2.groupBy("source").agg(count(lit(1)).as("n"))
-      val nsrc = sz.agg(count(lit(1)).as("nsrc"))                      // 1 row
-      val byGid = ids2.groupBy("gid")
-        .agg(collect_set(col("source")).as("srcs"))
-        .crossJoin(broadcast(nsrc))
-      val uni = byGid.filter(size(col("srcs")) === col("nsrc"))
-        .agg(count(lit(1)).as("uni"))                                  // 1 row
-      val ovp = byGid
-        .filter(size(col("srcs")) < col("nsrc") && size(col("srcs")) >= 2)
+      // projection straight off the scan: source is a documents column, so
+      // no doc-keyed join or repartition belongs here — shingle → gid-set →
+      // explode feeds the ONE shuffle (on gid) directly
+      val byGid = docs
+        .select(col("source"), explode(call_function("graft_gid_set",
+          call_function("graft_shingles", col("text"), lit(3)))).as("gid"))
+        .groupBy("gid").agg(collect_set(col("source")).as("srcs"))
+        .persist()                                    // vocabulary-sized
+      // per-source distinct-gid sizes: one cached-scan agg, source-dim
+      val sizes = byGid.select(explode(col("srcs")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nsrc = sizes.size
+      val uni = byGid.filter(size(col("srcs")) === nsrc).count()
+      val icp = byGid
+        .filter(size(col("srcs")) < nsrc && size(col("srcs")) >= 2)
         .select(explode(expr(
           """filter(flatten(transform(srcs, x -> transform(srcs,
             |  y -> struct(x AS src_a, y AS src_b)))),
             |p -> p.src_a < p.src_b)""".stripMargin)).as("p"))
-        .select(col("p.src_a"), col("p.src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("icp"))
-      // full source-pair frame (source²-dim, tiny): a pair whose every
-      // shared shingle is universal must still surface, with ic = uni
-      val ov = sz.select(col("source").as("src_a"))
-        .crossJoin(sz.select(col("source").as("src_b")))
-        .filter(col("src_a") < col("src_b"))
-        .join(ovp, Seq("src_a", "src_b"), "left")
-        .crossJoin(broadcast(uni))
-        .select(col("src_a"), col("src_b"),
-          (coalesce(col("icp"), lit(0L)) + col("uni")).as("ic"))
-        .filter(col("ic") > 0)
-      ov.join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
-        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
-        .select(col("src_a"), col("src_b"), col("ic"), col("na"), col("nb"),
-          (col("ic").cast("double") / (col("na") + col("nb") - col("ic"))).as("jaccard"))
+        .groupBy("p.src_a", "p.src_b").agg(count(lit(1)).as("icp"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // full source-pair frame (source²-dim report, driver-assembled): a
+      // pair whose every shared shingle is universal must still surface
+      val srcs = sizes.keys.toSeq.sorted
+      val rows = for {
+        a <- srcs; b <- srcs if a < b
+        ic = icp.getOrElse((a, b), 0L) + uni
+        if ic > 0
+      } yield (a, b, ic, sizes(a), sizes(b),
+        ic.toDouble / (sizes(a) + sizes(b) - ic))
+      rows.toDF("src_a", "src_b", "ic", "na", "nb", "jaccard")
         .orderBy("src_a", "src_b")
     },
 

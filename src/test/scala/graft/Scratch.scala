@@ -52,6 +52,35 @@ object Scratch {
       time("cand from warm cache")(Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(ds, 8), 4, 2)).count())
       spark.stop(); return
     }
+    if (qname == "probedss") {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      import graft.sources.Tables
+      def time(label: String)(f: => Long): Unit = {
+        val t = System.nanoTime()
+        val n = f
+        println(f"[probe] $label%-34s ${(System.nanoTime() - t) / 1e9}%6.2f s  rows=$n")
+      }
+      val docs = Tables.documents(spark, sfDir)
+      // warm the whole query once
+      time("full query (cold)")(SparkEntry.queries("d_source_similarity")(spark, sfDir).count())
+      spark.catalog.clearCache()
+      time("full query (warm)")(SparkEntry.queries("d_source_similarity")(spark, sfDir).count())
+      spark.catalog.clearCache()
+      val ids2 = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
+        .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+        .select(col("source"), explode(col("gs")).as("gid")).distinct()
+      time("ids2 (uncached)")(ids2.count())
+      val c = ids2.persist()
+      time("ids2 materialize cache")(c.count())
+      time("ids2 from cache")(c.count())
+      val byGid = c.groupBy("gid").agg(collect_set(col("source")).as("srcs"))
+      time("byGid from cache")(byGid.count())
+      time("comb explode+agg")(byGid.select(explode(expr(
+        "filter(flatten(transform(srcs, x -> transform(srcs, y -> struct(x AS src_a, y AS src_b)))), p -> p.src_a < p.src_b)")).as("p"))
+        .groupBy("p.src_a", "p.src_b").count().count())
+      spark.stop(); return
+    }
     if (qname == "probe9") {
       import org.apache.spark.sql.functions._
       import graft.sources.Tables
