@@ -289,13 +289,21 @@ object GraphQueries {
 
     // B104 — LOCAL clustering coefficient (B51's global coefficient, per
     // node: how closed is each part's co-purchase neighborhood — the
-    // community-tightness signal): the SAME degree-oriented two-path +
-    // packed-key closing probe as B51, but the probe keeps the triangle
-    // and credits all three corners (one explode per triangle row, never
-    // per wedge); per-node counts divide by (deg choose 2) exactly.
-    // Orientation differs from the oracle's id-ordered triple join, but
-    // the triangle SET is identical, so corner credits agree. Top-20 by
-    // (lcc DESC, node) — node breaks exact-ratio ties totally.
+    // community-tightness signal). EDGE-CENTRIC intersection, not a
+    // wedge join (the r11 sf1 lesson: this row materialized ~2×10⁸
+    // two-path rows to find ~10⁵ triangles — 122 s at sf1; B51 survives
+    // the same fan-out only because its semi-probe consumes it map-side,
+    // while the corner-crediting inner join did not): orient every edge
+    // low-degree → high-degree as before, build each node's OUT-adjacency
+    // array once (bounded by ~√m per node under the orientation), then
+    // per edge (s,t) the triangles through it are exactly
+    // array_intersect(N⁺(s), N⁺(t)) — each triangle found once at its
+    // base edge, inside whole-stage codegen, with nothing wedge-sized
+    // ever materialized or shuffled. Corners credit s and t with the
+    // intersection size and each witness with 1, straight into the
+    // node-dim partial agg. Triangle SET identical to the oracle's
+    // id-ordered triple join, so corner credits agree exactly.
+    // Top-20 by (lcc DESC, node) — node breaks exact-ratio ties totally.
     QueryDef.sql("g_local_clustering",
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -327,21 +335,23 @@ object GraphQueries {
           when(col("du") < col("dv") ||
                (col("du") === col("dv") && col("u") < col("v")), col("v"))
             .otherwise(col("u")).as("t"))
-      val fan = s.sparkContext.defaultParallelism
-      val src = oriented.repartition(fan, col("s"))
-      val pk = (c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =>
-        shiftleft(c1, 32) + c2
-      val twoPath = src.as("e1")
-        .join(src.as("e2"), col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-        .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"),
-          pk(col("e1.t"), col("e2.t")).as("xy"))
-      val closing = oriented.select(
-        pk(least(col("s"), col("t")), greatest(col("s"), col("t"))).as("cxy"))
-      // inner probe keeps the triangle row (closing pairs are distinct, so
-      // exactly one row per triangle); corners explode AFTER the probe
-      val tri = twoPath.join(closing, col("xy") === col("cxy"))
-        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("tri"))
+        .persist()
+      val adjOut = oriented.groupBy(col("s").as("n"))
+        .agg(collect_list(col("t")).as("nbrs")) // ≤ ~√m per node (oriented)
+      val withSets = oriented
+        .join(adjOut.select(col("n").as("s"), col("nbrs").as("ns")), "s")
+        .join(adjOut.select(col("n").as("t"), col("nbrs").as("nt")), "t")
+        .select(col("s"), col("t"),
+          array_intersect(col("ns"), col("nt")).as("ws"))
+        .filter(size(col("ws")) > 0) // only closing edges survive
+      val credits = withSets.select(explode(concat(
+          array(
+            struct(col("s").as("node"), size(col("ws")).cast("long").as("c")),
+            struct(col("t").as("node"), size(col("ws")).cast("long").as("c"))),
+          transform(col("ws"), w => struct(w.as("node"), lit(1L).as("c")))))
+          .as("p"))
+      val tri = credits.groupBy(col("p.node").as("node"))
+        .agg(sum(col("p.c")).as("tri"))
       graft.operators.Relational.topKByAgg(
         tri.join(deg, "node").filter(col("dg") >= 2)
           .select(col("node"), col("dg"), col("tri"),

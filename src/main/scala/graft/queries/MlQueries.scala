@@ -217,13 +217,24 @@ object MlQueries {
          |  count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs
          |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, d) =>
-      Tables.documents(s, d)
+      // Dictionary-encode before hashing (the r11 sf1 lesson — this row
+      // scaled 26×): the md5 feature hash is a pure function of the TOKEN,
+      // so hashing every occurrence does |corpus| md5+hex decodes where
+      // |vocabulary| suffice. Aggregate to the (tok, doc) grain first
+      // (map-side combine collapses repeats — the minimal exact grain,
+      // since bucket-level n_docs must count a doc once however many of
+      // its tokens share the bucket), hash once per DISTINCT token, and
+      // broadcast the vocabulary-sized tok→bucket map back on.
+      val td = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+      val tokMap = td.select("tok").distinct()
+        .select(col("tok"),
           (graft.operators.Dedup.hashedGid(col("tok")) % 64).as("bucket"))
+      td.join(broadcast(tokMap), "tok")
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n_tokens"), count_distinct(col("doc_id")).as("n_docs"))
+        .agg(sum("c").as("n_tokens"), count_distinct(col("doc_id")).as("n_docs"))
         .orderBy("bucket")
     },
 
