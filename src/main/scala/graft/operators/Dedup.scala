@@ -441,8 +441,13 @@ object Dedup {
     // projection. Work is now quadratic only in DISTINCT signatures per
     // bucket — boilerplate-heavy corpora collapse the distinct count, not
     // the runtime.
-    val groups = sims.groupBy("sim")
-      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+    // NULL signatures carry no similarity information — the pre-group
+    // form dropped them implicitly (null XOR is null, failing every
+    // predicate); keep that contract rather than emitting all null-sim
+    // docs as one hamming-0 clique. collect_set (not _list) absorbs
+    // duplicate (doc, sim) input rows the same way the old pair join did.
+    val groups = sims.filter(col("sim").isNotNull).groupBy("sim")
+      .agg(sort_array(collect_set(col("doc"))).as("docs"))
     // hamming = 0: all a < b combinations within one signature's members
     val samePairs = groups.filter(size(col("docs")) > 1)
       .select(posexplode(col("docs")).as(Seq("pos", "a")), col("docs"))

@@ -196,7 +196,23 @@ case class TopKPerGroupExec(
     val outAttrs = output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
-      val classProj = UnsafeProjection.create(orderExprs.map(_.child), childOutput)
+      // Class identity is UnsafeRow BINARY equality (HashMap keys / heap
+      // membership) while retention compares with classOrd SQL ordering.
+      // Stock windows get NormalizeFloatingNumbers applied by the
+      // optimizer; this exec builds its own projection, so normalize
+      // float/double order keys here too — otherwise -0.0 vs 0.0 (or two
+      // NaN bit patterns), which the SQL ordering treats as one tie
+      // class, would hash as two distinct classes and split a dense_rank
+      // class into two ranks.
+      val normalizedOrderKeys = orderExprs.map(_.child).map { e =>
+        e.dataType match {
+          case org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType =>
+            org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(e)
+          case _ => e
+        }
+      }
+      val classProj = UnsafeProjection.create(normalizedOrderKeys, childOutput)
       val boundOrder = orderExprs.zipWithIndex.map { case (so, i) =>
         SortOrder(BoundReference(i, so.child.dataType, so.child.nullable),
           so.direction, so.nullOrdering, Seq.empty)

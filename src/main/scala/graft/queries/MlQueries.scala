@@ -446,11 +446,16 @@ object MlQueries {
       // stage-count overhead of running these as separate jobs; the prior
       // collect stays its own (report-sized) action because it aggregates
       // the doc grain, not the (lang, tok) grain.
+      // grouping("lang") disambiguates the rollup grand-total row from a
+      // genuine NULL lang class — isNullAt alone would conflate the two
+      // (latent here: testdata lang is non-null, but the operator
+      // shouldn't depend on that).
       val stats = ltc.rollup("lang")
-        .agg(sum("k").as("t"), countDistinct("tok").as("vd")).collect()
-      val ltot = stats.filter(!_.isNullAt(0))
+        .agg(sum("k").as("t"), countDistinct("tok").as("vd"),
+          grouping(col("lang")).cast("int").as("g")).collect()
+      val ltot = stats.filter(_.getInt(3) == 0)
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val v = stats.filter(_.isNullAt(0)).head.getLong(2)
+      val v = stats.filter(_.getInt(3) == 1).head.getLong(2)
       val prior = tr.groupBy("lang").agg(count(lit(1)).as("nd")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val classes = prior.keys.toSeq.sorted

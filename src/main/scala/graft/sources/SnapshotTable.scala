@@ -51,12 +51,18 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotTable {
 
-  /** Only VACUUM still serializes in-JVM: its delete loop removes files
-    * that a concurrently *committing* writer may be reading, and deletion
-    * has no staging/rename to make it atomic. Every mutating commit path
-    * (create/merge/delete/compact/restore) is protected by the CAS rename
-    * instead and runs lock-free — concurrent writers are safe by
-    * construction, one wins, the rest fail cleanly. */
+  /** VACUUM serializes in-JVM against *other vacuums only* — two delete
+    * loops racing over the same retention set could each observe a
+    * half-deleted log. It does NOT serialize against commits: every
+    * mutating commit path (create/merge/delete/compact/restore) is
+    * protected by the CAS rename and runs lock-free. The consequence a
+    * caller must accept: a long-running MERGE that is still *reading* an
+    * old version's files when `vacuum(retainVersions=1)` deletes them
+    * fails cleanly with FileNotFound (no torn state — its own CAS commit
+    * never lands). That is the standard lake-format contract (Delta's
+    * VACUUM has the same failure mode for readers beyond the retention
+    * window); callers who need in-flight work protected set
+    * retainVersions above their longest job's version lag. */
   private val vacuumLock = new Object
 
   /** Raised when a writer loses the version CAS: another writer committed

@@ -85,6 +85,22 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getAs[Int]("hamming") == 0)
   }
 
+  test("simHashPairs drops null signatures and absorbs duplicate (doc, sim) rows") {
+    // Contract pinned after the r11 group-by-signature rewrite: a NULL
+    // signature carries no similarity information (the old pair-join
+    // dropped it via null XOR), and duplicate input rows must not inflate
+    // the pair set (the old collect_set semantics).
+    import spark.implicits._
+    val sims = Seq(
+      (1L, Option(5L)), (2L, Option(5L)), (2L, Option(5L)), // dup row for doc 2
+      (3L, None), (4L, None)                                // null sims: no pairs
+    ).toDF("doc", "sim")
+    val pairs = Dedup.simHashPairs(sims, 16, 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the (1,2) same-signature pair, got $pairs")
+  }
+
   test("64-bit simhash (production) finds the dup pair and agrees with the vote aggregate") {
     // binds d_simhash_64 (rows-only) to checked semantics: the compiled
     // 64-bit expression must equal the distributive vote aggregate

@@ -316,6 +316,34 @@ class PlanSpec extends AnyFunSuite {
     assert(tied == Seq((1, 1), (2, 2), (2, 2)))
   }
 
+  test("dense mode unifies -0.0/0.0 and NaN bit-pattern tie classes (float normalization)") {
+    // Class identity in the dense exec is UnsafeRow binary equality while
+    // retention is SQL ordering; stock windows are protected by the
+    // optimizer's NormalizeFloatingNumbers, the custom exec normalizes in
+    // its own class projection. -0.0 and 0.0 (== in SQL) must be ONE
+    // dense_rank class, and both NaN encodings must be one class.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val negZero = java.lang.Double.longBitsToDouble(0x8000000000000000L)
+    val nanAlt = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val df = Seq(("a", 0.0), ("a", negZero), ("a", 1.0), ("a", 2.0),
+                 ("b", Double.NaN), ("b", nanAlt), ("b", 3.0))
+      .toDF("g", "v")
+    val w = Window.partitionBy("g").orderBy(col("v"))
+    val q = df.withColumn("r", dense_rank().over(w)).filter(col("r") <= 2)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3, t._2)).toSeq
+    // a: {0.0, -0.0} is one class -> rank 1 (both rows), {1.0} -> 2;
+    // b: {3.0} -> 1, {NaN, NaN'} one class (NaN sorts last) -> 2
+    assert(got.map(t => (t._1, t._3)) ==
+      Seq(("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 2), ("b", 2)))
+    val bRanks = got.filter(t => t._1 == "b" && t._3 == 2).map(_._2)
+    assert(bRanks.forall(_.isNaN), "both NaN bit patterns share one class")
+  }
+
   test("the TopK rewrite leaves non-matching windows alone (B10n guard)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -358,6 +358,21 @@ class SnapshotTableSpec extends AnyFunSuite {
     val logEntries = Option(new java.io.File(s"$dir/_log").listFiles())
       .getOrElse(Array.empty).map(_.getName).toSet
     assert(logEntries == Set("v0", "v1"), s"torn log: $logEntries")
+    // The documented recovery path works: the loser re-reads the latest
+    // snapshot and retries the SAME logical merge, which now lands as v2
+    // on top of the winner — state is the winner's commit plus B's rows,
+    // exactly what serial A-then-B would have produced.
+    SnapshotTable.merge(spark, dir,
+      spark.range(5).select(col("id").as("k"), lit("B").as("grp"),
+        lit(-2.0).as("v")), "k", filesPerCommit = 4)
+    assert(SnapshotTable.latestVersion(dir) == 2)
+    val grpRetry = SnapshotTable.read(spark, dir).filter(col("k") < 5)
+      .select("grp").distinct().collect().map(_.getString(0)).toSeq
+    assert(grpRetry == Seq("B"),
+      s"retry must override the winner's rows serially, got $grpRetry")
+    val v1Grp = SnapshotTable.read(spark, dir, 1).filter(col("k") < 5)
+      .select("grp").distinct().collect().map(_.getString(0)).toSeq
+    assert(v1Grp == Seq("A"), "the winner's version stays readable after the retry")
   }
 }
 
