@@ -150,16 +150,16 @@ object AnalyticsQueries {
         |  WHERE l_orderkey = o_orderkey
         |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      // reduce-first: EXISTS(l_shipdate > o_orderdate + 60d) over an
-      // order's line items depends only on max(l_shipdate), so the fact
-      // side pre-aggregates map-side to one row per order BEFORE the
-      // semi join — the shuffle carries |orders| rows instead of
-      // |lineitem| (r11 sf1 ratio pass)
-      val late = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("max_ship"))
-      Tables.orders(s, d)
-        .join(late, col("l_orderkey") === col("o_orderkey") &&
-          col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+      // reduce-first over the SHARED staged fact: EXISTS(l_shipdate >
+      // o_orderdate + 60d) depends only on max(l_shipdate) per order,
+      // and the staged orders⋈lineitem line grain already carries the
+      // order columns — so the whole query is one map-side-combined
+      // groupBy at order grain (no semi join at all; the r11 remainder
+      // WAS that semi-join shuffle) + a priority-sized rollup.
+      StagedTables.orderLines(s, d)
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(max(col("l_shipdate")).as("max_ship"))
+        .filter(col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")
@@ -902,18 +902,27 @@ object AnalyticsQueries {
         |  ON a.o_custkey = b.o_custkey AND a.bucket = b.bucket
         | AND a.o_orderkey < b.o_orderkey
         |ORDER BY custkey, order_a, order_b""".stripMargin) { (s, d) =>
+      // ONE scan + ONE shuffle (r11 paid the orders self-join = the same
+      // table shuffled twice): group the orders by the (custkey, bucket)
+      // match key and emit a<b pairs combinatorially inside each group.
+      // Groups are tiny by construction (10 orders/customer split across
+      // $100 buckets), so the collect_list is bounded and the pair
+      // fan-out stays distributed at group grain — the simHashPairs
+      // same-signature idiom applied to a relational self-match.
       val o = Tables.orders(s, d).selectExpr("o_orderkey", "o_custkey",
         "CAST(round(o_totalprice * 100) AS BIGINT) DIV 10000 AS bucket",
         "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS day_idx")
-      val a = o.select(col("o_custkey").as("custkey"), col("o_orderkey").as("order_a"),
-        col("bucket"), col("day_idx").as("da"))
-      val b = o.select(col("o_custkey").as("custkey"), col("o_orderkey").as("order_b"),
-        col("bucket"), col("day_idx").as("db"))
-      a.join(b, Seq("custkey", "bucket"))
-        .filter(col("order_a") < col("order_b"))
-        .select(col("custkey"), col("order_a"), col("order_b"),
+      o.groupBy(col("o_custkey").as("custkey"), col("bucket"))
+        .agg(sort_array(collect_list(struct(col("o_orderkey").as("ok"),
+          col("day_idx").as("di")))).as("os"))
+        .filter(size(col("os")) > 1)
+        .select(col("custkey"), col("bucket"),
+          posexplode(col("os")).as(Seq("pos", "a")), col("os"))
+        .select(col("custkey"), col("bucket"), col("a"),
+          explode(expr("slice(os, pos + 2, size(os))")).as("b"))
+        .select(col("custkey"), col("a.ok").as("order_a"), col("b.ok").as("order_b"),
           (col("bucket") * 100).cast("long").as("amount_bucket"),
-          (col("db") - col("da")).as("days_apart"))
+          (col("b.di") - col("a.di")).as("days_apart"))
         .orderBy("custkey", "order_a", "order_b")
     },
 
@@ -988,9 +997,9 @@ object AnalyticsQueries {
         |  CAST(n_repeat AS DOUBLE) / n_buyers AS reorder_rate
         |FROM pr WHERE n_buyers >= 20
         |ORDER BY reorder_rate DESC, partkey LIMIT 20""".stripMargin) { (s, d) =>
-      val cpo = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("o_orderkey") === col("l_orderkey"))
+      // incidence off the staged shared fact (StagedTables.orderLines):
+      // the join ran once, this is a 3-column pruned scan + distinct
+      val cpo = StagedTables.orderLines(s, d)
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
           col("l_orderkey").as("o"))
         .distinct()

@@ -1252,9 +1252,10 @@ object TimeSeriesQueries {
         |  CAST(sum(CASE WHEN dl <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS within_90,
         |  CAST(sum(CASE WHEN dl <= 30 THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS sla_30
         |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val lat = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
-        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority"),
-          col("o_orderkey") === col("l_orderkey"))
+      // reads (prio, shipdate, orderdate) off the staged shared fact —
+      // the join ran once in StagedTables.orderLines; parquet pruning
+      // keeps this a 3-column scan
+      val lat = StagedTables.orderLines(s, d)
         .select(col("o_orderpriority").as("prio"),
           datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")).as("dl"))
       lat.groupBy("prio").agg(
@@ -1441,9 +1442,11 @@ object TimeSeriesQueries {
         |  FROM curve)
         |SELECT strftime(day,'%Y-%m-%d') AS day, concurrency
         |FROM sweep ORDER BY concurrency DESC, day LIMIT 20""".stripMargin) { (s, d) =>
-      val iv = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("start_day"))
+      // the orders⋈lineitem shuffle is the staged shared fact (see
+      // StagedTables.orderLines); this query is then one order-grain
+      // aggregate over a 3-column pruned scan of it
+      val iv = StagedTables.orderLines(s, d)
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("start_day"))
         .agg(max(to_date(col("l_shipdate"))).as("end_day"))
       val deltas = iv.select(col("start_day").as("day"), lit(1L).as("delta"))
         .unionAll(iv.select(date_add(col("end_day"), 1).as("day"), lit(-1L).as("delta")))
