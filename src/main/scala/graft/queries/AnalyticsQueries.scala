@@ -902,28 +902,37 @@ object AnalyticsQueries {
         |  ON a.o_custkey = b.o_custkey AND a.bucket = b.bucket
         | AND a.o_orderkey < b.o_orderkey
         |ORDER BY custkey, order_a, order_b""".stripMargin) { (s, d) =>
-      // ONE scan + ONE shuffle (r11 paid the orders self-join = the same
-      // table shuffled twice): group the orders by the (custkey, bucket)
-      // match key and emit a<b pairs combinatorially inside each group.
-      // Groups are tiny by construction (10 orders/customer split across
-      // $100 buckets), so the collect_list is bounded and the pair
-      // fan-out stays distributed at group grain — the simHashPairs
-      // same-signature idiom applied to a relational self-match.
+      // ONE scan + ONE narrow shuffle (r11 paid the orders self-join =
+      // the whole fact scanned and shuffled twice): group by the
+      // (custkey, bucket) match key and emit a<b pairs combinatorially
+      // inside each group — the simHashPairs same-signature idiom on a
+      // relational self-match. The shuffled payload is ONE packed long
+      // per order (orderkey<<16 | day_idx; day 1970-index fits 16 bits
+      // until 2149), so the shuffle carries key+8 bytes, and sorting the
+      // packed array IS the (orderkey, day) sort the a<b emission needs.
+      // Groups are bounded by construction (a customer's orders split
+      // across $100 buckets), so the per-group list never skews a task.
       val o = Tables.orders(s, d).selectExpr("o_orderkey", "o_custkey",
         "CAST(round(o_totalprice * 100) AS BIGINT) DIV 10000 AS bucket",
         "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS day_idx")
       o.groupBy(col("o_custkey").as("custkey"), col("bucket"))
-        .agg(sort_array(collect_list(struct(col("o_orderkey").as("ok"),
-          col("day_idx").as("di")))).as("os"))
+        .agg(sort_array(collect_list(
+          shiftleft(col("o_orderkey"), 16).bitwiseOR(col("day_idx")))).as("os"))
         .filter(size(col("os")) > 1)
         .select(col("custkey"), col("bucket"),
           posexplode(col("os")).as(Seq("pos", "a")), col("os"))
         .select(col("custkey"), col("bucket"), col("a"),
           explode(expr("slice(os, pos + 2, size(os))")).as("b"))
-        .select(col("custkey"), col("a.ok").as("order_a"), col("b.ok").as("order_b"),
+        .select(col("custkey"),
+          shiftright(col("a"), 16).as("order_a"),
+          shiftright(col("b"), 16).as("order_b"),
           (col("bucket") * 100).cast("long").as("amount_bucket"),
-          (col("b.di") - col("a.di")).as("days_apart"))
-        .orderBy("custkey", "order_a", "order_b")
+          (col("b").bitwiseAND(lit(0xffffL)) - col("a").bitwiseAND(lit(0xffffL)))
+            .as("days_apart"))
+        // anomaly-sized output: a single-partition sort gives the same
+        // total order WITHOUT orderBy's range-sampling pass, which would
+        // re-execute the whole upstream once just to pick split points
+        .repartition(1).sortWithinPartitions("custkey", "order_a", "order_b")
     },
 
     // B126 — ABC inventory classification: parts ranked by revenue,

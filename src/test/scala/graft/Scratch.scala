@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 // Temporary stage-level profiler — not part of the library surface.
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SCRATCH_SF_DIR", "/root/testdata/sf0.1")
     val qname = if (args.nonEmpty) args(0) else "d_ngram_jaccard"
     val spark = GraftSession.local("scratch", 32)
     val stages = ArrayBuffer.empty[(Int, Int, Long, Long, Long, Long, Long, Long, Long)]
