@@ -97,43 +97,49 @@ object SnapshotTable {
 
   /** Land `df` as `filesPerCommit` data files for version `v`, bucketed
     * by fixed-width key ranges over the commit's exact bounds, each file
-    * sorted by key. Returns the manifest entries. A small driver loop
-    * writes one file per bucket — file-layout control is inherently
-    * per-file work (a cluster committer does the same); buckets are a
-    * small constant. */
+    * sorted by key. Returns the manifest entries. */
   private def landFiles(s: SparkSession, dir: String, df: DataFrame,
                         key: String, v: Int, op: String,
                         filesPerCommit: Int, token: String): DataFrame = {
     import s.implicits._
-    val b = df.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
+    // Commit-sized by contract — pin it so the bounds agg and the data
+    // write don't each re-execute the caller's (possibly expensive)
+    // producing plan; the agg is the materializing job.
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val b = pinned.agg(min(col(key)).cast("long"), max(col(key)).cast("long")).head()
     if (b.isNullAt(0)) return Seq.empty[(String, Long, Long, Long, String)]
       .toDF("file", "rows", "key_min", "key_max", "op")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val width = math.max(1L, (hi - lo) / filesPerCommit + 1)
-    val bucketed = df.withColumn("__b",
-      ((col(key).cast("long") - lo) / width).cast("int")).persist()
-    bucketed.count()
+    // ONE write job for every bucket (the per-bucket filter+coalesce loop
+    // cost one full job per file — the r11 f_stream_upsert profile showed
+    // per-merge job COUNT, not bytes, dominating): hash-repartition on
+    // the bucket id puts each bucket's rows in exactly one task, and
+    // partitionBy splits colliding buckets into their own directories, so
+    // every bucket still lands as one key-sorted file.
+    val tmp = s"$dir/_tmp_v$v-$token"
+    pinned.withColumn("__b", ((col(key).cast("long") - lo) / width).cast("int"))
+      .repartition(filesPerCommit, col("__b"))
+      .sortWithinPartitions(col("__b"), col(key))
+      .write.partitionBy("__b").mode("overwrite").parquet(tmp)
     val entries = (0 until filesPerCommit).flatMap { i =>
-      val slice = bucketed.filter(col("__b") === i).drop("__b")
-        .coalesce(1).sortWithinPartitions(key)
-      val tmp = s"$dir/_tmp_v$v-$token-$i"
-      slice.write.mode("overwrite").parquet(tmp)
-      val part = {
-        val st = Files.list(Paths.get(tmp))
-        try st.filter(_.toString.endsWith(".parquet")).findFirst()
-        finally st.close()
-      }
-      val out = if (part.isPresent) {
+      val bucketDir = Paths.get(s"$tmp/__b=$i")
+      val part = if (!Files.isDirectory(bucketDir)) java.util.Optional.empty[java.nio.file.Path]()
+        else {
+          val st = Files.list(bucketDir)
+          try st.filter(_.toString.endsWith(".parquet")).findFirst()
+          finally st.close()
+        }
+      if (part.isPresent) {
         val name = s"v$v-$token-$i.parquet"
         Files.createDirectories(Paths.get(s"$dir/data"))
         Files.move(part.get, Paths.get(s"$dir/data/$name"),
           StandardCopyOption.REPLACE_EXISTING)
         Some(name)
       } else None // empty bucket → no file
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      out
     }
-    bucketed.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     if (entries.isEmpty) return Seq.empty[(String, Long, Long, Long, String)]
       .toDF("file", "rows", "key_min", "key_max", "op")
     // per-file stats from the files as written (what a reader will see)
@@ -144,6 +150,7 @@ object SnapshotTable {
         max(col(key)).cast("long").as("key_max"))
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         col("rows"), col("key_min"), col("key_max"), lit(op).as("op"))
+    } finally pinned.unpersist()
   }
 
   /** The CAS commit: stage the manifest under an attempt-unique name,
@@ -228,7 +235,14 @@ object SnapshotTable {
       s"updates carry new columns ${extraCols.mkString(",")}; pass evolve=true to add them")
     val man = manifest(s, dir, v).persist()
     man.count()
-    val updKeys = updates.select(col(key)).distinct()
+    // The update frame feeds FOUR consumers (key pruning, the matched
+    // semi, the insert anti, the rewrite union); without a pin each one
+    // re-executes the caller's whole update computation — for a streaming
+    // foreachBatch MERGE that re-ran the batch aggregation three times
+    // per commit. Updates are delta-sized by the operator's contract;
+    // MEMORY_AND_DISK spills if a caller hands a table-sized delta.
+    val upd = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val updKeys = upd.select(col(key)).distinct()
     // Phase 1 — stat pruning: files whose [key_min, key_max] contains at
     // least one update key. The manifest is file-count-sized → broadcast
     // side of a range join against the (possibly huge) update key set.
@@ -257,9 +271,9 @@ object SnapshotTable {
       else Some(cand.filter(col("__file").isin(affectedNames.toSeq: _*))
         .drop("__file").join(updKeys, Seq(key), "left_anti"))
     val matched = if (cand == null) None
-      else Some(updates.join(cand.select(col(key)), Seq(key), "left_semi"))
-    val inserts = if (cand == null) updates
-      else updates.join(cand.select(col(key)), Seq(key), "left_anti")
+      else Some(upd.join(cand.select(col(key)), Seq(key), "left_semi"))
+    val inserts = if (cand == null) upd
+      else upd.join(cand.select(col(key)), Seq(key), "left_anti")
     // evolved schema = base columns ++ update-only columns (append-only);
     // frames lacking a column (survivors during evolution, or a later
     // merge not carrying a previously-evolved column) take NULL. The
@@ -283,6 +297,7 @@ object SnapshotTable {
     try commit(s, dir, v + 1, carried.unionByName(fresh), token)
     finally {
       if (cand != null) cand.unpersist()
+      upd.unpersist()
       man.unpersist()
     }
   }
