@@ -632,6 +632,54 @@ object MlQueries {
         .orderBy("decile")
     },
 
+    // F16x — the B14x-laddered form of m_lift_gains for the scale where
+    // a global ntile window is impossible: scores bin at their native
+    // cent precision (the `value` domain is bounded, so the bin table is
+    // dimension-sized at ANY scale factor — the B18 argument), ONE
+    // map-side-combined bin aggregate is the only data-scale stage, the
+    // cumulative runs over the dim-sized bin rollup, and each bin's rows
+    // are allocated to the ntile-exact decile rank ranges it overlaps —
+    // counts allocate EXACTLY (overlap arithmetic), positives pro-rata
+    // within a boundary-straddling bin (ntile splits such ties by
+    // event_id, which bins cannot see; that pro-rata share is the only
+    // estimated quantity). Rows-only: MlQueriesBinnedSpec pins per-decile
+    // n to the exact twin bit-for-bit and npos/lift to tight agreement.
+    QueryDef.rowsOnly("m_lift_gains_binned") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sc = Tables.events(s, d).select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val bins = sc.groupBy("score")
+        .agg(count(lit(1)).as("c"), sum("y").as("p"))
+      val t = bins.agg(sum("c").as("tn"), sum("p").as("tpos"))
+      // ntile(10) rank ranges: first tn%10 deciles carry one extra row
+      val deciles = t.select(
+          explode(sequence(lit(1), lit(10))).as("decile"), col("tn"), col("tpos"))
+        .withColumn("dstart", (col("decile") - 1) * floor(col("tn") / 10).cast("long") +
+          least((col("decile") - 1).cast("long"), col("tn") % 10))
+        .withColumn("dend", col("dstart") + floor(col("tn") / 10).cast("long") +
+          when(col("decile") <= col("tn") % 10, 1L).otherwise(0L))
+      val cumW = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = bins
+        .select(col("score"), col("c"), col("p"), sum("c").over(cumW).as("bend"))
+        .withColumn("bstart", col("bend") - col("c"))
+      val g = spans.join(broadcast(deciles),
+          col("bstart") < col("dend") && col("dstart") < col("bend"))
+        .withColumn("ov",
+          least(col("bend"), col("dend")) - greatest(col("bstart"), col("dstart")))
+        .groupBy("decile")
+        .agg(sum("ov").as("n"),
+          sum(col("p") * col("ov").cast("double") / col("c")).as("npos"),
+          first("tn").as("tn"), first("tpos").as("tpos"))
+      g.select(col("decile"), col("n"), col("npos").as("n_pos_est"),
+          (col("npos") / col("n")).as("pos_rate"),
+          ((col("npos") / col("n")) /
+            (col("tpos").cast("double") / col("tn"))).as("lift"),
+          (sum("npos").over(Window.orderBy("decile")) /
+            col("tpos")).as("cum_capture"))
+        .orderBy("decile")
+    },
+
     // F18 — decision-threshold tuning: the operating point every
     // deployed scorer needs after F9 proves the ranking — sweep
     // candidate thresholds, pick the best F1. Same shape as F14's split
