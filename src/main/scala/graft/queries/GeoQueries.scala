@@ -35,10 +35,25 @@ object GeoQueries {
   private def hLon(k: Column): Column = pmod(k * 97003L + 17L, lit(100000L))
   private def latOf(h: Column): Column = lit(37.0) + h / 100000.0
   private def lonOf(h: Column): Column = lit(-122.8) + h / 100000.0
-  // cell edge 0.1° (≈11.1 km lat, ≈8.8 km lon at 37.5°N) ≥ radius ⇒ all
-  // true pairs fall in the 3×3 neighborhood. Integer division: h/10000.
   private def hLatDuck(k: String) = s"(($k*2654435761) % 100000)"
   private def hLonDuck(k: String) = s"(($k*97003+17) % 100000)"
+  // Cell edges are DERIVED from the radius at the tightest exact size,
+  // per dimension (r11 hand-fixed 0.1° for both; at a fixed planted
+  // domain, density grows linearly with sf, so oversized cells scale the
+  // candidate join quadratically — the measured 33× sf0.1→sf1 factor).
+  // Exactness bound: a pair within `radiusKm` must sit within ±1 cell in
+  // each dimension, so the lat edge needs ≥ radius at the sphere's
+  // km/degree, and the lon edge needs ≥ radius at the DOMAIN'S HIGHEST
+  // latitude (38°, where a degree of longitude is shortest — the
+  // worst-case escape). 2% slack absorbs the spherical-vs-planar
+  // approximation; cells stay integer 1e-5° units so bucketing is
+  // integer division on both engines, never float floor.
+  private val kmPerDegLat = 12742.0176 * math.Pi / 360.0 // = πR/180, R=6371.0088
+  private val latCellUnits: Long =
+    math.ceil(radiusKm / kmPerDegLat * 100000.0 * 1.02).toLong // 4587 ≈ 0.046°
+  private val lonCellUnits: Long =
+    math.ceil(radiusKm / (kmPerDegLat * math.cos(math.toRadians(38.0)))
+      * 100000.0 * 1.02).toLong // 5821 ≈ 0.058°
 
   /** Haversine via the native `graft_haversine_km` expression
     * (functions/HaversineExpr.scala): the PortableMath op sequence as one
@@ -50,8 +65,8 @@ object GeoQueries {
     df.withColumn("km",
       call_function("graft_haversine_km", col(lat1), col(lon1), col(lat2), col(lon2)))
 
-  /** Oracle CTE chain ending in `f` = (c_custkey, s_suppkey, km ≤ radius)
-    * for the c×s cross join, km staged through MATERIALIZED CTEs — each
+  /** Oracle CTE chain ending in `f` = (c_custkey, s_suppkey, km ≤ radius),
+    * km staged through MATERIALIZED CTEs — each
     * stage binds its intermediate so DuckDB's optimizer cannot re-inline
     * the alias chain into one expression (asin's three half-angle steps
     * reference their argument 3× each; inlined, the tree grows ~27×
@@ -60,15 +75,33 @@ object GeoQueries {
     * which the Spark side runs as the native `graft_haversine_km` call —
     * the two engines differ only in where the textual stage boundaries
     * sit, never in the IEEE op order. Splice after `c`/`s` CTEs; the
-    * caller's query then reads FROM f. */
+    * caller's query then reads FROM f.
+    *
+    * The candidate generation mirrors the engine's cell blocking instead
+    * of a cross join (r11's brute form was 1.5×10⁹ rows at sf1 — the one
+    * §2 oracle that didn't scale): the probe side fans to its 3×3 cell
+    * neighborhood via two 3-row VALUES joins and candidates equi-join on
+    * the cell id. The cell-edge ≥ radius bound makes the blocked pair
+    * set ⊇ every true pair, and each (c, s) pair matches on exactly one
+    * cell (the supplier's), so after the km filter the result is
+    * row-identical to the cross join — the oracle now scales with the
+    * engine instead of quadratically. */
   private def kmCtesSql(radius: Double): String = {
     import graft.functions.PortableMath._
     val d2r = "0.017453292519943295"
-    s"""g0 AS MATERIALIZED (SELECT c.c_custkey, s.s_suppkey,
+    s"""cg AS MATERIALIZED (SELECT c_custkey, lat, lon,
+       |    (hlat // $latCellUnits) + d1.d AS clat,
+       |    (hlon // $lonCellUnits) + d2.d AS clon
+       |  FROM c CROSS JOIN (VALUES (-1), (0), (1)) d1(d)
+       |         CROSS JOIN (VALUES (-1), (0), (1)) d2(d)),
+       |sg AS MATERIALIZED (SELECT s_suppkey, lat, lon,
+       |    (hlat // $latCellUnits) AS clat, (hlon // $lonCellUnits) AS clon
+       |  FROM s),
+       |g0 AS MATERIALIZED (SELECT c.c_custkey, s.s_suppkey,
        |    (((s.lat - c.lat) * $d2r) / 2) AS da,
        |    (((s.lon - c.lon) * $d2r) / 2) AS db,
        |    ((c.lat) * $d2r) AS ra, ((s.lat) * $d2r) AS rb
-       |  FROM c CROSS JOIN s),
+       |  FROM cg c JOIN sg s ON c.clat = s.clat AND c.clon = s.clon),
        |g1 AS MATERIALIZED (SELECT c_custkey, s_suppkey,
        |    ${sinSql("da")} AS sa, ${sinSql("db")} AS sb,
        |    ${cosSql("ra")} AS ca, ${cosSql("rb")} AS cb FROM g0),
@@ -90,16 +123,18 @@ object GeoQueries {
 
     // B35 — spatial distance join: per customer, the suppliers within
     // 5 km of its planted location — reported as (count, nearest, km).
-    // The oracle brute-forces the cross join (fine at oracle scale);
-    // the Spark side runs the bucketed candidate join that survives
-    // 100 TB. Haversine is the one transcendental here, used in VALUES
+    // Both sides run the cell-blocked candidate join (the oracle through
+    // materialized CTEs) — provably identical to the cross join by the
+    // cell-edge ≥ radius bound, and feasible at every measured scale. Haversine is the one transcendental here, used in VALUES
     // and a threshold/argmin whose hashed coords keep competitors
     // far apart relative to 1-ulp libm drift (SURVEY §4 rationale).
     QueryDef.sql("q_geo_join", {
       s"""WITH c AS (SELECT c_custkey,
+         |        ${hLatDuck("c_custkey")} AS hlat, ${hLonDuck("c_custkey")} AS hlon,
          |        37.0 + ${hLatDuck("c_custkey")}/100000.0 AS lat,
          |        -122.8 + ${hLonDuck("c_custkey")}/100000.0 AS lon FROM customer),
          |s AS (SELECT s_suppkey,
+         |        ${hLatDuck("s_suppkey")} AS hlat, ${hLonDuck("s_suppkey")} AS hlon,
          |        37.0 + ${hLatDuck("s_suppkey")}/100000.0 AS lat,
          |        -122.8 + ${hLonDuck("s_suppkey")}/100000.0 AS lon FROM supplier),
          |${kmCtesSql(radiusKm)},
@@ -114,13 +149,13 @@ object GeoQueries {
       val cust = Tables.customer(s, d).select(col("c_custkey"),
         hLat(col("c_custkey")).as("hlat"), hLon(col("c_custkey")).as("hlon"))
         .select(col("c_custkey"), latOf(col("hlat")).as("lat"), lonOf(col("hlon")).as("lon"),
-          (col("hlat") / 10000L).cast("long").as("clat"),
-          (col("hlon") / 10000L).cast("long").as("clon"))
+          (col("hlat") / latCellUnits).cast("long").as("clat"),
+          (col("hlon") / lonCellUnits).cast("long").as("clon"))
       val supp = Tables.supplier(s, d).select(col("s_suppkey"),
         hLat(col("s_suppkey")).as("hlat"), hLon(col("s_suppkey")).as("hlon"))
         .select(col("s_suppkey"), latOf(col("hlat")).as("slat"), lonOf(col("hlon")).as("slon"),
-          (col("hlat") / 10000L).cast("long").as("clat"),
-          (col("hlon") / 10000L).cast("long").as("clon"))
+          (col("hlat") / latCellUnits).cast("long").as("clat"),
+          (col("hlon") / lonCellUnits).cast("long").as("clon"))
       // probe side explodes to its 3x3 cell neighborhood; equi-join on cell
       val probes = cust
         .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
@@ -147,13 +182,15 @@ object GeoQueries {
     // within 5 km is inside the neighborhood by the cell-edge bound, so
     // the top-3 of the candidates IS the global top-3 (an uncapped k-NN
     // could have its 3rd neighbor outside any fixed neighborhood and
-    // would need ring expansion). Oracle brute-forces the same capped
-    // ranking; ties break on supplier id.
+    // would need ring expansion). Oracle runs the same capped ranking
+    // over the same cell-blocked candidates; ties break on supplier id.
     QueryDef.sql("q_geo_knn", {
       s"""WITH c AS (SELECT c_custkey,
+         |        ${hLatDuck("c_custkey")} AS hlat, ${hLonDuck("c_custkey")} AS hlon,
          |        37.0 + ${hLatDuck("c_custkey")}/100000.0 AS lat,
          |        -122.8 + ${hLonDuck("c_custkey")}/100000.0 AS lon FROM customer),
          |s AS (SELECT s_suppkey,
+         |        ${hLatDuck("s_suppkey")} AS hlat, ${hLonDuck("s_suppkey")} AS hlon,
          |        37.0 + ${hLatDuck("s_suppkey")}/100000.0 AS lat,
          |        -122.8 + ${hLonDuck("s_suppkey")}/100000.0 AS lon FROM supplier),
          |${kmCtesSql(radiusKm)},
@@ -165,13 +202,13 @@ object GeoQueries {
       val cust = Tables.customer(s, d).select(col("c_custkey"),
         hLat(col("c_custkey")).as("hlat"), hLon(col("c_custkey")).as("hlon"))
         .select(col("c_custkey"), latOf(col("hlat")).as("lat"), lonOf(col("hlon")).as("lon"),
-          (col("hlat") / 10000L).cast("long").as("clat"),
-          (col("hlon") / 10000L).cast("long").as("clon"))
+          (col("hlat") / latCellUnits).cast("long").as("clat"),
+          (col("hlon") / lonCellUnits).cast("long").as("clon"))
       val supp = Tables.supplier(s, d).select(col("s_suppkey"),
         hLat(col("s_suppkey")).as("hlat"), hLon(col("s_suppkey")).as("hlon"))
         .select(col("s_suppkey"), latOf(col("hlat")).as("slat"), lonOf(col("hlon")).as("slon"),
-          (col("hlat") / 10000L).cast("long").as("clat"),
-          (col("hlon") / 10000L).cast("long").as("clon"))
+          (col("hlat") / latCellUnits).cast("long").as("clat"),
+          (col("hlon") / lonCellUnits).cast("long").as("clon"))
       val probes = cust
         .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
         .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
