@@ -86,6 +86,21 @@ object Verify {
         else System.err.println(s"[verify] $name SKIPPED: ${remaining.toInt}s budget left < ${cap + 30}s")
       }
     }
+    // Suite-end storage audit: per-query clearCache covers persist()ed
+    // frames, but localCheckpoint blocks are freed by the ContextCleaner
+    // only after their RDDs become unreachable — a query that leaked a
+    // reference would hold executor storage for the whole suite. Give the
+    // cleaner one GC cycle, then report what survived; a healthy suite
+    // prints 0.
+    spark.catalog.clearCache()
+    System.gc(); Thread.sleep(2000)
+    val residual = spark.sparkContext.getPersistentRDDs
+    if (residual.isEmpty) System.err.println("[verify] storage audit: 0 residual blocks")
+    else {
+      System.err.println(s"[verify] storage audit: ${residual.size} RESIDUAL RDDs:")
+      residual.values.foreach(r =>
+        System.err.println(s"[verify]   id=${r.id} ${r.getStorageLevel.description} ${r.name}"))
+    }
     spark.stop()
   }
 }

@@ -102,6 +102,63 @@ object Charts {
     writeString(df.sparkSession, pieSvg(slices, title), path)
   }
 
+  /** Render one or more (x, y) series as an SVG line chart with a log₁₀
+    * x-axis — the shape of a scale sweep (sf on x, suite ratio on y).
+    * Deterministic: same input → same bytes. Points are marked and
+    * value-labelled; an optional horizontal guide line (e.g. ratio = 1,
+    * the engine-equals-baseline crossover) draws dashed in ink. */
+  def lineSvgLogX(series: Seq[(String, Seq[(Double, Double)])], title: String,
+                  xLabel: String, yLabel: String, guideY: Option[Double] = None,
+                  w: Int = 640, h: Int = 400): String = {
+    require(series.nonEmpty && series.forall(_._2.nonEmpty), "empty chart input")
+    require(series.size <= palette.size, s"fold >${palette.size} series first")
+    val pts = series.flatMap(_._2)
+    require(pts.forall(_._1 > 0), "log x-axis needs positive x")
+    val (x0, x1) = (math.log10(pts.map(_._1).min), math.log10(pts.map(_._1).max))
+    val yMax = math.max(pts.map(_._2).max, guideY.getOrElse(0.0)) * 1.15
+    val (mL, mR, mT, mB) = (56, 16, 40, 48)
+    val (pw, ph) = (w - mL - mR, h - mT - mB)
+    def px(x: Double) =
+      mL + (if (x1 > x0) (math.log10(x) - x0) / (x1 - x0) else 0.5) * pw
+    def py(y: Double) = mT + (1.0 - y / yMax) * ph
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" font-family="sans-serif">"""
+    sb ++= s"""<rect width="$w" height="$h" fill="#fcfcfb"/>"""
+    sb ++= s"""<text x="${w / 2}" y="22" text-anchor="middle" font-size="15" fill="#0b0b0b">${escape(title)}</text>"""
+    // axes
+    sb ++= s"""<line x1="$mL" y1="$mT" x2="$mL" y2="${mT + ph}" stroke="#b5b4b0"/>"""
+    sb ++= s"""<line x1="$mL" y1="${mT + ph}" x2="${mL + pw}" y2="${mT + ph}" stroke="#b5b4b0"/>"""
+    sb ++= s"""<text x="${mL + pw / 2}" y="${h - 10}" text-anchor="middle" font-size="12" fill="#52514e">${escape(xLabel)}</text>"""
+    sb ++= s"""<text x="16" y="${mT + ph / 2}" text-anchor="middle" font-size="12" fill="#52514e" transform="rotate(-90 16 ${mT + ph / 2})">${escape(yLabel)}</text>"""
+    // x ticks at each distinct data x; y ticks at quarters
+    pts.map(_._1).distinct.sorted.foreach { x =>
+      sb ++= s"""<line x1="${fmt(px(x))}" y1="${mT + ph}" x2="${fmt(px(x))}" y2="${mT + ph + 4}" stroke="#b5b4b0"/>"""
+      sb ++= s"""<text x="${fmt(px(x))}" y="${mT + ph + 18}" text-anchor="middle" font-size="11" fill="#52514e">${fmt(x)}</text>"""
+    }
+    (0 to 4).foreach { i =>
+      val y = yMax * i / 4
+      sb ++= s"""<text x="${mL - 6}" y="${fmt(py(y) + 4)}" text-anchor="end" font-size="11" fill="#52514e">${fmt(y)}</text>"""
+      if (i > 0) sb ++= s"""<line x1="$mL" y1="${fmt(py(y))}" x2="${mL + pw}" y2="${fmt(py(y))}" stroke="#eceae6"/>"""
+    }
+    guideY.foreach { g =>
+      sb ++= s"""<line x1="$mL" y1="${fmt(py(g))}" x2="${mL + pw}" y2="${fmt(py(g))}" stroke="#52514e" stroke-dasharray="5,4"/>"""
+      sb ++= s"""<text x="${mL + pw - 4}" y="${fmt(py(g) - 6)}" text-anchor="end" font-size="11" fill="#52514e">${fmt(g)}</text>"""
+    }
+    series.zipWithIndex.foreach { case ((label, sPts), i) =>
+      val sorted = sPts.sortBy(_._1)
+      val path = sorted.map { case (x, y) => s"${fmt(px(x))},${fmt(py(y))}" }.mkString(" ")
+      sb ++= s"""<polyline points="$path" fill="none" stroke="${palette(i)}" stroke-width="2"/>"""
+      sorted.foreach { case (x, y) =>
+        sb ++= s"""<circle cx="${fmt(px(x))}" cy="${fmt(py(y))}" r="3.5" fill="${palette(i)}"/>"""
+        sb ++= s"""<text x="${fmt(px(x))}" y="${fmt(py(y) - 10)}" text-anchor="middle" font-size="11" fill="#0b0b0b" stroke="#fcfcfb" stroke-width="3" paint-order="stroke">${fmt(y)}</text>"""
+      }
+      sb ++= s"""<rect x="${mL + 10 + i * 150}" y="${mT - 12}" width="12" height="3" fill="${palette(i)}"/>"""
+      sb ++= s"""<text x="${mL + 26 + i * 150}" y="${mT - 6}" font-size="11" fill="#0b0b0b">${escape(label)}</text>"""
+    }
+    sb ++= "</svg>"
+    sb.toString
+  }
+
   private def toDouble(v: Any): Double = v match {
     case n: Number => n.doubleValue()
     case other     => throw new IllegalArgumentException(s"non-numeric chart value: $other")

@@ -32,6 +32,21 @@ class ChartsSpec extends AnyFunSuite {
     assert(svg.startsWith("<svg") && svg.contains("Shares") && svg.contains("x — 75.0%"))
   }
 
+  test("lineSvgLogX draws the scale-ratio curve with markers, labels and the crossover guide") {
+    val pts = Seq(("spark/duckdb", Seq((0.1, 0.93), (1.0, 0.45), (10.0, 0.2))))
+    val svg = Charts.lineSvgLogX(pts, "Suite ratio vs scale factor",
+      "scale factor (log)", "ratio", guideY = Some(1.0))
+    assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))
+    assert(svg.contains("polyline") && svg.sliding(7).count(_ == "<circle") == 3)
+    assert(Seq("0.93", "0.45", "0.20").forall(svg.contains)) // point labels
+    assert(svg.contains("stroke-dasharray"))                  // guide line
+    assert(svg == Charts.lineSvgLogX(pts, "Suite ratio vs scale factor",
+      "scale factor (log)", "ratio", guideY = Some(1.0)))     // deterministic
+    // log spacing: x(0.1)->x(1) distance equals x(1)->x(10)
+    val xs = """cx="([0-9.]+)"""".r.findAllMatchIn(svg).map(_.group(1).toDouble).toSeq
+    assert(math.abs((xs(1) - xs(0)) - (xs(2) - xs(1))) < 0.5, s"not log-spaced: $xs")
+  }
+
   test("exportPie refuses an unaggregated (too large) input") {
     val big = spark.range(100).selectExpr("cast(id as string) as who", "id as n")
     intercept[IllegalArgumentException] {
