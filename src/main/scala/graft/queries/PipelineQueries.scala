@@ -9,13 +9,24 @@ import graft.pipeline.FoodPipeline
   */
 object PipelineQueries {
 
+  /** The pipeline's normalized outputs ARE its load stage — staged once
+    * per JVM like any cross-stage table (StagedTables idiom), so the two
+    * gated consumers (A12a reads 'details', A12b reads 'details' +
+    * the bridge) don't each re-run the normalization chain; the
+    * surrogate-key assignment in particular (range sort + checkpoint +
+    * offsets join) runs once. This also mirrors the reference DAG, where
+    * Transform lands tables and analyze reads the landed copies. */
+  private def normalized(s: org.apache.spark.sql.SparkSession, d: String,
+                         table: String): org.apache.spark.sql.DataFrame =
+    StagedTables.staged(s, s"pipeline_$table", d)(FoodPipeline.build(s, d)(table))
+
   val all: Seq[QueryDef] = Seq(
 
     // A12a — a normalized output table from the pipeline ('details').
     QueryDef.sql("q_normalize_snowflake",
       """SELECT c_custkey AS permit, c_name AS applicant, c_mktsegment AS facilitytype
         |FROM customer ORDER BY permit""".stripMargin) { (s, d) =>
-      FoodPipeline.build(s, d)("details").orderBy("permit")
+      normalized(s, d, "details").orderBy("permit")
     },
 
     // A12b — the flagship analysis run over the pipeline's outputs
@@ -27,7 +38,9 @@ object PipelineQueries {
         |                  o_custkey AS permit FROM orders) br USING (permit)
         |GROUP BY applicant
         |ORDER BY schedule_count DESC, applicant LIMIT 5""".stripMargin) { (s, d) =>
-      FoodPipeline.topBusinesses(FoodPipeline.build(s, d))
+      FoodPipeline.topBusinesses(Map(
+        "details" -> normalized(s, d, "details"),
+        "premitted_biz_details" -> normalized(s, d, "premitted_biz_details")))
     },
 
     // A19 — FK-integrity check on load (reference DDL PK/FK graph,

@@ -48,6 +48,12 @@ object StagedTables {
         .distinct()
     }(s.read.parquet(_))
 
+  /** Public face of the stage idiom for callers outside this object: a
+    * named cross-query frame, built once per (tag, input dir) per JVM and
+    * re-read as parquet by every consumer. */
+  def staged(s: SparkSession, tag: String, d: String)(build: => DataFrame): DataFrame =
+    stage(tag, d)(build)(s.read.parquet(_))
+
   /** Line-grain orders⋈lineitem denormalization — the fact-fact shuffle
     * q4_priority_exists / q_ship_sla / q_interval_overlap /
     * q_reorder_rate each paid separately (r11's four most expensive
