@@ -118,9 +118,9 @@ object AnalyticsQueries {
     // date-range scan.
     QueryDef.sql("q14_promo_revenue",
       """SELECT
-        |  100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
-        |      THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
-        |    / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+        |  100.0 * CAST(CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |      THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         |    AS promo_revenue_pct,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -240,7 +240,7 @@ object AnalyticsQueries {
     // classic test that disjunctions don't defeat pushdown.
     QueryDef.sql("q19_disjunctive_pred",
       """SELECT count(*) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)

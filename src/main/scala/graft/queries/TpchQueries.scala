@@ -69,7 +69,7 @@ object TpchQueries {
     // agg, one row out.
     QueryDef.sql("q6_revenue_delta",
       """SELECT
-        |  CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -293,7 +293,7 @@ object TpchQueries {
         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty
         |  FROM lineitem GROUP BY 1)
         |SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)/7.0 AS avg_yearly,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)/7.0 AS avg_yearly,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |              JOIN a ON pk = l_partkey

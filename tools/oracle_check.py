@@ -75,8 +75,13 @@ def dtype_check(name, scols, sdesc_types, ocols, odesc_types):
             problems.append(f"{c}: spark {stypes[c]}({sc}) vs oracle {otypes[c]}({oc})")
     return problems
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    # Cap DuckDB so an oracle that cannot spill (list aggregates over a
+    # quadratic intermediate) fails with an OOM error for ITS row instead
+    # of the kernel OOM-killing the whole sweep (learned at sf10).
+    lim = os.environ.get("ORACLE_DUCKDB_MEMLIMIT", "48GB")
+    con.execute(f"SET memory_limit='{lim}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -84,6 +89,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"FAIL {name}: no spark output")
@@ -129,4 +136,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3:]) if len(sys.argv) > 3 else None))
