@@ -902,23 +902,29 @@ object AnalyticsQueries {
         |  ON a.o_custkey = b.o_custkey AND a.bucket = b.bucket
         | AND a.o_orderkey < b.o_orderkey
         |ORDER BY custkey, order_a, order_b""".stripMargin) { (s, d) =>
-      // ONE scan + ONE narrow shuffle (r11 paid the orders self-join =
-      // the whole fact scanned and shuffled twice): group by the
-      // (custkey, bucket) match key and emit a<b pairs combinatorially
-      // inside each group — the simHashPairs same-signature idiom on a
-      // relational self-match. The shuffled payload is ONE packed long
-      // per order (orderkey<<16 | day_idx; day 1970-index fits 16 bits
-      // until 2149), so the shuffle carries key+8 bytes, and sorting the
-      // packed array IS the (orderkey, day) sort the a<b emission needs.
-      // Groups are bounded by construction (a customer's orders split
-      // across $100 buckets), so the per-group list never skews a task.
+      // Collision-keys-first (r11 paid the orders self-join = the whole
+      // fact scanned AND shuffled twice; a one-shuffle collect-per-group
+      // variant measured WORSE at sf10 — 11 s — because it materializes
+      // a fact-count of tiny arrays to keep a handful): double charges
+      // are anomalies, so the keys with >= 2 orders are a tiny fraction.
+      // Pass 1 is a NARROW count shuffle (key + count only, map-side
+      // combinable); the collision keys semi-join back (broadcast under
+      // the 64 MB+AQE rule — anomaly-sized) and ONLY the surviving rows
+      // pay the group-and-pair assembly, with the (orderkey, day) pair
+      // packed into one long (day 1970-index fits 16 bits until 2149)
+      // so sorting the packed array IS the a<b emission order. At 100 TB:
+      // one narrow fact shuffle + one broadcast filter, and the pair
+      // build touches collision rows only.
       val o = Tables.orders(s, d).selectExpr("o_orderkey", "o_custkey",
         "CAST(round(o_totalprice * 100) AS BIGINT) DIV 10000 AS bucket",
         "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS day_idx")
-      o.groupBy(col("o_custkey").as("custkey"), col("bucket"))
+      val dupKeys = o.groupBy("o_custkey", "bucket")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .select("o_custkey", "bucket")
+      o.join(dupKeys, Seq("o_custkey", "bucket"), "left_semi")
+        .groupBy(col("o_custkey").as("custkey"), col("bucket"))
         .agg(sort_array(collect_list(
           shiftleft(col("o_orderkey"), 16).bitwiseOR(col("day_idx")))).as("os"))
-        .filter(size(col("os")) > 1)
         .select(col("custkey"), col("bucket"),
           posexplode(col("os")).as(Seq("pos", "a")), col("os"))
         .select(col("custkey"), col("bucket"), col("a"),

@@ -24,6 +24,10 @@ def main():
     oracles = json.load(open(sql_json))
     con = duckdb.connect()
     con.execute("SET threads TO 32")
+    # Same guard as oracle_check: a non-spillable oracle fails ITS row
+    # instead of the kernel OOM-killing the sweep (learned at sf10).
+    con.execute(
+        f"SET memory_limit='{os.environ.get('ORACLE_DUCKDB_MEMLIMIT', '96GB')}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
