@@ -316,6 +316,23 @@ class PlanSpec extends AnyFunSuite {
     assert(tied == Seq((1, 1), (2, 2), (2, 2)))
   }
 
+  test("staged orders-lineitem consumers read pruned columns off the shared fact, join-free") {
+    // The r12 staging contract: each consumer of StagedTables.orderLines
+    // is a scan of the materialized fact plus its own aggregate — no
+    // re-join of orders to lineitem, and parquet pruning keeps the scan
+    // at the consumer's own columns.
+    val sla = plan("q_ship_sla")
+    assert(!sla.contains("Join"), "q_ship_sla must not re-join the staged fact")
+    assert(sla.contains("ReadSchema") && !sla.contains("l_partkey") &&
+      !sla.contains("o_custkey"),
+      "q_ship_sla must prune to its 3 columns of the 6-column staged fact")
+    val q4 = plan("q4_priority_exists")
+    assert(!q4.contains("Join"), "q4 reduces to a groupBy over the staged fact — no semi join")
+    val ro = plan("q_reorder_rate")
+    assert(!ro.contains("SortMergeJoin") ||
+      !ro.contains("o_orderkey"), "q_reorder_rate must not re-run the fact-fact join")
+  }
+
   test("dense mode unifies -0.0/0.0 and NaN bit-pattern tie classes (float normalization)") {
     // Class identity in the dense exec is UnsafeRow binary equality while
     // retention is SQL ordering; stock windows are protected by the
