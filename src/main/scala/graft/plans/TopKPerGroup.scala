@@ -153,6 +153,38 @@ object TopKPerGroupExec {
     * is unaffected; only map-side reduction is lost) — the same pressure
     * valve partial aggregation gets from its fixed hash map. */
   val maxPartialGroups = 1 << 17
+
+  import org.apache.spark.sql.catalyst.expressions.{
+    ArrayTransform, CreateNamedStruct, GetStructField, If, IsNull,
+    LambdaFunction, Literal, NamedLambdaVariable}
+  import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
+  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StructType}
+
+  private def containsFloats(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case st: StructType         => st.fields.exists(f => containsFloats(f.dataType))
+    case ArrayType(et, _)       => containsFloats(et)
+    case _                      => false
+  }
+
+  /** -0.0→0.0 / NaN-bit canonicalization for class-key projections,
+    * recursing into structs and arrays — the same closure the optimizer's
+    * (private[sql]) NormalizeFloatingNumbers.normalize computes. Types
+    * with no float/double anywhere pass through untouched. */
+  def normalizeFloats(e: Expression): Expression = e.dataType match {
+    case _ if !containsFloats(e.dataType) => e
+    case FloatType | DoubleType => NormalizeNaNAndZero(e)
+    case st: StructType =>
+      val rebuilt = CreateNamedStruct(st.fields.toIndexedSeq.zipWithIndex.flatMap {
+        case (f, i) =>
+          Seq(Literal(f.name), normalizeFloats(GetStructField(e, i, Some(f.name))))
+      })
+      if (e.nullable) If(IsNull(e), Literal(null, rebuilt.dataType), rebuilt)
+      else rebuilt
+    case ArrayType(et, cn) =>
+      val lv = NamedLambdaVariable("graft_norm_arg", et, cn)
+      ArrayTransform(e, LambdaFunction(normalizeFloats(lv), Seq(lv)))
+  }
 }
 
 case class TopKPerGroupExec(
@@ -203,15 +235,13 @@ case class TopKPerGroupExec(
       // float/double order keys here too — otherwise -0.0 vs 0.0 (or two
       // NaN bit patterns), which the SQL ordering treats as one tie
       // class, would hash as two distinct classes and split a dense_rank
-      // class into two ranks.
-      val normalizedOrderKeys = orderExprs.map(_.child).map { e =>
-        e.dataType match {
-          case org.apache.spark.sql.types.FloatType |
-               org.apache.spark.sql.types.DoubleType =>
-            org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(e)
-          case _ => e
-        }
-      }
+      // class into two ranks. Recurses into structs/arrays (mirroring the
+      // optimizer's NormalizeFloatingNumbers.normalize, which is
+      // private[sql]): an ORDER BY on a composite key with NESTED floats
+      // needs the same treatment — a top-level-only match left nested
+      // -0.0/NaN bit patterns splitting one tie class into two.
+      val normalizedOrderKeys =
+        orderExprs.map(_.child).map(TopKPerGroupExec.normalizeFloats)
       val classProj = UnsafeProjection.create(normalizedOrderKeys, childOutput)
       val boundOrder = orderExprs.zipWithIndex.map { case (so, i) =>
         SortOrder(BoundReference(i, so.child.dataType, so.child.nullable),

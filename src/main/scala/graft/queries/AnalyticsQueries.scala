@@ -98,16 +98,30 @@ object AnalyticsQueries {
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
                 col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-      // customer/supplier grow linearly with sf — no forced broadcast;
-      // only the fixed-size nation/region dims keep explicit hints.
-      Tables.customer(s, d)
+      // The r_name='ASIA' restriction is a DIM predicate two fact joins
+      // away from the facts it prunes — Catalyst won't reorder a dim
+      // filter through customer⋈orders⋈lineitem⋈supplier, so left in
+      // star position it only discards ~80% of the joined rows AFTER
+      // they were built. Derive the ASIA nation set (5 keys, broadcast)
+      // and semi-join it into customer AND supplier up front: the
+      // restriction becomes scan-side pruning on both linear-growth
+      // sides, and every downstream shuffle moves only ASIA rows.
+      val asiaNations = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, d).join(
+        broadcast(asiaNations.select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      val supp = Tables.supplier(s, d).join(
+        broadcast(asiaNations.select(col("n_nationkey").as("sn_key"))),
+        col("s_nationkey") === col("sn_key"), "left_semi")
+      cust
         .join(ord, col("c_custkey") === col("o_custkey"))
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.supplier(s, d),
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(dsum("l_extendedprice*(1-l_discount)").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
@@ -917,7 +931,18 @@ object AnalyticsQueries {
       // build touches collision rows only.
       val o = Tables.orders(s, d).selectExpr("o_orderkey", "o_custkey",
         "CAST(round(o_totalprice * 100) AS BIGINT) DIV 10000 AS bucket",
-        "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS day_idx")
+        // The 16-bit packing below is only sound for day_idx in
+        // [0, 65536) — dates 1970..2149. An out-of-range date would
+        // silently corrupt the decoded orderkey/days_apart, so the
+        // domain assumption fails LOUDLY instead (raise_error), the
+        // same contract the landing-file guard follows.
+        """CASE WHEN datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+          |          BETWEEN 0 AND 65535
+          |     THEN datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+          |     ELSE raise_error(concat('q_double_charge: o_orderdate ',
+          |            CAST(o_orderdate AS STRING),
+          |            ' outside the 1970..2149 16-bit packing domain'))
+          |END AS day_idx""".stripMargin)
       val dupKeys = o.groupBy("o_custkey", "bucket")
         .agg(count(lit(1)).as("n")).filter(col("n") > 1)
         .select("o_custkey", "bucket")

@@ -125,13 +125,28 @@ object SnapshotTable {
       .write.partitionBy("__b").mode("overwrite").parquet(tmp)
     val entries = (0 until filesPerCommit).flatMap { i =>
       val bucketDir = Paths.get(s"$tmp/__b=$i")
-      val part = if (!Files.isDirectory(bucketDir)) java.util.Optional.empty[java.nio.file.Path]()
+      val parts: Seq[java.nio.file.Path] =
+        if (!Files.isDirectory(bucketDir)) Seq.empty
         else {
           val st = Files.list(bucketDir)
-          try st.filter(_.toString.endsWith(".parquet")).findFirst()
-          finally st.close()
+          try {
+            import scala.jdk.CollectionConverters._
+            st.filter(_.toString.endsWith(".parquet")).iterator().asScala.toSeq
+          } finally st.close()
         }
-      if (part.isPresent) {
+      // One file per bucket is the landing contract (repartition puts a
+      // bucket's rows in exactly one task). A session config like
+      // spark.sql.files.maxRecordsPerFile can make that task SPLIT its
+      // output — moving only findFirst() and deleting the tmp dir would
+      // then silently drop the sibling files' rows from the committed
+      // version. Fail the commit here, before the CAS, with the cause.
+      require(parts.size <= 1,
+        s"landFiles: bucket __b=$i produced ${parts.size} parquet files " +
+          "(one expected) — a writer split setting (e.g. " +
+          "spark.sql.files.maxRecordsPerFile) is incompatible with the " +
+          "one-file-per-bucket landing contract; aborting before commit")
+      val part = parts.headOption
+      if (part.isDefined) {
         val name = s"v$v-$token-$i.parquet"
         Files.createDirectories(Paths.get(s"$dir/data"))
         Files.move(part.get, Paths.get(s"$dir/data/$name"),
@@ -234,7 +249,6 @@ object SnapshotTable {
     require(evolve || extraCols.isEmpty,
       s"updates carry new columns ${extraCols.mkString(",")}; pass evolve=true to add them")
     val man = manifest(s, dir, v).persist()
-    man.count()
     // The update frame feeds FOUR consumers (key pruning, the matched
     // semi, the insert anti, the rewrite union); without a pin each one
     // re-executes the caller's whole update computation — for a streaming
@@ -242,6 +256,13 @@ object SnapshotTable {
     // per commit. Updates are delta-sized by the operator's contract;
     // MEMORY_AND_DISK spills if a caller hands a table-sized delta.
     val upd = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The try opens HERE, immediately after the pins: actions run while
+    // building cand/affectedNames below, and an exception on any of them
+    // must still unpersist every block (the landFiles pattern) — the old
+    // shape leaked man/upd/cand for the session on a mid-build failure.
+    var cand: DataFrame = null
+    try {
+    man.count()
     val updKeys = upd.select(col(key)).distinct()
     // Phase 1 — stat pruning: files whose [key_min, key_max] contains at
     // least one update key. The manifest is file-count-sized → broadcast
@@ -260,7 +281,7 @@ object SnapshotTable {
     // mix pre- and post-evolution files, and a single-footer schema
     // inference would silently drop evolved columns from survivors —
     // permanent data loss on rewrite.
-    val cand = if (candPaths.isEmpty) null
+    cand = if (candPaths.isEmpty) null
       else s.read.option("mergeSchema", "true").parquet(candPaths: _*)
         .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
         .persist()
@@ -294,8 +315,8 @@ object SnapshotTable {
     val carried = man.filter(!col("file").isin(affectedNames.toSeq: _*))
       .select(col("file"), col("rows"), col("key_min"), col("key_max"),
         lit("merge").as("op"))
-    try commit(s, dir, v + 1, carried.unionByName(fresh), token)
-    finally {
+    commit(s, dir, v + 1, carried.unionByName(fresh), token)
+    } finally {
       if (cand != null) cand.unpersist()
       upd.unpersist()
       man.unpersist()
@@ -414,21 +435,59 @@ object SnapshotTable {
       }.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** The file names each side of a changeFeed must actually scan: files
+    * referenced by exactly one of the two manifests. Copy-on-write makes
+    * data files immutable and commits reference them by name, so a file
+    * shared by both manifests is byte-identical in both versions — and
+    * because stat pruning is range-complete, any key a commit touched
+    * lives in a REWRITTEN (non-shared) file on both sides. Rows in shared
+    * files therefore cannot appear in the feed, and the diff only needs
+    * the manifest anti-join's survivors: a change-sized read, not two
+    * table-sized ones. Exposed for the spec that pins the contract. */
+  def changedFileSets(s: SparkSession, dir: String, fromV: Int,
+                      toV: Int): (Seq[String], Seq[String]) = {
+    def names(v: Int): Set[String] =
+      manifest(s, dir, v).select("file").collect().map(_.getString(0)).toSet
+    val (f, t) = (names(fromV), names(toV))
+    ((f -- t).toSeq.sorted, (t -- f).toSeq.sorted)
+  }
+
   /** G20 — CHANGE DATA FEED between two committed versions: the keyed
     * row-level diff (`insert` / `update` / `delete`, unchanged rows
     * excluded). Inserts and updates carry the AFTER image; deletes the
     * BEFORE image — the downstream-apply contract (applying the feed to
     * the `from` state reproduces the `to` state, which the spec proves).
-    * Plan shape: ONE full-outer equi-join on the key between the two
-    * version reads — both sides are manifest-bounded scans, the join
+    * Plan shape: a manifest anti-join picks the files referenced by only
+    * one of the two versions ([[changedFileSets]] — shared COW files are
+    * byte-identical and provably feed-silent), then ONE full-outer
+    * equi-join on the key between the two CHANGE-SIZED scans; the join
     * shuffles each side once on the key, and classification/image
     * selection is a narrow projection. No log replay needed: versions are
     * complete states, so the diff IS the feed (the copy-on-write analog
-    * of a format's CDF read). */
+    * of a format's CDF read) — but the read cost scales with what the
+    * commits rewrote, not with the table. */
   def changeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int,
                  key: String): DataFrame = {
-    val before = read(s, dir, fromV)
-    val after = read(s, dir, toV)
+    // Full-version schemas resolve from footers only (no data scan);
+    // the subset reads conform to them because a non-shared subset can
+    // lack columns a schema-evolving merge appended elsewhere.
+    val beforeSchema = read(s, dir, fromV).schema
+    val afterSchema = read(s, dir, toV).schema
+    val (beforeOnly, afterOnly) = changedFileSets(s, dir, fromV, toV)
+    def readSubset(names: Seq[String],
+                   schema: org.apache.spark.sql.types.StructType): DataFrame =
+      if (names.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val df = s.read.option("mergeSchema", "true")
+          .parquet(names.map(n => s"$dir/data/$n"): _*)
+        df.select(schema.fieldNames.map { c =>
+          if (df.columns.contains(c)) col(c)
+          else lit(null).cast(schema(c).dataType).as(c)
+        }.toIndexedSeq: _*)
+      }
+    val before = readSubset(beforeOnly, beforeSchema)
+    val after = readSubset(afterOnly, afterSchema)
     val cols = after.columns // evolution only appends, so `after` is the superset
     val b = before.columns.foldLeft(before)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
     val a = cols.foldLeft(after)((df, c) => df.withColumnRenamed(c, s"__a_$c"))

@@ -268,6 +268,35 @@ class SnapshotTableSpec extends AnyFunSuite {
       "feed applied to v0 must reproduce v1 row-for-row")
   }
 
+  test("changeFeed is change-sized: files shared by both manifests are never scanned (G20)") {
+    val dir = mk("cdfpruned")
+    // v1 touches only keys < 100, so at least one v0 file (the high-key
+    // range) carries over unrewritten and must be shared by both
+    // manifests — the COW guarantee the change-sized read rests on.
+    val upd = SnapshotTable.read(spark, dir).filter(col("k") < 100)
+      .select(col("k"), col("grp"), (col("v") + 1.0).as("v"))
+    SnapshotTable.merge(spark, dir, upd, "k")
+    def files(v: Int): Set[String] = SnapshotTable.manifest(spark, dir, v)
+      .select("file").collect().map(_.getString(0)).toSet
+    val shared = files(0).intersect(files(1))
+    assert(shared.nonEmpty, "scenario must carry at least one file over")
+    // the scan lists contain no shared file…
+    val (beforeOnly, afterOnly) = SnapshotTable.changedFileSets(spark, dir, 0, 1)
+    assert(beforeOnly.toSet.intersect(shared).isEmpty &&
+      afterOnly.toSet.intersect(shared).isEmpty,
+      "changeFeed must not scan files both versions reference")
+    // …and the plan reads exactly those lists: every parquet file backing
+    // the feed's scan relations is a non-shared file.
+    val feed = SnapshotTable.changeFeed(spark, dir, 0, 1, "k")
+    val scanned = feed.inputFiles.map(_.split('/').last).toSet
+    assert(scanned == (beforeOnly ++ afterOnly).toSet,
+      s"feed scanned $scanned, expected exactly the non-shared files")
+    // the pruned feed still classifies exactly (same answer as G20 above)
+    val byType = feed.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("update" -> 100L), s"pruned feed wrong: $byType")
+  }
+
   test("restore rolls back to a prior version manifest-only and keeps the bad version (G21)") {
     val dir = mk("restore")
     SnapshotTable.delete(spark, dir, col("k") >= 500, "k") // the "bad write" (v1)
