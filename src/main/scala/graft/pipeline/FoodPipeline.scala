@@ -132,7 +132,20 @@ object FoodPipeline {
           Tables.nation(spark, sfDir))
       },
       Orchestrator.Task("load", Seq("transform"), retries) { () =>
-        tables.foreach { case (name, df) => Tables.writeParquet(df, s"$outDir/$name") }
+        // Each export is write-audited in the SAME job (G15,
+        // Audit.observed rides the write's tasks — no follow-up
+        // validation scan, unlike the reference's post-load SELECT
+        // checks at airflow.py:529-551): an empty normalized output
+        // fails the load task HERE, retryably, before downstream
+        // consumers read a zero-row table.
+        tables.foreach { case (name, df) =>
+          val audit = graft.operators.Audit.observedAction(
+            df, s"load_$name", count(lit(1)).as("n_rows")) { obs =>
+            Tables.writeParquet(obs, s"$outDir/$name")
+          }
+          require(audit.getAs[Long]("n_rows") > 0,
+            s"load audit: normalized output '$name' landed zero rows")
+        }
       },
       Orchestrator.Task("analyze", Seq("load"), retries) { () =>
         graft.viz.Charts.exportPie(topBusinesses(tables),

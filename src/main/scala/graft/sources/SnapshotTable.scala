@@ -51,19 +51,36 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotTable {
 
-  /** VACUUM serializes in-JVM against *other vacuums only* — two delete
-    * loops racing over the same retention set could each observe a
-    * half-deleted log. It does NOT serialize against commits: every
-    * mutating commit path (create/merge/delete/compact/restore) is
-    * protected by the CAS rename and runs lock-free. The consequence a
-    * caller must accept: a long-running MERGE that is still *reading* an
-    * old version's files when `vacuum(retainVersions=1)` deletes them
-    * fails cleanly with FileNotFound (no torn state — its own CAS commit
-    * never lands). That is the standard lake-format contract (Delta's
-    * VACUUM has the same failure mode for readers beyond the retention
-    * window); callers who need in-flight work protected set
-    * retainVersions above their longest job's version lag. */
-  private val vacuumLock = new Object
+  /** VACUUM ↔ commit coordination: a fair per-table read/write lock.
+    * Every mutating operation that READS table state before writing
+    * (merge/delete/compact/restore) holds the table's READ lease for its
+    * whole duration; vacuum takes the WRITE side — a read-barrier that
+    * waits for in-flight commits to land and holds new ones out while it
+    * deletes. So a long-running MERGE can no longer lose its candidate
+    * files to a concurrent `vacuum(retainVersions=1)` mid-read — the
+    * r11/r12 comment documented that FileNotFound path as accepted; now
+    * the barrier closes it (spec: vacuum-during-merge). Write-preference
+    * comes from fairness: queued vacuums block later lease requests, so
+    * a commit stream cannot starve storage reclamation. The lock also
+    * serializes vacuum against other vacuums (two delete loops racing
+    * over one retention set could each observe a half-deleted log).
+    *
+    * JVM-local, like the rename-CAS itself in this local-FS
+    * implementation — on an object store both the CAS and this barrier
+    * become the catalog's job (conditional puts + commit leases). Plain
+    * `read()` callers stay under the standard retention contract (Delta
+    * semantics): a reader holding a years-old version past the retention
+    * window can still lose files; set retainVersions above the longest
+    * reader's version lag. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def lockFor(dir: String) = tableLocks.computeIfAbsent(
+    new java.io.File(dir).getAbsolutePath,
+    _ => new java.util.concurrent.locks.ReentrantReadWriteLock(true))
+  private def withCommitLease[T](dir: String)(body: => T): T = {
+    val l = lockFor(dir).readLock(); l.lock()
+    try body finally l.unlock()
+  }
 
   /** Raised when a writer loses the version CAS: another writer committed
     * the same version number first. The losing attempt's staged manifest
@@ -239,7 +256,7 @@ object SnapshotTable {
     * retyped; with `evolve = false` (default) extra update columns are
     * rejected rather than silently dropped. */
   def merge(s: SparkSession, dir: String, updates: DataFrame, key: String,
-            filesPerCommit: Int = 4, evolve: Boolean = false): Unit = {
+            filesPerCommit: Int = 4, evolve: Boolean = false): Unit = withCommitLease(dir) {
     val token = newToken()
     val v = latestVersion(dir)
     require(v >= 0, s"$dir has no committed version")
@@ -326,7 +343,7 @@ object SnapshotTable {
   /** DELETE WHERE `cond` (SQL semantics: NULL-predicate rows are kept),
     * rewriting only files that contain matching rows. */
   def delete(s: SparkSession, dir: String, cond: Column, key: String,
-             filesPerCommit: Int = 4): Unit = {
+             filesPerCommit: Int = 4): Unit = withCommitLease(dir) {
     val token = newToken()
     val v = latestVersion(dir)
     require(v >= 0, s"$dir has no committed version")
@@ -362,7 +379,7 @@ object SnapshotTable {
     * versions still resolves because old data files are immutable and
     * referenced by their manifests. */
   def compact(s: SparkSession, dir: String, key: String,
-              targetFiles: Int = 2): Unit = {
+              targetFiles: Int = 2): Unit = withCommitLease(dir) {
     val token = newToken()
     val v = latestVersion(dir)
     require(v >= 0, s"$dir has no committed version")
@@ -378,7 +395,7 @@ object SnapshotTable {
     * costs one manifest write. History records a 'restore' op with the
     * restored row count; the rolled-back intermediate versions stay
     * time-travelable until vacuum expires them. */
-  def restore(s: SparkSession, dir: String, toVersion: Int): Unit = {
+  def restore(s: SparkSession, dir: String, toVersion: Int): Unit = withCommitLease(dir) {
     val latest = latestVersion(dir)
     require(latest >= 0, s"$dir has no committed version")
     require(toVersion >= 0 && toVersion <= latest,
@@ -401,7 +418,11 @@ object SnapshotTable {
     * readers of retained versions are safe; returns the deleted file
     * names. */
   def vacuum(s: SparkSession, dir: String,
-             retainVersions: Int = 2): Seq[String] = vacuumLock.synchronized {
+             retainVersions: Int = 2): Seq[String] = {
+    // WRITE side of the table lock: waits for in-flight commit leases,
+    // holds new commits out while files are deleted (see tableLocks).
+    val barrier = lockFor(dir).writeLock(); barrier.lock()
+    try {
     require(retainVersions >= 1, "must retain at least the latest version")
     val latest = latestVersion(dir)
     require(latest >= 0, s"$dir has no committed version")
@@ -417,6 +438,7 @@ object SnapshotTable {
     (0 until cutoff).foreach(v =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(manifestDir(dir, v))))
     expired
+    } finally barrier.unlock()
   }
 
   /** The commit log: one row per version — op and total row count (from

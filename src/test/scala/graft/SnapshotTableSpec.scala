@@ -403,12 +403,72 @@ class SnapshotTableSpec extends AnyFunSuite {
       .select("grp").distinct().collect().map(_.getString(0)).toSeq
     assert(v1Grp == Seq("A"), "the winner's version stays readable after the retry")
   }
+
+  test("vacuum takes a read-barrier against in-flight commits: a stalled merge never loses its files") {
+    val s = spark
+    import s.implicits._
+    val dir = mk("vacrace")
+    // v1 exists, so vacuum(retainVersions=1) has v0 files to reclaim —
+    // exactly the files an in-flight merge of v1 may still be reading.
+    SnapshotTable.merge(spark, dir,
+      spark.range(100).select(col("id").as("k"), lit("m").as("grp"),
+        lit(1.0).as("v")), "k")
+    VacGate.entered = false
+    VacGate.latch = new java.util.concurrent.CountDownLatch(1)
+    // The merge stalls inside its own update evaluation (deterministic
+    // gate, not a sleep race) while holding its commit lease.
+    val updSlow = spark.range(50).repartition(1)
+      .map { i => VacGate.entered = true; VacGate.latch.await(); i }
+      .select(col("value").as("k"), lit("late").as("grp"), lit(9.0).as("v"))
+    @volatile var mergeErr: Throwable = null
+    val tMerge = new Thread(() => {
+      try SnapshotTable.merge(spark, dir, updSlow, "k")
+      catch { case t: Throwable => mergeErr = t }
+    })
+    tMerge.start()
+    val t0 = System.nanoTime()
+    while (!VacGate.entered && (System.nanoTime() - t0) < 60e9) Thread.sleep(10)
+    assert(VacGate.entered, "merge never reached its update evaluation")
+    // vacuum(1) would delete v0's rewritten files out from under the
+    // merge; the write barrier must hold it until the commit lands.
+    @volatile var vacDone = false
+    @volatile var vacErr: Throwable = null
+    @volatile var deleted: Seq[String] = Seq.empty
+    val tVac = new Thread(() => {
+      try { deleted = SnapshotTable.vacuum(spark, dir, retainVersions = 1); vacDone = true }
+      catch { case t: Throwable => vacErr = t }
+    })
+    tVac.start()
+    Thread.sleep(500) // give vacuum time to reach (and block on) the barrier
+    assert(!vacDone, "vacuum must block while a commit lease is held")
+    VacGate.latch.countDown()
+    tMerge.join(120000); tVac.join(120000)
+    assert(!tMerge.isAlive && !tVac.isAlive, "merge/vacuum never finished")
+    // the merge never saw FileNotFound — the barrier, not luck
+    assert(mergeErr == null, s"in-flight merge must not lose files: $mergeErr")
+    assert(vacErr == null, s"vacuum failed: $vacErr")
+    assert(vacDone && deleted.nonEmpty, "vacuum must reclaim after the commit lands")
+    // vacuum saw the post-merge latest: v2 is the sole retained version
+    assert(SnapshotTable.latestVersion(dir) == 2)
+    val h = SnapshotTable.history(spark, dir).select("version").collect()
+      .map(_.getInt(0)).toSeq
+    assert(h == Seq(2), s"retention must apply to the post-commit log: $h")
+    val late = SnapshotTable.read(spark, dir).filter(col("grp") === "late").count()
+    assert(late == 50L, "the stalled merge's rows must all be present")
+  }
 }
 
 /** Static handshake for the concurrency spec: lets a merge's update frame
   * block mid-evaluation (local mode shares one JVM, so statics reach the
   * task threads). */
 object SnapGate {
+  @volatile var entered: Boolean = false
+  @volatile var latch: java.util.concurrent.CountDownLatch = _
+}
+
+/** Separate gate for the vacuum-during-merge test (no shared state with
+  * the OCC test, so the two stay order-independent). */
+object VacGate {
   @volatile var entered: Boolean = false
   @volatile var latch: java.util.concurrent.CountDownLatch = _
 }

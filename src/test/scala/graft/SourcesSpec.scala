@@ -259,41 +259,30 @@ class SourcesSpec extends AnyFunSuite {
       ("2024-03-02", "view", 1L, 4.0)))
   }
 
-  test("observe() metrics ride the job that writes the data (G15)") {
-    // Pipeline observability the Spark-native way: Dataset.observe
-    // attaches named aggregates to the PLAN, so row counts / null counts
-    // / sums are collected by the SAME job that produces the output —
-    // no second audit scan of a 100 TB input. The listener callback is
-    // how a production pipeline exports them; here we assert the
-    // delivered values against directly computed ones.
-    import org.apache.spark.sql.util.QueryExecutionListener
-    import org.apache.spark.sql.execution.QueryExecution
-    @volatile var seen: Option[org.apache.spark.sql.Row] = None
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        qe.observedMetrics.get("audit").foreach(r => seen = Some(r))
-      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+  test("Audit.observed metrics ride the job that writes the data (G15)") {
+    // Pipeline observability the Spark-native way: the library's
+    // Audit.observed wraps Dataset.observe + the listener plumbing, so
+    // row counts / null counts / sums are collected by the SAME job
+    // that produces the output — no second audit scan of a 100 TB
+    // input. Values are asserted against directly computed ones.
+    val out = Files.createTempDirectory("graft_observe").toString
+    val orders = Tables.orders(spark, TestSpark.sfDir)
+    val m = graft.operators.Audit.observedAction(orders, "audit",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("null_keys"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).as("total")) { obs =>
+      obs.write.mode("overwrite").parquet(out)
     }
-    spark.listenerManager.register(listener)
-    try {
-      val out = Files.createTempDirectory("graft_observe").toString
-      val orders = Tables.orders(spark, TestSpark.sfDir)
-      orders
-        .observe("audit",
-          count(lit(1)).as("n_rows"),
-          sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("null_keys"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
-        .write.mode("overwrite").parquet(out)
-      // listener fires asynchronously after the action completes
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-      val m = seen.getOrElse(fail("observed metrics never delivered"))
-      val expect = orders.agg(count(lit(1)),
-        sum(when(col("o_custkey").isNull, 1).otherwise(0)),
-        sum(col("o_totalprice").cast("decimal(18,2)"))).head()
-      assert(m.getAs[Long]("n_rows") == expect.getLong(0))
-      assert(m.getAs[Long]("null_keys") == expect.getLong(1))
-      assert(m.getAs[java.math.BigDecimal]("total") == expect.getDecimal(2))
-    } finally spark.listenerManager.unregister(listener)
+    val expect = orders.agg(count(lit(1)),
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)),
+      sum(col("o_totalprice").cast("decimal(18,2)"))).head()
+    assert(m.getAs[Long]("n_rows") == expect.getLong(0))
+    assert(m.getAs[Long]("null_keys") == expect.getLong(1))
+    assert(m.getAs[java.math.BigDecimal]("total") == expect.getDecimal(2))
+    // the handle is one-shot and unregisters its listener; a second
+    // audited action gets a fresh handle and fresh metrics
+    val m2 = graft.operators.Audit.observedAction(orders.limit(10), "audit",
+      count(lit(1)).as("n_rows")) { _.count() }
+    assert(m2.getAs[Long]("n_rows") == 10L)
   }
 }
