@@ -63,12 +63,29 @@ object Bench {
     // is why BENCH_r05/r06 recorded "parsed": null. It is printed FIRST
     // (human/log consumption) and persisted to a committed artifact file;
     // the driver-facing line is the compact summary printed LAST.
+    // Staging disclosure (ADVICE r12): tag → one-time build seconds for
+    // the cross-query staged tables, measured by the explicit prebuild
+    // below. Several timed queries share each build while the DuckDB
+    // baseline pays the equivalent join per execution — the artifact
+    // carries the cost and the consumer lists so matched-subset ratios
+    // can be read as equal work.
+    @volatile var stagingBuilds: Map[String, Double] = Map.empty
+    def stagingJson: String = {
+      val builds = stagingBuilds.toSeq.sortBy(_._1)
+        .map { case (t, v) => "\"" + t + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val cons = graft.queries.StagedTables.consumers.toSeq.sortBy(_._1)
+        .filter { case (t, _) => stagingBuilds.contains(t) }
+        .map { case (t, qs) =>
+          "\"" + t + "\":" + qs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+      s""""staging_build_sec":${fmt(stagingBuilds.values.sum)},"staging_builds":$builds,"staged_consumers":$cons"""
+    }
     def resultLine(): String = {
       import scala.jdk.CollectionConverters._
       val rs = best.asScala.toSeq.sortBy(_._1)
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = rs.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":${rs.size},"expected":${names.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":${rs.size},"expected":${names.size},"failed":$failedArr,$stagingJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Compact summary (<200 bytes, no per-query map): the driver parses the
     // LAST JSON line of a bounded stdout tail, so this is the line that
@@ -123,6 +140,18 @@ object Bench {
         spark.catalog.clearCache()
       }
       System.gc()
+    }
+    // Force the staged cross-query tables to build fresh BEFORE the
+    // timed passes and record the cost in the artifact (stagingJson):
+    // without this, the build lands inside whichever timed query runs
+    // first and best-of-two min() silently drops it. Skipped on
+    // name-restricted local runs (subset timings aren't the committed
+    // artifact) and shed under budget pressure like the warm-up.
+    if (only.isEmpty && remaining > budgetSec * 0.5) {
+      try stagingBuilds = graft.queries.StagedTables.prebuild(spark, sfDir)
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] staging prebuild failed: $t") }
+      spark.catalog.clearCache()
     }
     def timedPass(): Unit = names.zipWithIndex.foreach { case (name, i) =>
       // Leave headroom for the final print: stop timing new queries when

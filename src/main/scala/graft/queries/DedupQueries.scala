@@ -30,15 +30,13 @@ object DedupQueries {
     * write-once-reuse shape the candidate table would take anyway
     * (materialized between pipeline stages, shared by every closing
     * metric). */
-  private def stagedOverlap(s: org.apache.spark.sql.SparkSession, d: String,
-                            n: Int): org.apache.spark.sql.DataFrame = {
-    val key = Integer.toHexString(d.hashCode) + s"_n$n"
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_overlap_$key"
-    if (!new java.io.File(s"$dir/_SUCCESS").isFile)
-      Dedup.setOverlapPairs(Tables.documents(s, d), "doc_id", "text", n)
-        .write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
-  }
+  private[queries] def stagedOverlap(s: org.apache.spark.sql.SparkSession, d: String,
+                                     n: Int): org.apache.spark.sql.DataFrame =
+    // Routed through StagedTables.staged so the build cost lands in the
+    // shared buildLog (bench staging disclosure) and check-then-stage
+    // serializes on the one staging lock.
+    StagedTables.staged(s, s"overlap_n$n", d)(
+      Dedup.setOverlapPairs(Tables.documents(s, d), "doc_id", "text", n))
 
   /** Shared oracle CTE prefix: tokenize → word n-grams → distinct
     * (doc, shingle) → md5-hashed 60-bit gid (Dedup.hashedIds twin — no

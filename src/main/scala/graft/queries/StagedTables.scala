@@ -27,14 +27,62 @@ object StagedTables {
   // delete could yank files from under the first thread's readers.
   private val stagingLock = new Object
 
+  /** Seconds spent materializing each staged table in THIS JVM, keyed by
+    * tag — the bench reads this to DISCLOSE staging amortization in its
+    * artifact (a staged build runs once but several timed queries
+    * consume it, while the DuckDB baseline pays the equivalent join in
+    * every execution; the disclosure lets a reader compare equal work). */
+  val buildLog = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  /** Which gated queries consume each staged table (disclosure twin of
+    * [[buildLog]]; `overlap_n3` is DedupQueries' staged candidate table,
+    * which [[prebuild]] forces through the same accounting). */
+  val consumers: Map[String, Seq[String]] = Map(
+    "incidence" -> Seq("q_basket_rules", "coedges"),
+    "orderlines" -> Seq("q4_priority_exists", "q_ship_sla",
+      "q_interval_overlap", "q_reorder_rate"),
+    "coedges" -> Seq("q_basket_rules", "g_triangle_count", "g_link_predict",
+      "g_degree_dist", "g_kcore", "g_local_clustering", "g_assortativity",
+      "g_bfs_levels", "g_components_summary"),
+    "pipeline_details" -> Seq("q_normalize_snowflake", "q_pipeline_topk"),
+    "pipeline_premitted_biz_details" -> Seq("q_pipeline_topk"),
+    "overlap_n3" -> Seq("d_ngram_jaccard", "d_containment", "d_threshold_curve"))
+
   private def stage(tag: String, d: String)(build: => DataFrame)
                    (read: String => DataFrame): DataFrame = {
     val dir = stagedDir(tag, d)
     stagingLock.synchronized {
-      if (!new java.io.File(s"$dir/_SUCCESS").isFile)
+      if (!new java.io.File(s"$dir/_SUCCESS").isFile) {
+        val t0 = System.nanoTime()
         build.write.mode("overwrite").parquet(dir)
+        buildLog.put(tag, (System.nanoTime() - t0) / 1e9)
+      }
     }
     read(dir)
+  }
+
+  /** Force EVERY staged table for input `d` to build fresh, returning
+    * tag → build seconds. Bench calls this once before its timed passes:
+    * pre-existing staged dirs (a prior process at the same sf) are
+    * dropped first so the reported cost is a real build, and the timed
+    * passes then measure every consumer against an already-staged table —
+    * the amortization the artifact's `staging` block discloses. */
+  def prebuild(s: SparkSession, d: String): Map[String, Double] = {
+    stagingLock.synchronized {
+      consumers.keys.foreach { tag =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(stagedDir(tag, d)))
+        buildLog.remove(tag)
+      }
+    }
+    incidence(s, d)
+    orderLines(s, d)
+    coEdges(s, d)
+    Seq("details", "premitted_biz_details").foreach(t =>
+      staged(s, s"pipeline_$t", d)(graft.pipeline.FoodPipeline.build(s, d)(t)))
+    DedupQueries.stagedOverlap(s, d, 3)
+    import scala.jdk.CollectionConverters._
+    buildLog.asScala.toMap
   }
 
   /** Distinct (order, part) incidence `(o, p)` — the market-basket
