@@ -352,45 +352,54 @@ object StreamingQueries {
     },
 
     // F1h as a driver-visible query: streaming CDC APPLY — foreachBatch
-    // MERGE into the G16 snapshot table. The replay is three ts-range
-    // tercile files paced one per micro-batch; each batch reduces to
-    // latest-per-user (mergeable max_by over the (ts, event_id) struct —
-    // no window) and MERGEs into the copy-on-write table, so
-    // "updates win" across batches composes to overall-latest because
-    // the tercile split makes every user's event times non-decreasing
-    // across batches — exactly the contract a partitioned CDC feed
-    // (Kafka keyed by user) gives a real deployment. The oracle derives
-    // the same latest-per-user through a rank window over the ORIGINAL
-    // batch table: two mechanisms (3 incremental MERGEs vs one window),
-    // one hash. At 100 TB each MERGE rewrites only files whose key range
-    // intersects the batch's users (manifest stat pruning) — refresh
-    // cost tracks the delta, not the table.
+    // MERGE into the G16 snapshot table, BATCHED COMMITS. The replay is
+    // three ts-range tercile files paced one per micro-batch; each batch
+    // reduces to latest-per-user (mergeable max_by over the (ts,
+    // event_id) struct — no window) and lands in the BatchedMerger's
+    // buffer; every 2 batches the buffer re-combines and commits as ONE
+    // copy-on-write MERGE (r12 profile: per-commit machinery — manifest
+    // read, stat-prune, land, CAS — dominated, so the trigger interval
+    // and the commit interval are now independent knobs; the per-batch
+    // cost drops to one delta-sized append write). "Updates win" across
+    // commits composes to overall-latest because max_by-per-buffer is
+    // associative with commit order and the tercile split makes every
+    // user's event times non-decreasing across batches — exactly the
+    // contract a partitioned CDC feed (Kafka keyed by user) gives a real
+    // deployment. The oracle derives the same latest-per-user through a
+    // rank window over the ORIGINAL batch table: two mechanisms
+    // (buffered incremental MERGEs vs one window), one hash. At 100 TB
+    // each commit rewrites only files whose key range intersects the
+    // buffered users (manifest stat pruning) — refresh cost tracks the
+    // delta, not the table, and amortizes over batchesPerCommit.
     QueryDef.sql("f_stream_upsert",
       """SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
         |FROM (SELECT user_id, ts, event_type, value,
         |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
-      import graft.sources.SnapshotTable
+      import graft.sources.{BatchedMerger, SnapshotTable}
       val src = stagedEventTerciles(s, d)
       val table = s"${System.getProperty("java.io.tmpdir")}/graft_stream_upsert_" +
         s"${Integer.toHexString(d.hashCode)}_${upsertRun.incrementAndGet()}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+      def latestPerUser(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("user_id")
+        .agg(max_by(struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("e"))
+        .select(col("user_id"), col("e.ts").as("ts"), col("e.event_id").as("event_id"),
+          col("e.event_type").as("event_type"), col("e.value").as("value"))
+      val merger = new BatchedMerger(s, table, "user_id", batchesPerCommit = 2,
+        combine = latestPerUser, filesPerCommit = 2)
       val q = Events.readEventStreamPaced(s, src, 1).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val latest = batch.groupBy("user_id")
-            .agg(max_by(struct(col("ts"), col("event_id"), col("event_type"), col("value")),
-              struct(col("ts"), col("event_id"))).as("e"))
-            .select(col("user_id"), col("e.ts").as("last_ts"),
-              col("e.event_type").as("last_type"), col("e.value").as("last_value"))
-          if (SnapshotTable.latestVersion(table) < 0)
-            SnapshotTable.create(s, table, latest, "user_id", filesPerCommit = 2)
-          else SnapshotTable.merge(s, table, latest, "user_id", filesPerCommit = 2)
+          merger.add(latestPerUser(batch.toDF()))
         }
         .trigger(Trigger.AvailableNow())
         .start()
       awaitBounded(q)
+      merger.flush() // commit the tail of the buffer at stream end
       SnapshotTable.read(s, table)
-        .select("user_id", "last_ts", "last_type", "last_value")
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
         .orderBy("user_id")
     },
 

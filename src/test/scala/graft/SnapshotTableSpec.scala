@@ -404,6 +404,57 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(v1Grp == Seq("A"), "the winner's version stays readable after the retry")
   }
 
+  test("BatchedMerger: k-batch commits equal per-batch merges, with 1/k the commit count") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.BatchedMerger
+    // five "micro-batch" deltas with overlapping keys; later batches win
+    def delta(b: Int): org.apache.spark.sql.DataFrame =
+      spark.range(b * 20, b * 20 + 60).select(
+        (col("id") % 100).as("k"), lit(b).as("seq"), (col("id") * 1.0).as("v"))
+    def latestPerKey(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("k").agg(max_by(struct(col("seq"), col("v")), col("seq")).as("e"))
+      .select(col("k"), col("e.seq").as("seq"), col("e.v").as("v"))
+
+    // reference: one table committed per batch (batchesPerCommit = 1)
+    val perBatchDir = freshDir("bm_ref")
+    val ref = new BatchedMerger(spark, perBatchDir, "k", 1, latestPerKey)
+    (0 until 5).foreach(b => ref.add(latestPerKey(delta(b))))
+    assert(ref.commits == 5)
+
+    // batched: 2 batches per commit, tail flushed at "stream end"
+    val batchedDir = freshDir("bm_k2")
+    val bm = new BatchedMerger(spark, batchedDir, "k", 2, latestPerKey)
+    (0 until 5).foreach(b => bm.add(latestPerKey(delta(b))))
+    bm.flush()
+    assert(bm.commits == 3, s"5 batches at k=2 must commit 3 times, got ${bm.commits}")
+    assert(SnapshotTable.latestVersion(batchedDir) == 2)
+
+    // identical final state
+    val a = SnapshotTable.read(spark, perBatchDir).orderBy("k").collect().toSeq
+    val b = SnapshotTable.read(spark, batchedDir).orderBy("k").collect().toSeq
+    assert(a == b, "batched commits must leave the same table state as per-batch merges")
+    // flush on an empty buffer is a no-op
+    bm.flush()
+    assert(bm.commits == 3)
+    // the buffer dir is drained after flush
+    val leftover = Option(new java.io.File(s"$batchedDir/_delta_buffer").listFiles())
+      .getOrElse(Array.empty)
+    assert(leftover.isEmpty, s"buffer not drained: ${leftover.map(_.getName).toSeq}")
+
+    // restart recovery: land one batch, "crash", re-attach, flush
+    val recDir = freshDir("bm_rec")
+    val bm1 = new BatchedMerger(spark, recDir, "k", 3, latestPerKey)
+    bm1.add(latestPerKey(delta(0)))
+    val bm2 = new BatchedMerger(spark, recDir, "k", 3, latestPerKey)
+    bm2.recoverBuffered()
+    bm2.add(latestPerKey(delta(1)))
+    bm2.flush()
+    val rec = SnapshotTable.read(spark, recDir)
+    assert(rec.count() == latestPerKey(delta(0).unionByName(delta(1))).count())
+    assert(rec.filter(col("seq") === 1).count() > 0, "recovered buffer must include both batches")
+  }
+
   test("vacuum takes a read-barrier against in-flight commits: a stalled merge never loses its files") {
     val s = spark
     import s.implicits._
