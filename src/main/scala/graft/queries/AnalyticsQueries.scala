@@ -66,18 +66,32 @@ object AnalyticsQueries {
         .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1996-03-15 00:00:00").cast("timestamp"))
-      // No broadcast hint on customer: it grows with sf (billions of rows
-      // at the 100 TB point). Locally the 64 MB auto-threshold + AQE still
-      // pick a broadcast join; at scale they fall back to shuffle.
-      Relational.topKByAgg(
-        cust.join(ord, col("c_custkey") === col("o_custkey"))
-          .join(li, col("l_orderkey") === col("o_orderkey"))
-          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-          .agg(dsum("l_extendedprice*(1-l_discount)").as("revenue"))
-          .select(col("l_orderkey"), col("revenue"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-            col("o_orderpriority")),
+      // AGGREGATE FIRST, join last (r12 profiled this query 11.7× the
+      // baseline at sf1 — the old shape shuffled every line-grain row
+      // through the fact-fact join before reducing). Revenue reduces to
+      // order grain straight off the scan: the partial agg collapses
+      // each order's lines map-side (lineitem lands clustered by
+      // orderkey), so the one fact shuffle moves order-grain partials,
+      // not lines. The BUILDING/date restriction is an order-keyed SEMI
+      // join against a skinny key set (customer join carries no
+      // payload), the global top-10 runs on the native bounded-heap
+      // operator (B10n partial→final, no full sort), and only the 10
+      // surviving rows join back to orders for their date/priority —
+      // dim-lookup at answer size, not fact size. No broadcast hint on
+      // customer: it grows with sf; locally the 64 MB auto-threshold +
+      // AQE still pick broadcast, at scale they fall back to shuffle.
+      val rev = li.groupBy("l_orderkey")
+        .agg(dsum("l_extendedprice*(1-l_discount)").as("revenue"))
+      val okeys = ord.join(cust, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("o_orderkey"))
+      val top = Relational.topKByAgg(
+        rev.join(okeys, col("l_orderkey") === col("o_orderkey"), "left_semi"),
         10, Seq(col("revenue").desc, col("l_orderkey")))
+      top.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
     },
 
     // B3 — multi-join volume rollup (TPC-H Q5 shape): fixed-size dims
@@ -1038,10 +1052,22 @@ object AnalyticsQueries {
         |FROM pr WHERE n_buyers >= 20
         |ORDER BY reorder_rate DESC, partkey LIMIT 20""".stripMargin) { (s, d) =>
       // incidence off the staged shared fact (StagedTables.orderLines):
-      // the join ran once, this is a 3-column pruned scan + distinct
+      // the join ran once, this is a 3-column pruned scan. ONE fact
+      // shuffle for the whole reduction chain (r12 profiled 4.4× at
+      // sf10; the old shape paid two — distinct partitioned by (c,p,o),
+      // then the (c,p) rollup repartitioned everything again): hash-
+      // partition by (c, p) once, and every later aggregate's grouping
+      // keys contain or equal a superset of (c, p), so distinct, the
+      // per-(c,p) order count all run shuffle-free on that partitioning;
+      // only the final part-grain rollup moves data again, at parts
+      // size. The numbered repartition pins fan-out at cluster
+      // parallelism (the staged fact is small at toy sf — AQE would
+      // coalesce the chain onto 1-2 tasks).
+      val fan = s.sparkContext.defaultParallelism
       val cpo = StagedTables.orderLines(s, d)
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
           col("l_orderkey").as("o"))
+        .repartition(fan, col("c"), col("p"))
         .distinct()
       val cp = cpo.groupBy("c", "p").agg(count(lit(1)).cast("long").as("n_orders"))
       val pr = cp.groupBy(col("p").as("partkey"))
