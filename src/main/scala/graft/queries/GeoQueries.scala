@@ -119,6 +119,47 @@ object GeoQueries {
        |  WHERE km <= $radius)""".stripMargin
   }
 
+  /** Shared blocked candidate set for B35/B87: (c_custkey, s_suppkey,
+    * km) for every supplier in a customer's 3×3 cell neighborhood that
+    * also survives the integer BOUNDING-BOX test. The box (|Δlat| and
+    * |Δlon| within one cell edge, in exact 1e-5° integer units) is a
+    * superset of the radius circle by the same cell-edge ≥ radius bound
+    * that makes the blocking exact — so it can only drop candidates the
+    * km filter would drop anyway, but it drops them BEFORE the
+    * transcendental haversine chain (~60% of 3×3 candidates; the box is
+    * 4r² of the 9r² neighborhood). The sf10 lesson: the planted domain
+    * is a fixed 1°×1° square, so density and TRUE pair count grow
+    * linearly with sf — pair work is quadratic BY SEMANTICS; the plan's
+    * job is to pay transcendentals only on near-box candidates and to
+    * never shuffle anything pair-sized (the consumers aggregate or
+    * bounded-heap the pairs in the join stage). */
+  private def geoCandidates(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"),
+      hLat(col("c_custkey")).as("hlat"), hLon(col("c_custkey")).as("hlon"))
+      .select(col("c_custkey"), col("hlat"), col("hlon"),
+        latOf(col("hlat")).as("lat"), lonOf(col("hlon")).as("lon"),
+        (col("hlat") / latCellUnits).cast("long").as("clat"),
+        (col("hlon") / lonCellUnits).cast("long").as("clon"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+      hLat(col("s_suppkey")).as("shlat"), hLon(col("s_suppkey")).as("shlon"))
+      .select(col("s_suppkey"), col("shlat"), col("shlon"),
+        latOf(col("shlat")).as("slat"), lonOf(col("shlon")).as("slon"),
+        (col("shlat") / latCellUnits).cast("long").as("clat"),
+        (col("shlon") / lonCellUnits).cast("long").as("clon"))
+    // probe side explodes to its 3x3 cell neighborhood; equi-join on cell
+    val probes = cust
+      .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("c_custkey"), col("hlat"), col("hlon"), col("lat"), col("lon"),
+        (col("clat") + col("dlat")).as("clat"), (col("clon") + col("dlon")).as("clon"))
+    val boxed = probes.join(supp, Seq("clat", "clon"))
+      .filter(abs(col("hlat") - col("shlat")) <= latCellUnits &&
+              abs(col("hlon") - col("shlon")) <= lonCellUnits)
+    withHaversineKm(boxed, "lat", "lon", "slat", "slon")
+      .select(col("c_custkey"), col("s_suppkey"), col("km"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // B35 — spatial distance join: per customer, the suppliers within
@@ -146,32 +187,18 @@ object GeoQueries {
          |FROM a JOIN r ON a.c_custkey = r.r_custkey AND r.rn = 1
          |ORDER BY c_custkey""".stripMargin
     }) { (s, d) =>
-      val cust = Tables.customer(s, d).select(col("c_custkey"),
-        hLat(col("c_custkey")).as("hlat"), hLon(col("c_custkey")).as("hlon"))
-        .select(col("c_custkey"), latOf(col("hlat")).as("lat"), lonOf(col("hlon")).as("lon"),
-          (col("hlat") / latCellUnits).cast("long").as("clat"),
-          (col("hlon") / lonCellUnits).cast("long").as("clon"))
-      val supp = Tables.supplier(s, d).select(col("s_suppkey"),
-        hLat(col("s_suppkey")).as("hlat"), hLon(col("s_suppkey")).as("hlon"))
-        .select(col("s_suppkey"), latOf(col("hlat")).as("slat"), lonOf(col("hlon")).as("slon"),
-          (col("hlat") / latCellUnits).cast("long").as("clat"),
-          (col("hlon") / lonCellUnits).cast("long").as("clon"))
-      // probe side explodes to its 3x3 cell neighborhood; equi-join on cell
-      val probes = cust
-        .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .select(col("c_custkey"), col("lat"), col("lon"),
-          (col("clat") + col("dlat")).as("clat"), (col("clon") + col("dlon")).as("clon"))
-      val pairs = withHaversineKm(probes.join(supp, Seq("clat", "clon")),
-          "lat", "lon", "slat", "slon")
-        .filter(col("km") <= radiusKm)
-      val w = Window.partitionBy("c_custkey").orderBy(col("km"), col("s_suppkey"))
-      pairs
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n_near", count(lit(1)).over(Window.partitionBy("c_custkey")))
-        .filter(col("rn") === 1)
+      // count + nearest are ONE mergeable aggregate (count + min_by):
+      // true pairs collapse map-side in the join stage, nothing
+      // pair-sized is shuffled or sorted — the old per-customer window
+      // moved and sorted every true pair, and the true pair count grows
+      // quadratically with sf (see geoCandidates).
+      val pairs = geoCandidates(s, d).filter(col("km") <= radiusKm)
+      pairs.groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_near"),
+          min_by(struct(col("s_suppkey"), col("km")),
+            struct(col("km"), col("s_suppkey"))).as("nn"))
         .select(col("c_custkey"), col("n_near"),
-          col("s_suppkey").as("nearest_suppkey"), col("km").as("nearest_km"))
+          col("nn.s_suppkey").as("nearest_suppkey"), col("nn.km").as("nearest_km"))
         .orderBy("c_custkey")
     },
 
@@ -199,24 +226,13 @@ object GeoQueries {
          |SELECT c_custkey, rank, s_suppkey, km
          |FROM r WHERE rank <= 3 ORDER BY c_custkey, rank""".stripMargin
     }) { (s, d) =>
-      val cust = Tables.customer(s, d).select(col("c_custkey"),
-        hLat(col("c_custkey")).as("hlat"), hLon(col("c_custkey")).as("hlon"))
-        .select(col("c_custkey"), latOf(col("hlat")).as("lat"), lonOf(col("hlon")).as("lon"),
-          (col("hlat") / latCellUnits).cast("long").as("clat"),
-          (col("hlon") / lonCellUnits).cast("long").as("clon"))
-      val supp = Tables.supplier(s, d).select(col("s_suppkey"),
-        hLat(col("s_suppkey")).as("hlat"), hLon(col("s_suppkey")).as("hlon"))
-        .select(col("s_suppkey"), latOf(col("hlat")).as("slat"), lonOf(col("hlon")).as("slon"),
-          (col("hlat") / latCellUnits).cast("long").as("clat"),
-          (col("hlon") / lonCellUnits).cast("long").as("clon"))
-      val probes = cust
-        .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
-        .select(col("c_custkey"), col("lat"), col("lon"),
-          (col("clat") + col("dlat")).as("clat"), (col("clon") + col("dlon")).as("clon"))
+      // top-3 per customer through the bounded-heap operator (the
+      // row_number()<=k filter rewrites to B10n partial->final): the
+      // partial heap caps each (partition, customer) at 3 rows in the
+      // join stage, so the exchange carries 3·partitions rows per
+      // customer, never the quadratically-growing true pair set.
       val w = Window.partitionBy("c_custkey").orderBy(col("km"), col("s_suppkey"))
-      withHaversineKm(probes.join(supp, Seq("clat", "clon")),
-          "lat", "lon", "slat", "slon")
+      geoCandidates(s, d)
         .filter(col("km") <= radiusKm)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)

@@ -170,8 +170,21 @@ object GraphQueries {
         .select(pk(col("e1.t"), col("e2.t")).as("xy"))
       val closing = oriented.select(
         pk(least(col("s"), col("t")), greatest(col("s"), col("t"))).as("cxy"))
-      val tri = twoPath
-        .join(closing, col("xy") === col("cxy"), "left_semi")
+      // BLOOM-pruned closing probe (the B33 operator): once the edge set
+      // outgrows the 64 MB broadcast threshold the plain semi-join
+      // degrades to a sort-merge that SORTS the whole wedge fan-out —
+      // at sf10 that sort spilled past the host's free disk. The Bloom
+      // of the closing edges filters the fan-out MAP-SIDE in the join
+      // stage itself, so only `triangles + fpp·wedges` rows ever reach
+      // an exchange; the trailing exact semi removes the false
+      // positives (identical result by construction). fpp loosens as
+      // the edge set grows to keep the sketch broadcast-sized — the
+      // survivor set stays wedge-fraction-small either way.
+      val nEdges = pairs.count() // staged parquet count — footer-cheap
+      val tri = graft.operators.Prune.bloomPrunedSemiJoin(
+          twoPath, "xy", closing, "cxy",
+          expectedKeys = math.max(1000L, nEdges),
+          fpp = if (nEdges > 50000000L) 0.05 else 0.01)
         .agg(count(lit(1)).as("n_triangles"))
       val st = deg.agg(count(lit(1)).as("n_nodes"),
         sum(col("dg") * (col("dg") - 1) / 2).cast("double").as("triplets"))
