@@ -201,14 +201,14 @@ object AnalyticsQueries {
     QueryDef.sql("q10_returned_items",
       """SELECT c_custkey, c_name,
         |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
-        |  c_acctbal, n_name
+        |  c_acctbal + 0.0 AS c_acctbal, n_name
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |              JOIN lineitem ON l_orderkey = o_orderkey
         |              JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_returnflag = 'R'
         |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
         |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
-        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |GROUP BY c_custkey, c_name, c_acctbal + 0.0, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-07-01 00:00:00").cast("timestamp") &&
@@ -219,7 +219,15 @@ object AnalyticsQueries {
           .join(ord, col("c_custkey") === col("o_custkey"))
           .join(li, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          // c_acctbal + 0.0: sign-of-zero normalization on BOTH sides.
+          // The sf10 sweep found the class (q_left_enrich): a raw -0.0
+          // acctbal through a grouping/distinct key — Spark's aggregation
+          // normalizes float keys to +0.0 (NormalizeFloatingNumbers),
+          // DuckDB emits the raw bit image, and the driver hashes bytes.
+          // Adding IEEE +0.0 maps -0.0 to +0.0 identically in both
+          // engines and is the identity for every other value.
+          .groupBy(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + lit(0.0)).as("c_acctbal"), col("n_name"))
           .agg(dsum("l_extendedprice*(1-l_discount)").as("revenue"))
           .select(col("c_custkey"), col("c_name"), col("revenue"),
             col("c_acctbal"), col("n_name")),

@@ -126,16 +126,22 @@ object EtlQueries {
     // A7 — left-join enrichment + dropna + distinct (airflow.py:241-249
     // yelp_info()). The dim side broadcasts (see GraftSession threshold).
     QueryDef.sql("q_left_enrich",
-      """SELECT DISTINCT c_name, c_mktsegment, c_acctbal
+      """SELECT DISTINCT c_name, c_mktsegment, c_acctbal + 0.0 AS c_acctbal
         |FROM (SELECT o_custkey FROM orders) o
         |LEFT JOIN customer ON o.o_custkey = c_custkey
         |WHERE c_name IS NOT NULL
         |ORDER BY c_name""".stripMargin) { (s, d) =>
       // customer grows with sf: rely on the auto-threshold, not a hint.
+      // c_acctbal + 0.0 on BOTH sides: the sf10 sweep found a raw -0.0
+      // balance — Spark's DISTINCT normalizes float keys to +0.0
+      // (NormalizeFloatingNumbers), DuckDB emits the raw -0.0 bit image,
+      // and the driver hashes bytes. IEEE -0.0 + 0.0 = +0.0 in both
+      // engines; identity for every other value.
       Tables.orders(s, d).select("o_custkey")
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "left")
         .filter(col("c_name").isNotNull)
-        .select("c_name", "c_mktsegment", "c_acctbal")
+        .select(col("c_name"), col("c_mktsegment"),
+          (col("c_acctbal") + lit(0.0)).as("c_acctbal"))
         .distinct()
         .orderBy("c_name")
     },
