@@ -567,6 +567,14 @@ object MlQueries {
     // same-magnitude positive terms — accumulation-order noise is
     // ~1e-13 relative, invisible at the 9-significant-digit gate
     // (q_seasonality_strength's precedent).
+    // Per-row terms quantized to a 1e-9 DECIMAL grid before the sum
+    // (the dsum discipline): the raw double sums matched below sf10 only
+    // because the events file fit ONE scan partition in both engines
+    // (same sequential order); at sf10 Spark splits the scan and the
+    // merge order diverges. A 1e-9 quantum is far below the metric's
+    // meaning; the DECIMAL sum is exact and associative (map-side
+    // combinable), and the DuckDB side takes the VARCHAR exit because
+    // the unscaled sum crosses 2^53 (the q14 rule).
     QueryDef.sql("m_brier", {
       import graft.functions.PortableMath
       s"""WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
@@ -574,8 +582,8 @@ object MlQueries {
         |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
         |      FROM events CROSS JOIN b)
         |SELECT count(*) AS n,
-        |  sum((p - y) * (p - y)) / count(*) AS brier,
-        |  sum(-(y * ${PortableMath.lnSql("p")} + (1 - y) * ${PortableMath.lnSql("(1.0 - p)")})) / count(*) AS logloss,
+        |  CAST(CAST(sum(CAST((p - y) * (p - y) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) / count(*) AS brier,
+        |  CAST(CAST(sum(CAST(-(y * ${PortableMath.lnSql("p")} + (1 - y) * ${PortableMath.lnSql("(1.0 - p)")}) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) / count(*) AS logloss,
         |  CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
         |FROM s""".stripMargin
     }) { (s, d) =>
@@ -587,9 +595,11 @@ object MlQueries {
             lit(0.000001)), lit(0.999999)).as("p"),
           when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
       sc.agg(count(lit(1)).as("n"),
-        (sum((col("p") - col("y")) * (col("p") - col("y"))) / count(lit(1))).as("brier"),
-        (sum(-(col("y") * graft.functions.PortableMath.pLn(col("p")) +
-          (lit(1) - col("y")) * graft.functions.PortableMath.pLn(lit(1.0) - col("p")))) / count(lit(1))).as("logloss"),
+        (sum(((col("p") - col("y")) * (col("p") - col("y")))
+          .cast("decimal(28,9)")).cast("double") / count(lit(1))).as("brier"),
+        (sum((-(col("y") * graft.functions.PortableMath.pLn(col("p")) +
+          (lit(1) - col("y")) * graft.functions.PortableMath.pLn(lit(1.0) - col("p"))))
+          .cast("decimal(28,9)")).cast("double") / count(lit(1))).as("logloss"),
         (sum("y").cast("double") / count(lit(1))).as("pos_rate"))
     },
 
