@@ -90,9 +90,9 @@ object TpchQueries {
     // divided once in double.
     QueryDef.sql("q8_market_share",
       """SELECT year(o_orderdate) AS yr,
-        |  CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_2'
-        |        THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
-        |  / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+        |  CAST(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_2'
+        |        THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         |    AS mkt_share
         |FROM lineitem JOIN orders   ON o_orderkey = l_orderkey
         |              JOIN customer ON c_custkey = o_custkey
