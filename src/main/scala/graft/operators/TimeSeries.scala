@@ -99,20 +99,32 @@ object TimeSeries {
 
   /** Cohort retention: users grouped by the Monday-truncated week of their
     * first event; for each (cohort_week, week_offset), the distinct users
-    * active that week and their share of the cohort. Two user-keyed aggs +
-    * one user-key join; the final frame is cohort-weeks × offsets
-    * (dimension-sized). */
+    * active that week and their share of the cohort.
+    *
+    * ONE fact-sized shuffle total. The naive form pays two (a
+    * first-seen groupBy AND an activity distinct, then re-shuffles to
+    * join them); both collapse because week-trunc commutes with min —
+    * `trunc_week(min(day)) = min(trunc_week(day))` (the earliest day
+    * lies inside the earliest active week) — so the cohort is derivable
+    * from the distinct (user, week) pairs alone, via a window over the
+    * already-tiny distinct frame. Cohort size needs no separate
+    * user-level agg either: every user is active in their own cohort
+    * week by construction, so `cohort_users` IS the week_n=0 active
+    * count — a dim-sized self-lookup, broadcast. */
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val day = to_date(col(tsCol))
-    val firstSeen = events.groupBy(userCol)
-      .agg(to_date(date_trunc("week", min(day))).as("cohort"))
+    // The only fact-sized stage: map-side partial distinct, one shuffle.
     val active = events.select(col(userCol),
       to_date(date_trunc("week", day)).as("wk")).distinct()
-    val cohortSize = firstSeen.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
-    active.join(firstSeen, userCol)
+    // users × active-weeks rows (weeks-per-user is calendar-bounded) —
+    // the window's user-key shuffle moves this reduced frame, not facts.
+    val counts = active
+      .withColumn("cohort", min(col("wk")).over(Window.partitionBy(userCol)))
       .groupBy(col("cohort"), (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_n"))
       .agg(count(lit(1)).as("active_users"))
-      .join(broadcast(cohortSize), "cohort")
+    val cohortSize = counts.filter(col("week_n") === 0L)
+      .select(col("cohort"), col("active_users").as("cohort_users"))
+    counts.join(broadcast(cohortSize), "cohort")
       .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
         col("week_n"), col("active_users"),
         (col("active_users").cast("double") / col("cohort_users")).as("retention"))

@@ -910,7 +910,12 @@ object AnalyticsQueries {
           col("day_max") <= col("pc"))
         .selectExpr("o_orderkey", "date_format(day,'yyyy-MM-dd') AS day",
           "CAST(pc AS DOUBLE) / 100.0 AS price")
-        .orderBy("day", "o_orderkey")
+        // skyline-sized output: orderBy's range-sampling pass would
+        // re-execute the scan+broadcast-join stage once just to pick
+        // split points for a few hundred rows — single-partition sort
+        // gives the same total order for one execution (the
+        // q_double_charge precedent).
+        .repartition(1).sortWithinPartitions("day", "o_orderkey")
     },
 
     // B125 — repeat-charge audit: same customer, same $100 amount

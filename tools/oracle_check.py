@@ -103,6 +103,44 @@ def main(sf_dir, out_dir, only=None):
             srel = con.sql(f"SELECT * FROM read_parquet({spark_files!r})")
             scols = list(srel.columns)
             stypes = [str(t) for t in srel.types]
+            # Outputs past this row count don't fit a Python fetchall at
+            # sf10+ (60M-row tuples = tens of GB); compare them as an
+            # order-independent multiset hash computed INSIDE DuckDB on
+            # both sides instead. Strict bit-image compare still runs at
+            # every gate scale below the threshold.
+            hash_rows = int(os.environ.get("ORACLE_HASHMODE_ROWS", "2000000"))
+            n_spark = con.sql(
+                f"SELECT count(*) FROM read_parquet({spark_files!r})").fetchone()[0]
+            if n_spark >= hash_rows:
+                orel0 = con.sql(sql).limit(0)
+                ocols = list(orel0.columns)
+                otypes = [str(t) for t in orel0.types]
+                dtype_problems = dtype_check(name, scols, stypes, ocols, otypes)
+                if dtype_problems:
+                    print(f"FAIL {name}: dtype divergence (driver hash would "
+                          f"differ): " + "; ".join(dtype_problems))
+                    n_fail += 1
+                    continue
+                if sorted(scols) != sorted(ocols):
+                    print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+                    n_fail += 1
+                    continue
+                cols = ", ".join(f'"{c}"' for c in sorted(scols))
+                agg = f"SELECT count(*) AS n, sum(hash({cols})) AS h FROM"
+                sh = con.sql(
+                    f"{agg} read_parquet({spark_files!r})").fetchone()
+                oh = con.sql(f"{agg} ({sql}) __o").fetchone()
+                if sh[0] != oh[0]:
+                    print(f"FAIL {name}: rows {sh[0]} != {oh[0]} [hash-mode]")
+                    n_fail += 1
+                elif sh[1] != oh[1]:
+                    print(f"FAIL {name}: multiset hash differs over {sh[0]} "
+                          f"rows [hash-mode]")
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} ({sh[0]} rows) [hash-mode]")
+                    n_pass += 1
+                continue
             srows = srel.fetchall()
             orel = con.sql(sql)
             ocols = list(orel.columns)

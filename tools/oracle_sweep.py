@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Full-surface oracle sweep with per-query isolation (sf10+ scales).
+
+Usage: python3 tools/oracle_sweep.py <sfDir> <verifyOutDir> <outJson>
+           [--timeout SEC] [--mem LIMIT] [--only name ...]
+
+Runs tools/oracle_check.py for ONE query per subprocess so that a
+quadratic / non-spillable oracle costs its own timeout instead of the
+whole sweep (the sf10 lesson: d_survivor_pick's recursive CTE was
+kernel-OOM-killed at 130 GB when run in the shared process).  Records
+per-query wall time for the DuckDB side, so the sweep output doubles as
+the baseline timing source at scales where a second full serial
+baseline run would not fit the round budget.
+
+Output JSON: {name: {"status": "pass"|"fail"|"oracle_timeout"|"oracle_error",
+                     "sec": wall, "detail": first FAIL line if any}}
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    sf_dir, out_dir, out_json = sys.argv[1:4]
+    args = sys.argv[4:]
+    timeout = 600.0
+    mem = os.environ.get("ORACLE_DUCKDB_MEMLIMIT", "80GB")
+    only = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--timeout":
+            timeout = float(args[i + 1]); i += 2
+        elif args[i] == "--mem":
+            mem = args[i + 1]; i += 2
+        elif args[i] == "--only":
+            only = args[i + 1:]; break
+        else:
+            raise SystemExit(f"unknown arg {args[i]}")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(only or oracles.keys())
+    results = {}
+    # Resume support: a killed sweep keeps what it already measured.
+    if os.path.exists(out_json):
+        results = json.load(open(out_json))
+    env = dict(os.environ, ORACLE_DUCKDB_MEMLIMIT=mem)
+    for n, name in enumerate(names):
+        if name in results:
+            continue
+        t0 = time.monotonic()
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(HERE, "oracle_check.py"),
+                 sf_dir, out_dir, name],
+                capture_output=True, text=True, timeout=timeout, env=env)
+            sec = round(time.monotonic() - t0, 3)
+            line = next((l for l in p.stdout.splitlines()
+                         if l.startswith(("PASS", "FAIL"))), "")
+            if line.startswith("PASS"):
+                results[name] = {"status": "pass", "sec": sec}
+            else:
+                detail = (line or p.stderr.strip().splitlines()[-1:] or [""])
+                if isinstance(detail, list):
+                    detail = detail[0] if detail else ""
+                status = "oracle_error" if "no spark output" not in str(detail) \
+                    and line == "" else "fail"
+                results[name] = {"status": status if line == "" else "fail",
+                                 "sec": sec, "detail": str(detail)[:500]}
+        except subprocess.TimeoutExpired:
+            results[name] = {"status": "oracle_timeout",
+                             "sec": round(time.monotonic() - t0, 3)}
+        json.dump(results, open(out_json, "w"), indent=1, sort_keys=True)
+        r = results[name]
+        print(f"[{n + 1}/{len(names)}] {name}: {r['status']} {r['sec']}s"
+              + (f" — {r.get('detail', '')[:120]}" if r["status"] not in
+                 ("pass",) else ""), flush=True)
+    npass = sum(1 for r in results.values() if r["status"] == "pass")
+    print(f"== {npass}/{len(results)} pass")
+
+
+if __name__ == "__main__":
+    main()
