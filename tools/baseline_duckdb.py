@@ -35,13 +35,32 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     times = {}
     failed = {}
+    # Optional extra argv names restrict the run (sweep resumes / subsets);
+    # BASELINE_TIMEOUT_SEC interrupts any single oracle past the cap via
+    # con.interrupt() — a pair-quadratic oracle then costs its cap, not
+    # the sweep (the per-query analogue of the memory_limit guard).
+    only = set(sys.argv[4:])
+    timeout = float(os.environ.get("BASELINE_TIMEOUT_SEC", "0") or 0)
+    import threading
     for name in sorted(oracles):
+        if only and name not in only:
+            continue
         t0 = time.monotonic()
+        timer = None
+        if timeout > 0:
+            timer = threading.Timer(timeout, con.interrupt)
+            timer.start()
         try:
             con.execute(oracles[name]).fetchall()
             times[name] = round(time.monotonic() - t0, 4)
         except Exception as e:  # noqa: BLE001 - record, don't abort the sweep
-            failed[name] = str(e).splitlines()[0][:200]
+            msg = str(e).splitlines()[0][:200]
+            if timeout > 0 and time.monotonic() - t0 >= timeout - 1:
+                msg = f"timeout after {timeout:.0f}s: {msg}"
+            failed[name] = msg
+        finally:
+            if timer is not None:
+                timer.cancel()
     out = {
         "sf_dir": sf_dir,
         "duckdb_version": duckdb.__version__,

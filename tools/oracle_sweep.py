@@ -60,7 +60,17 @@ def main():
             line = next((l for l in p.stdout.splitlines()
                          if l.startswith(("PASS", "FAIL"))), "")
             if line.startswith("PASS"):
+                rows = None
+                if "(" in line:
+                    try:
+                        rows = int(line.split("(")[1].split(" ")[0])
+                    except ValueError:
+                        pass
                 results[name] = {"status": "pass", "sec": sec}
+                if rows is not None:
+                    results[name]["rows"] = rows
+                if "[hash-mode]" in line:
+                    results[name]["mode"] = "multiset-hash"
             else:
                 detail = (line or p.stderr.strip().splitlines()[-1:] or [""])
                 if isinstance(detail, list):
