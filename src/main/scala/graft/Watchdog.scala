@@ -47,9 +47,16 @@ object Watchdog {
     sc.setJobGroup(group, name, interruptOnCancel = true)
     @volatile var fired = false
     val timer = new java.util.Timer(s"graft-watchdog-$name", true)
-    timer.schedule(new java.util.TimerTask {
+    // REPEATING cancel, not one-shot: a single cancelJobGroup fired
+    // between jobs finds nothing to cancel ("Cannot find active jobs")
+    // and the query's NEXT job then runs unbounded — the sf10 sweep lost
+    // a whole Verify process that way (d_source_sim_est churned 412 s
+    // past its 60 s cap until a task OOM killed the SparkContext). Regular
+    // re-fires catch jobs as they start; timer.cancel() in the finally
+    // stops the loop the moment the body returns.
+    timer.scheduleAtFixedRate(new java.util.TimerTask {
       override def run(): Unit = { fired = true; sc.cancelJobGroup(group) }
-    }, capSec * 1000L)
+    }, capSec * 1000L, 5000L)
     val prevCap = _attemptCapSec
     _attemptCapSec = capSec
     try Right(body)

@@ -82,6 +82,9 @@ def main(sf_dir, out_dir, only=None):
     # of the kernel OOM-killing the whole sweep (learned at sf10).
     lim = os.environ.get("ORACLE_DUCKDB_MEMLIMIT", "48GB")
     con.execute(f"SET memory_limit='{lim}'")
+    thr = os.environ.get("ORACLE_DUCKDB_THREADS")
+    if thr:
+        con.execute(f"SET threads TO {int(thr)}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

@@ -75,9 +75,15 @@ def main():
                 detail = (line or p.stderr.strip().splitlines()[-1:] or [""])
                 if isinstance(detail, list):
                     detail = detail[0] if detail else ""
-                status = "oracle_error" if "no spark output" not in str(detail) \
-                    and line == "" else "fail"
-                results[name] = {"status": status if line == "" else "fail",
+                if "no spark output" in str(detail):
+                    # Engine dump not there (yet) — not a verdict. Leave
+                    # the name unrecorded so a resumed sweep retries it
+                    # once the Verify side lands the dump.
+                    print(f"[{n + 1}/{len(names)}] {name}: skipped "
+                          f"(no spark output yet)", flush=True)
+                    continue
+                status = "fail" if line.startswith("FAIL") else "oracle_error"
+                results[name] = {"status": status,
                                  "sec": sec, "detail": str(detail)[:500]}
         except subprocess.TimeoutExpired:
             results[name] = {"status": "oracle_timeout",
