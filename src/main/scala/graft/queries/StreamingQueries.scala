@@ -35,7 +35,23 @@ object StreamingQueries {
       if (!q.awaitTermination(capSec * 1000L))
         throw new java.util.concurrent.TimeoutException(
           s"streaming query still running after ${capSec}s cap")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // stop() is bounded by stopTimeout, and a timed-out stop LEAKS the
+      // stream: its micro-batch keeps running on the stream-execution
+      // thread, holding 32 cores and growing sink/state memory — the sf10
+      // sweep watched a leaked f_stream_dedup starve every query behind
+      // it and set up the next OOM. StreamExecution runs its jobs under
+      // job group = runId, so keep cancelling that group until the query
+      // actually dies (the Watchdog re-fire discipline, applied to the
+      // stream's own group).
+      val sc = q.sparkSession.sparkContext
+      var waited = 0
+      while (q.isActive && waited < 60) {
+        sc.cancelJobGroup(q.runId.toString)
+        Thread.sleep(1000); waited += 1
+      }
+    }
   }
 
   /** Run `body` (which starts and drains a stream) with the stateful-op
@@ -203,17 +219,27 @@ object StreamingQueries {
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val doubled = Events.readEventStream(s, stagedEvents(s, d, doubled = true))
-      val sink = "f_stream_dedup_sink"
+      // FILE sink, not memory: this is the one streaming query whose
+      // output is fact-sized (the full deduped event table), and a memory
+      // sink materializes it on the DRIVER — at sf10 that is 10M rows of
+      // driver heap and a single-threaded collect. The parquet sink is
+      // the production CDC-land shape: executors write partitions
+      // directly, the driver holds only file-commit metadata.
+      val key = Integer.toHexString(d.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup_$key"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       withStatePartitions(s, 8) {
         val q = Events.dedupStream(doubled, Seq("event_id"))
           .select("event_id", "ts", "user_id", "event_type", "value")
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
           .outputMode(OutputMode.Append())
           .trigger(Trigger.AvailableNow())
           .start()
         awaitBounded(q)
       }
-      s.table(sink).orderBy("event_id")
+      s.read.parquet(s"$base/out").orderBy("event_id")
     },
 
     // F1c as a driver-visible query: stream-stream interval join — each
