@@ -28,7 +28,8 @@ def main():
     out_dir, sweep_json, out_json, sf_dir = sys.argv[1:5]
     carry = {}
     if len(sys.argv) > 5:
-        carry = json.load(open(sys.argv[5])).get("queries", {})
+        c = json.load(open(sys.argv[5]))
+        carry = c.get("queries", c)
     sweep = json.load(open(sweep_json)) if os.path.exists(sweep_json) else {}
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     # Registered key set = oracle keys + dumped dirs + carried keys.
@@ -63,11 +64,15 @@ def main():
                 if files else 0
             queries[k] = {"status": "rows_only_dumped", "rows": rows}
             n_rows_only += 1
-        elif k in carry and carry[k].get("status", "").endswith(
-                ("infeasible_at_sf10", "infeasible_at_sf10_on_host")):
+        elif k in carry and (carry[k].get("status", "").startswith("engine_")
+                             or "infeasible" in carry[k].get("status", "")):
             queries[k] = carry[k]
         elif k not in dumped:
             queries[k] = {"status": "engine_not_attempted"}
+        elif k in oracles:
+            queries[k] = {"status": "oracle_pending",
+                          "note": "engine output dumped; DuckDB compare "
+                                  "not yet run in this sweep"}
         else:
             queries[k] = {"status": "dumped_no_oracle_entry"}
     summary = {

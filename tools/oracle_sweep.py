@@ -41,7 +41,9 @@ def main():
         else:
             raise SystemExit(f"unknown arg {args[i]}")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted(only or oracles.keys())
+    # --only preserves the caller's order (cheap-first scheduling);
+    # the default full run stays sorted for determinism.
+    names = list(only) if only else sorted(oracles.keys())
     results = {}
     # Resume support: a killed sweep keeps what it already measured.
     if os.path.exists(out_json):
