@@ -457,8 +457,79 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select("q", "d", "rrf", "rank")
         .orderBy("q", "rank")
+    },
+
+    // E12 production path (r13 verdict item 4 wired): the SAME RRF fusion
+    // tail over SCALE-SAFE candidate legs, in the retrieve-then-rescore
+    // shape production keyword engines use. RETRIEVE: per token only the
+    // `rrfPostCap` statically-best docs stay in the posting list (static
+    // rank = distinct-token count DESC, doc_id — a query-independent
+    // impact ordering; with an idf-sum score, the docs sharing the most
+    // tokens are the plausible winners for ANY query), so keyword
+    // candidates per probe are O(vocab × cap) REGARDLESS of corpus size
+    // — the saturated vocabulary that capped the exact E12 at sf10
+    // can't grow this leg. RESCORE: the bounded candidate set joins back
+    // to the full token lists for its EXACT idf score, so truncation
+    // costs recall only for docs absent from every capped posting, never
+    // score fidelity on retrieved candidates. The vector leg comes from
+    // E2's LSH buckets instead of the exact cross join. Candidate recall
+    // changes ⇒ rows-only; top-5 overlap vs the exact E12 path is
+    // spec'd in SimilaritySpec. The posting truncation is itself a
+    // bounded heap per token (B10n), so nothing posting-list-sized is
+    // ever sorted whole.
+    QueryDef.rowsOnly("s_hybrid_rrf_capped") { (s, d) =>
+      import graft.functions.TextFunctions
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tkAll = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+      val dfTok = tkAll.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("nd"))
+      val dfIdf = broadcast(dfTok.crossJoin(nn).select(col("tok"),
+        round(graft.functions.PortableMath.pLn(col("nd").cast("double") / col("df"))
+          * lit(1099511627776.0)).cast("long").as("idf_fp")))
+      val ntok = tkAll.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+      val postings = tkAll.join(ntok, "doc_id")
+        .withColumn("pr", row_number().over(
+          Window.partitionBy("tok").orderBy(col("ntok").desc, col("doc_id"))))
+        .filter(col("pr") <= rrfPostCap)
+        .select(col("tok"), col("doc_id").as("d"))
+      val pr = docs.filter(col("doc_id") % 25 === 0).select(col("doc_id").as("q"))
+      val ptk = broadcast(pr.join(
+        tkAll.select(col("doc_id").as("q"), col("tok")), Seq("q")))
+      val cands = postings.join(ptk.select("tok", "q"), Seq("tok"))
+        .filter(col("d") =!= col("q"))
+        .select("q", "d").distinct()
+      val kw = cands
+        .join(tkAll.select(col("doc_id").as("d"), col("tok")), Seq("d"))
+        .join(ptk, Seq("q", "tok"))
+        .join(dfIdf, "tok")
+        .groupBy("q", "d").agg(sum("idf_fp").cast("long").as("score"))
+      val kr = kw
+        .withColumn("r", row_number().over(
+          Window.partitionBy("q").orderBy(col("score").desc, col("d"))))
+        .filter(col("r") <= 10).select(col("q"), col("d"), col("r").as("kr"))
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.join(pr.withColumnRenamed("q", "vec_id"), Seq("vec_id"))
+      val vr = Similarity.lshTopK(probes, emb, 10, 64, 8)
+        .select(col("q"), col("n").as("d"), col("rank").as("vr"))
+      val fused = kr.join(vr, Seq("q", "d"), "full_outer")
+        .select(col("q"), col("d"),
+          (coalesce(lit(1.0) / (lit(60) + col("kr")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(60) + col("vr")), lit(0.0))).as("rrf"))
+      fused
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q").orderBy(col("rrf").desc, col("d"))))
+        .filter(col("rank") <= 5)
+        .select("q", "d", "rrf", "rank")
+        .orderBy("q", "rank")
     }
   )
+
+  /** Truncated-posting cap for the E12 production path: per token only
+    * the cap highest-tf docs enter the keyword candidate join. */
+  private val rrfPostCap = 64
 
   private val pqCodebookCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]

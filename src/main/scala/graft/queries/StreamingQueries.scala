@@ -36,21 +36,35 @@ object StreamingQueries {
         throw new java.util.concurrent.TimeoutException(
           s"streaming query still running after ${capSec}s cap")
     } finally {
-      q.stop()
       // stop() is bounded by stopTimeout, and a timed-out stop LEAKS the
       // stream: its micro-batch keeps running on the stream-execution
       // thread, holding 32 cores and growing sink/state memory — the sf10
       // sweep watched a leaked f_stream_dedup starve every query behind
-      // it and set up the next OOM. StreamExecution runs its jobs under
-      // job group = runId, so keep cancelling that group until the query
-      // actually dies (the Watchdog re-fire discipline, applied to the
-      // stream's own group).
+      // it and set up the next OOM. A `while (q.isActive)` loop AFTER
+      // stop() cannot catch this (r13 ADVICE): MicroBatchExecution.stop()
+      // sets state=TERMINATED as its FIRST action, so isActive is false
+      // whether stop() returned or threw — and in the leak case stop()
+      // throws TimeoutException, which would skip a trailing loop
+      // entirely. The only live signal is stop() itself: it re-interrupts
+      // and re-joins the execution thread on every call and only returns
+      // normally once that thread is dead. So retry stop() in a bounded
+      // loop, cancelling the stream's own job group (StreamExecution runs
+      // its jobs under job group = runId) between attempts to unstick a
+      // micro-batch that is ignoring the interrupt.
       val sc = q.sparkSession.sparkContext
-      var waited = 0
-      while (q.isActive && waited < 60) {
-        sc.cancelJobGroup(q.runId.toString)
-        Thread.sleep(1000); waited += 1
+      var done = false
+      var attempts = 0
+      while (!done && attempts < 12) {
+        attempts += 1
+        try { q.stop(); done = true }
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            sc.cancelJobGroup(q.runId.toString)
+        }
       }
+      if (!done)
+        throw new java.util.concurrent.TimeoutException(
+          s"stream execution thread still alive after $attempts stop() attempts")
     }
   }
 

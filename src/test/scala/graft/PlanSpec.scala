@@ -25,6 +25,32 @@ class PlanSpec extends AnyFunSuite {
       p.split("BroadcastHashJoin").length >= 4)
   }
 
+  test("q5 prunes ASIA scan-side: semi-joins on both linear sides, no post-join region filter") {
+    // r13 change (verdict item 6): the r_name='ASIA' dim predicate is
+    // pushed into customer AND supplier as broadcast semi-joins BEFORE
+    // the fact joins, so downstream shuffles move only ASIA rows. The
+    // plan must show (a) two LeftSemi broadcast joins, and (b) r_name
+    // appearing only at the region SCAN (PushedFilters), never as a
+    // Filter above a join.
+    val p = plan("q5_nation_volume")
+    assert(p.split("LeftSemi").length >= 3, s"expected 2 LeftSemi joins in:\n$p")
+    // Structural check: every Filter mentioning r_name must sit in a
+    // join-free subtree (the region dim scan); a Filter with any join
+    // BELOW it would mean the predicate ran after rows were joined.
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    def hasJoinBelow(n: SparkPlan): Boolean = n.collectFirst {
+      case j: BaseJoinExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isDefined
+    val exec = SparkEntry.queries("q5_nation_volume")(spark, d).queryExecution.executedPlan
+    val badFilters = exec.collect {
+      case f: FilterExec if f.condition.toString.contains("r_name") && hasJoinBelow(f.child) => f
+    }
+    assert(badFilters.isEmpty,
+      s"r_name Filter above a join:\n${badFilters.mkString("\n")}")
+  }
+
   test("flagship top-k compiles to TakeOrderedAndProject") {
     assert(plan("q_topk_join").contains("TakeOrderedAndProject"))
   }

@@ -197,4 +197,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq,
       "PQ assignment must be deterministic across runs")
   }
+
+  test("capped hybrid RRF tracks the exact path far above chance (E12 scale tail)") {
+    // s_hybrid_rrf_capped swaps the exact keyword cross-fold for
+    // truncated-posting retrieve-then-rescore and the exact cosine leg
+    // for E2's LSH buckets, keeping the fusion tail. Bounds are
+    // structural, like the E4x spec: (a) the capped path emits a full
+    // top-5 for every probe the exact path ranks (candidates are never
+    // silently empty); (b) per-probe top-5 overlap with the exact path
+    // beats the ~1% chance baseline by an order of magnitude (measured
+    // 48% mean at this scale; pinned at ≥25% for slack against corpus
+    // regeneration, not run-to-run noise — both paths are
+    // deterministic).
+    val d = TestSpark.sfDir
+    val exact = SparkEntry.queries("s_hybrid_rrf")(spark, d)
+      .select("q", "d").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val capped = SparkEntry.queries("s_hybrid_rrf_capped")(spark, d)
+      .select("q", "d").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eBy = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cBy = capped.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(eBy.keySet == cBy.keySet,
+      s"probe sets differ: exact ${eBy.keySet.size} vs capped ${cBy.keySet.size}")
+    cBy.foreach { case (q, ds) => assert(ds.size == 5, s"probe $q emitted ${ds.size} rows") }
+    val total = eBy.keys.toSeq.map(q => (eBy(q) & cBy(q)).size).sum
+    val possible = eBy.values.map(_.size).sum
+    assert(total >= (possible * 0.25).toInt,
+      s"capped/exact top-5 overlap $total/$possible below the 25% floor")
+  }
 }

@@ -47,20 +47,36 @@ def main():
             continue
         t0 = time.monotonic()
         timer = None
+        # Sentinel classifies timeouts EXACTLY (r13 ADVICE): elapsed-time
+        # inference relabeled any genuine error near the cap as a timeout.
+        fired = threading.Event()
+
+        def _interrupt():
+            fired.set()
+            con.interrupt()
         if timeout > 0:
-            timer = threading.Timer(timeout, con.interrupt)
+            timer = threading.Timer(timeout, _interrupt)
             timer.start()
         try:
             con.execute(oracles[name]).fetchall()
             times[name] = round(time.monotonic() - t0, 4)
         except Exception as e:  # noqa: BLE001 - record, don't abort the sweep
             msg = str(e).splitlines()[0][:200]
-            if timeout > 0 and time.monotonic() - t0 >= timeout - 1:
+            if fired.is_set():
                 msg = f"timeout after {timeout:.0f}s: {msg}"
             failed[name] = msg
         finally:
             if timer is not None:
                 timer.cancel()
+            if fired.is_set():
+                # The timer can fire between fetchall() returning and
+                # cancel(): an interrupt landing on an idle connection
+                # aborts the NEXT query. Absorb any pending interrupt on
+                # a throwaway statement before moving on (r13 ADVICE).
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:  # noqa: BLE001 - absorbing, by design
+                    pass
     out = {
         "sf_dir": sf_dir,
         "duckdb_version": duckdb.__version__,

@@ -64,8 +64,13 @@ def main():
                 if files else 0
             queries[k] = {"status": "rows_only_dumped", "rows": rows}
             n_rows_only += 1
-        elif k in carry and (carry[k].get("status", "").startswith("engine_")
-                             or "infeasible" in carry[k].get("status", "")):
+        elif k not in dumped and k in carry \
+                and (carry[k].get("status", "").startswith("engine_")
+                     or "infeasible" in carry[k].get("status", "")):
+            # Carried dispositions apply ONLY while the engine output is
+            # absent: a fresh dump must take the oracle_pending/rows_only
+            # path below, never be masked by a stale engine_* verdict
+            # (r13 ADVICE).
             queries[k] = carry[k]
         elif k not in dumped:
             queries[k] = {"status": "engine_not_attempted"}

@@ -8,7 +8,7 @@ matching oracle SQL from oracle_sql.json in DuckDB against the sfDir parquet
 tables, and compares: row count, column names, and values (rows sorted,
 columns sorted by name, floats compared on their exact IEEE-754 bit image).
 """
-import json, math, struct, sys, glob, os
+import json, math, struct, sys, glob, os, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -85,6 +85,12 @@ def main(sf_dir, out_dir, only=None):
     thr = os.environ.get("ORACLE_DUCKDB_THREADS")
     if thr:
         con.execute(f"SET threads TO {int(thr)}")
+    # Explicit spill dir with headroom: the sf10 sweep lost 3 queries to
+    # "No space left on device" writing the default cwd-relative ".tmp".
+    tmpd = os.environ.get("ORACLE_DUCKDB_TMPDIR")
+    if tmpd:
+        os.makedirs(tmpd, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmpd}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -129,26 +135,42 @@ def main(sf_dir, out_dir, only=None):
                     n_fail += 1
                     continue
                 cols = ", ".join(f'"{c}"' for c in sorted(scols))
-                agg = f"SELECT count(*) AS n, sum(hash({cols})) AS h FROM"
+                # Multi-component fingerprint, not a bare sum(hash): additive
+                # sums are not collision-resistant for multisets (two rows
+                # whose hash deltas cancel compare equal). Combining sum,
+                # xor, min/max, distinct-count and a salted double-hash sum
+                # means cancellation must hold simultaneously across
+                # independent mixes.
+                h = f"hash({cols})"
+                agg = (f"SELECT count(*) AS n, sum({h}) AS h1, "
+                       f"bit_xor({h}) AS h2, min({h}) AS h3, max({h}) AS h4, "
+                       f"count(DISTINCT {h}) AS h5, "
+                       f"sum(hash({h} + 982451653)) AS h6 FROM")
                 sh = con.sql(
                     f"{agg} read_parquet({spark_files!r})").fetchone()
+                t_o = time.monotonic()
                 oh = con.sql(f"{agg} ({sql}) __o").fetchone()
+                o_sec = time.monotonic() - t_o
                 if sh[0] != oh[0]:
-                    print(f"FAIL {name}: rows {sh[0]} != {oh[0]} [hash-mode]")
+                    print(f"FAIL {name}: rows {sh[0]} != {oh[0]} [hash-mode]"
+                          f" oracle_sec={o_sec:.3f}")
                     n_fail += 1
-                elif sh[1] != oh[1]:
-                    print(f"FAIL {name}: multiset hash differs over {sh[0]} "
-                          f"rows [hash-mode]")
+                elif sh[1:] != oh[1:]:
+                    print(f"FAIL {name}: multiset fingerprint differs over "
+                          f"{sh[0]} rows [hash-mode] oracle_sec={o_sec:.3f}")
                     n_fail += 1
                 else:
-                    print(f"PASS {name} ({sh[0]} rows) [hash-mode]")
+                    print(f"PASS {name} ({sh[0]} rows) [hash-mode]"
+                          f" oracle_sec={o_sec:.3f}")
                     n_pass += 1
                 continue
             srows = srel.fetchall()
+            t_o = time.monotonic()
             orel = con.sql(sql)
             ocols = list(orel.columns)
             otypes = [str(t) for t in orel.types]
             orows = orel.fetchall()
+            o_sec = time.monotonic() - t_o
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -171,7 +193,7 @@ def main(sf_dir, out_dir, only=None):
             print(f"FAIL {name}: values differ, e.g. {diffs}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sr)} rows)")
+            print(f"PASS {name} ({len(sr)} rows) oracle_sec={o_sec:.3f}")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0

@@ -8,9 +8,12 @@ Runs tools/oracle_check.py for ONE query per subprocess so that a
 quadratic / non-spillable oracle costs its own timeout instead of the
 whole sweep (the sf10 lesson: d_survivor_pick's recursive CTE was
 kernel-OOM-killed at 130 GB when run in the shared process).  Records
-per-query wall time for the DuckDB side, so the sweep output doubles as
-the baseline timing source at scales where a second full serial
-baseline run would not fit the round budget.
+per-query compare wall time as `sec` (END-TO-END: python+DuckDB startup,
+reading the Spark parquet, both compare aggregations — not a baseline
+timing) plus the oracle SQL's own execution time as `oracle_sec`
+(parsed from oracle_check's oracle_sec= marker); only `oracle_sec` is
+usable as a baseline timing source at scales where a second full
+serial baseline run would not fit the round budget.
 
 Output JSON: {name: {"status": "pass"|"fail"|"oracle_timeout"|"oracle_error",
                      "sec": wall, "detail": first FAIL line if any}}
@@ -61,6 +64,16 @@ def main():
             sec = round(time.monotonic() - t0, 3)
             line = next((l for l in p.stdout.splitlines()
                          if l.startswith(("PASS", "FAIL"))), "")
+            # `sec` is END-TO-END compare wall time (python+duckdb startup,
+            # reading the Spark parquet, both fingerprint aggregations) —
+            # NOT a baseline query timing. The oracle SQL's own execution
+            # time is parsed from the check's oracle_sec= marker below.
+            o_sec = None
+            if "oracle_sec=" in line:
+                try:
+                    o_sec = float(line.rsplit("oracle_sec=", 1)[1].split()[0])
+                except ValueError:
+                    pass
             if line.startswith("PASS"):
                 rows = None
                 if "(" in line:
@@ -71,6 +84,8 @@ def main():
                 results[name] = {"status": "pass", "sec": sec}
                 if rows is not None:
                     results[name]["rows"] = rows
+                if o_sec is not None:
+                    results[name]["oracle_sec"] = o_sec
                 if "[hash-mode]" in line:
                     results[name]["mode"] = "multiset-hash"
             else:
