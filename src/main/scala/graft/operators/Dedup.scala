@@ -552,7 +552,14 @@ object Dedup {
     // blk is then the only shuffle the operator pays.
     val oversized = p.groupBy("blk").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > maxBlock).select("blk")
+    // Spread surviving blocks BEFORE the pair explosion: the corpus
+    // arrives on scan-split partitioning (a single parquet file ⇒ 1-2
+    // tasks), AQE broadcasts the tiny other side, and the quadratic JW
+    // evaluation would otherwise run inside those 2 map tasks (measured
+    // 6.0 of the 6.2 s sf1 wall). Numbered repartition = AQE-coalesce-
+    // exempt (the d_ngram_jaccard small-files lesson).
     val capped = p.join(broadcast(oversized), Seq("blk"), "left_anti")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("blk"))
     val a = capped.select(col("doc").as("doc_a"), col("blk"), col("p").as("pa"))
     val b = capped.select(col("doc").as("doc_b"), col("blk"), col("p").as("pb"))
     a.join(b, Seq("blk"))
