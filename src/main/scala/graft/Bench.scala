@@ -80,12 +80,44 @@ object Bench {
         }.mkString("{", ",", "}")
       s""""staging_build_sec":${fmt(stagingBuilds.values.sum)},"staging_builds":$builds,"staged_consumers":$cons"""
     }
+    // Mutual exclusion with the DuckDB oracle sweeps (r14 verdict #2/#8):
+    // tools/sweep_lock.py marks any long sweep with a PID lock file; a
+    // bench overlapping one measured 34 phantom >1.5x regressions in
+    // unchanged code. Wait (bounded — the budget clock is running) for
+    // the lock to clear; if it won't, proceed but tag the output JSON so
+    // the number can never be read as a clean round-over-round signal.
+    @volatile var contended = false
+    locally {
+      val lock = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_SWEEP_LOCK", "/tmp/graft/oracle_sweep.lock"))
+      def holderAlive: Boolean = try {
+        val pid = new String(
+          java.nio.file.Files.readAllBytes(lock), "UTF-8").trim.toLong
+        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+      } catch { case _: Throwable => false }
+      val waitCap = math.min(budgetSec * 0.25, 600.0)
+      var warned = false
+      while (holderAlive && elapsed < waitCap) {
+        if (!warned) {
+          System.err.println(s"[bench] DuckDB sweep lock held ($lock); " +
+            f"waiting up to $waitCap%.0f s for a clean window")
+          warned = true
+        }
+        Thread.sleep(10000)
+      }
+      if (holderAlive) {
+        contended = true
+        System.err.println("[bench] sweep lock STILL held — proceeding " +
+          "contended; output tagged \"contended\":true")
+      }
+    }
+    def contendedJson: String = if (contended) "\"contended\":true," else ""
     def resultLine(): String = {
       import scala.jdk.CollectionConverters._
       val rs = best.asScala.toSeq.sortBy(_._1)
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = rs.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":${rs.size},"expected":${names.size},"failed":$failedArr,$stagingJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$contendedJson"completed":${rs.size},"expected":${names.size},"failed":$failedArr,$stagingJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Compact summary (<200 bytes, no per-query map): the driver parses the
     // LAST JSON line of a bounded stdout tail, so this is the line that
@@ -96,7 +128,7 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val rs = best.asScala.toSeq
       val total = rs.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":${rs.size},"expected":${names.size},"failed":$failedArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$contendedJson"completed":${rs.size},"expected":${names.size},"failed":$failedArr,"sf":"$sfDir"}"""
     }
     // Persist the full per-query JSON where the round commit picks it up:
     // the repo root (CWD under sbt). Best-effort — a write failure must

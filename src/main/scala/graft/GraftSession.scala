@@ -39,7 +39,22 @@ object GraftSession {
       // map handles in bounded memory. Partition counts scale with the
       // cluster, so keys-per-partition stays bounded at 100 TB too.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // 32 MB, not the 128 MB default: scan-split sizing should target a
+      // few tasks per core for the LARGEST single input, and this engine's
+      // local inputs are single parquet files (gen_sf writes one per
+      // table) — at sf10 lineitem is 1.4 GB, which the default splits
+      // into ~11 tasks on 32 cores, leaving 2/3 of the machine idle for
+      // the whole columnar-decode phase (the q5 residual, r14 verdict
+      // item 5). 32 MB yields ~44 lineitem splits (row groups are ~24 MB
+      // compressed, so splits stay 1-2 row groups); AQE coalescing keeps
+      // downstream partition counts right-sized regardless. A cluster
+      // deployment with thousands of cores and multi-file tables should
+      // override back up (SPARK_GRAFT_MAX_PARTITION_BYTES) — the knob
+      // trades task-scheduling overhead against per-scan parallelism and
+      // the right value is deployment-shaped, not universal.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+          (32L * 1024 * 1024).toString))
       // Generated-class cache (static conf, default 100 entries): a
       // session cycling through the full query surface generates more
       // distinct code bodies than that, so steady-state runs kept

@@ -101,25 +101,34 @@ object TimeSeries {
     * first event; for each (cohort_week, week_offset), the distinct users
     * active that week and their share of the cohort.
     *
-    * ONE fact-sized shuffle total. The naive form pays two (a
+    * ONE fact-sized shuffle total. The naive form pays three (a
     * first-seen groupBy AND an activity distinct, then re-shuffles to
-    * join them); both collapse because week-trunc commutes with min —
+    * join them); all collapse because week-trunc commutes with min —
     * `trunc_week(min(day)) = min(trunc_week(day))` (the earliest day
     * lies inside the earliest active week) — so the cohort is derivable
-    * from the distinct (user, week) pairs alone, via a window over the
-    * already-tiny distinct frame. Cohort size needs no separate
-    * user-level agg either: every user is active in their own cohort
-    * week by construction, so `cohort_users` IS the week_n=0 active
-    * count — a dim-sized self-lookup, broadcast. */
+    * from each user's distinct active-week SET alone. That set is
+    * calendar-bounded (≤ weeks in the data's time span, independent of
+    * event volume), so one user-keyed collect_set aggregation replaces
+    * distinct + per-user window: the map-side partial set dedups like
+    * partial-distinct would, the single exchange moves set-sized
+    * payloads, and cohort = array_min of the set with week offsets
+    * exploded from it — no second user-key exchange, no window sort
+    * (r14: the window's re-shuffle + sort was 2 of q_retention's 4
+    * exchanges at sf1). Cohort size needs no separate user-level agg
+    * either: every user is active in their own cohort week by
+    * construction, so `cohort_users` IS the week_n=0 active count — a
+    * dim-sized self-lookup, broadcast. */
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val day = to_date(col(tsCol))
-    // The only fact-sized stage: map-side partial distinct, one shuffle.
-    val active = events.select(col(userCol),
-      to_date(date_trunc("week", day)).as("wk")).distinct()
-    // users × active-weeks rows (weeks-per-user is calendar-bounded) —
-    // the window's user-key shuffle moves this reduced frame, not facts.
-    val counts = active
-      .withColumn("cohort", min(col("wk")).over(Window.partitionBy(userCol)))
+    // The only fact-sized stage: map-side partial collect_set (dedups
+    // like partial-distinct), one user-keyed shuffle of week-set rows.
+    val weekSets = events.select(col(userCol),
+        to_date(date_trunc("week", day)).as("wk"))
+      .groupBy(col(userCol)).agg(collect_set(col("wk")).as("wks"))
+    // users × active-weeks after the explode (weeks-per-user is
+    // calendar-bounded); the (cohort, week_n) agg exchange is tiny.
+    val counts = weekSets
+      .select(array_min(col("wks")).as("cohort"), explode(col("wks")).as("wk"))
       .groupBy(col("cohort"), (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_n"))
       .agg(count(lit(1)).as("active_users"))
     val cohortSize = counts.filter(col("week_n") === 0L)

@@ -392,17 +392,12 @@ object SimilarityQueries {
          |SELECT q, d, rrf, row_number() OVER (PARTITION BY q ORDER BY rrf DESC, d) AS rank
          |FROM fused QUALIFY rank <= 5 ORDER BY q, rank""".stripMargin
     }) { (s, d) =>
-      import graft.functions.TextFunctions
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      // spread the single-split corpus BEFORE tokenize: the 24M-row
-      // token fan-out otherwise runs in the scan's ONE task (measured
-      // 19 s single-threaded — the keptDf small-files trap)
-      val tk = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
-          explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
-      val dfTok = tk.groupBy("tok").agg(count(lit(1)).as("df"))
-      val nn = docs.agg(count(lit(1)).as("nd"))
+      // staged once per dataset (rrfTokens: the 24M-row token fan-out
+      // otherwise re-runs per query — and single-threaded on the scan's
+      // ONE task without the repartition inside the stage)
+      val tk = rrfTokens(s, d)
       val pr = docs.filter(col("doc_id") % 25 === 0).select(col("doc_id").as("q"))
       // BROADCAST the probe-token side: the token key has ~vocabulary
       // cardinality, so an equi-join shuffled on it is maximally skewed
@@ -424,10 +419,8 @@ object SimilarityQueries {
       // integer arithmetic instead of a banned double→DECIMAL re-entry).
       // Headroom: idf_fp ≤ ln(nd)·2^40 ≈ 4e13; 2^53 clears ~200 shared
       // tokens per pair — and the sum is rank-only, never exits to
-      // DOUBLE.
-      val dfIdf = broadcast(dfTok.crossJoin(nn).select(col("tok"),
-        round(graft.functions.PortableMath.pLn(col("nd").cast("double") / col("df"))
-          * lit(1099511627776.0)).cast("long").as("idf_fp")))
+      // DOUBLE. The table itself is staged per dataset (rrfIdf).
+      val dfIdf = broadcast(rrfIdf(s, d))
       val kw = tk.select(col("doc_id").as("d"), col("tok"))
         .join(ptk, Seq("tok"))
         .filter(col("d") =!= col("q"))
@@ -478,24 +471,24 @@ object SimilarityQueries {
     // bounded heap per token (B10n), so nothing posting-list-sized is
     // ever sorted whole.
     QueryDef.rowsOnly("s_hybrid_rrf_capped") { (s, d) =>
-      import graft.functions.TextFunctions
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val tkAll = docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
-          explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
-      val dfTok = tkAll.groupBy("tok").agg(count(lit(1)).as("df"))
-      val nn = docs.agg(count(lit(1)).as("nd"))
-      val dfIdf = broadcast(dfTok.crossJoin(nn).select(col("tok"),
-        round(graft.functions.PortableMath.pLn(col("nd").cast("double") / col("df"))
-          * lit(1099511627776.0)).cast("long").as("idf_fp")))
-      val ntok = tkAll.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
-      val postings = tkAll.join(ntok, "doc_id")
-        .withColumn("pr", row_number().over(
-          Window.partitionBy("tok").orderBy(col("ntok").desc, col("doc_id"))))
-        .filter(col("pr") <= rrfPostCap)
-        .select(col("tok"), col("doc_id").as("d"))
-      val pr = docs.filter(col("doc_id") % 25 === 0).select(col("doc_id").as("q"))
+      // All three expensive builds are staged per dataset: tokens (the
+      // corpus fan-out), the capped postings, and the fixed-point idf —
+      // the query itself is only the candidate join + rescore + fusion
+      // (r14 verdict item 6: rebuilding these per run made the capped
+      // path slower than exact at sf0.1, inverting its purpose).
+      val tkAll = rrfTokens(s, d)
+      val dfIdf = broadcast(rrfIdf(s, d))
+      val postings = rrfPostings(s, d)
+      // Bounded probe set: modulus 25 up to rrfProbeBudget probes (every
+      // scale through sf10 unchanged), then grows with the corpus so the
+      // ptk broadcast below stays probes × tokens-per-doc — a constant
+      // w.r.t. corpus size (r14 ADVICE: the 1-in-25 broadcast grew
+      // linearly with the corpus, the one unbounded term left here).
+      val nd = docs.count()
+      val probeMod = math.max(25L, nd / rrfProbeBudget)
+      val pr = docs.filter(col("doc_id") % probeMod === 0).select(col("doc_id").as("q"))
       val ptk = broadcast(pr.join(
         tkAll.select(col("doc_id").as("q"), col("tok")), Seq("q")))
       val cands = postings.join(ptk.select("tok", "q"), Seq("tok"))
@@ -530,6 +523,59 @@ object SimilarityQueries {
   /** Truncated-posting cap for the E12 production path: per token only
     * the cap highest-tf docs enter the keyword candidate join. */
   private val rrfPostCap = 64
+
+  /** Probe budget for the capped path: the probe modulus grows with the
+    * corpus once `doc_id % 25` would exceed ~20k probes, so the
+    * probe-token broadcast is bounded by probes × tokens-per-doc at ANY
+    * corpus size (tokens-per-doc is a property of the documents, not of
+    * sf) instead of growing linearly with the corpus (r14 ADVICE: the
+    * unbounded ptk broadcast was the one scale leak in a query whose
+    * whole point is scale safety). At every measured scale through sf10
+    * (500k docs) the modulus stays 25, so rows are unchanged there. */
+  private val rrfProbeBudget = 20000L
+
+  /** Staged (doc_id, tok) distinct-token fan-out shared by both E12
+    * paths — built once per (dataset, JVM) and re-read as parquet (the
+    * StagedTables discipline; r14 verdict item 6: the capped path was
+    * paying the full tokenize + postings + idf build on every run, which
+    * at sf0.1 made it SLOWER than the exact path it exists to beat). The
+    * repartition spreads the single-split corpus before the fan-out. */
+  private[queries] def rrfTokens(s: org.apache.spark.sql.SparkSession, d: String) =
+    StagedTables.staged(s, "rrf_tokens", d) {
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
+    }
+
+  /** Staged vocabulary-sized fixed-point idf table (tok, idf_fp): the
+    * portable ln runs once per vocabulary entry per dataset, not once
+    * per query run. Quantization contract documented at the consumer. */
+  private[queries] def rrfIdf(s: org.apache.spark.sql.SparkSession, d: String) =
+    StagedTables.staged(s, "rrf_idf", d) {
+      val tk = rrfTokens(s, d)
+      val nn = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      tk.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(nn).select(col("tok"),
+          round(graft.functions.PortableMath.pLn(col("nd").cast("double") / col("df"))
+            * lit(1099511627776.0)).cast("long").as("idf_fp"))
+    }
+
+  /** Staged capped posting lists (tok, d): per token the rrfPostCap
+    * statically-best docs by distinct-token count — O(vocab × cap) rows
+    * regardless of corpus size. The truncation is a bounded heap per
+    * token (B10n compiles the rank filter), built once per dataset. */
+  private[queries] def rrfPostings(s: org.apache.spark.sql.SparkSession, d: String) =
+    StagedTables.staged(s, "rrf_postings", d) {
+      import org.apache.spark.sql.expressions.Window
+      val tk = rrfTokens(s, d)
+      val ntok = tk.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+      tk.join(ntok, "doc_id")
+        .withColumn("pr", row_number().over(
+          Window.partitionBy("tok").orderBy(col("ntok").desc, col("doc_id"))))
+        .filter(col("pr") <= rrfPostCap)
+        .select(col("tok"), col("doc_id").as("d"))
+    }
 
   private val pqCodebookCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]

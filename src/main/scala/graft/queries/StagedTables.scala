@@ -46,7 +46,10 @@ object StagedTables {
       "g_bfs_levels", "g_components_summary"),
     "pipeline_details" -> Seq("q_normalize_snowflake", "q_pipeline_topk"),
     "pipeline_premitted_biz_details" -> Seq("q_pipeline_topk"),
-    "overlap_n3" -> Seq("d_ngram_jaccard", "d_containment", "d_threshold_curve"))
+    "overlap_n3" -> Seq("d_ngram_jaccard", "d_containment", "d_threshold_curve"),
+    "rrf_tokens" -> Seq("s_hybrid_rrf", "s_hybrid_rrf_capped"),
+    "rrf_idf" -> Seq("s_hybrid_rrf", "s_hybrid_rrf_capped"),
+    "rrf_postings" -> Seq("s_hybrid_rrf_capped"))
 
   private def stage(tag: String, d: String)(build: => DataFrame)
                    (read: String => DataFrame): DataFrame = {
@@ -81,6 +84,11 @@ object StagedTables {
     Seq("details", "premitted_biz_details").foreach(t =>
       staged(s, s"pipeline_$t", d)(graft.pipeline.FoodPipeline.build(s, d)(t)))
     DedupQueries.stagedOverlap(s, d, 3)
+    // E12 keyword artifacts (tokens → idf/postings; tokens stages first
+    // inside either builder, so building the two derived tables builds
+    // all three — stage() materializes eagerly).
+    SimilarityQueries.rrfIdf(s, d)
+    SimilarityQueries.rrfPostings(s, d)
     import scala.jdk.CollectionConverters._
     buildLog.asScala.toMap
   }

@@ -31,6 +31,20 @@ object StreamingQueries {
     * designed for, an unbounded stop would hang past every budget). */
   private def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val capSec = graft.Watchdog.attemptCapSec
+    // The leak-recovery loop below is bounded ONLY if stop() itself is:
+    // with Spark's default stopTimeout=0 ("wait forever") the first
+    // stop() never throws TimeoutException and the 12-attempt loop
+    // silently degenerates to a single unbounded join (r14 ADVICE).
+    // GraftSession sets 10 s; fail fast here if a differently-built
+    // session regresses that, because this path exists precisely for
+    // degraded hosts where an unbounded wait outlives every budget.
+    val stopMs = try org.apache.spark.network.util.JavaUtils.timeStringAsMs(
+      q.sparkSession.conf.get("spark.sql.streaming.stopTimeout", "0"))
+    catch { case _: Throwable => 0L }
+    require(stopMs > 0,
+      "spark.sql.streaming.stopTimeout must be finite (>0) before draining " +
+        "a bounded stream: the default 0 makes stop() wait forever and " +
+        "disables the bounded leak-recovery retries")
     try {
       if (!q.awaitTermination(capSec * 1000L))
         throw new java.util.concurrent.TimeoutException(
@@ -81,8 +95,18 @@ object StreamingQueries {
     * storage; this is the local-mode analogue of pointing it at fast
     * local NVMe. */
   private def withShmCheckpoint[T](body: String => T): T = {
+    // tmpfs is RAM-backed and typically capped at 50% of physical
+    // memory, shared with the JVM heap's working set: a full /dev/shm
+    // fails the stream with an opaque IO error instead of spilling (r14
+    // ADVICE). Require real headroom — state-store deltas plus
+    // offset/commit logs for these drains are well under a GB even at
+    // sf10, so 4 GiB usable is a conservative floor — and fall back to
+    // disk-backed java.io.tmpdir otherwise, the same spill-dir
+    // discipline the DuckDB oracle applies via ORACLE_DUCKDB_TMPDIR.
+    val shm = new java.io.File("/dev/shm")
     val base =
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      if (shm.isDirectory && shm.getUsableSpace > 4L * 1024 * 1024 * 1024)
+        "/dev/shm"
       else System.getProperty("java.io.tmpdir")
     val dir = s"$base/graft_ckpt_${java.util.UUID.randomUUID().toString.take(12)}"
     try body(dir)
@@ -465,7 +489,15 @@ object StreamingQueries {
           struct(col("ts"), col("event_id"))).as("e"))
         .select(col("user_id"), col("e.ts").as("ts"), col("e.event_id").as("event_id"),
           col("e.event_type").as("event_type"), col("e.value").as("value"))
-      val merger = new BatchedMerger(s, table, "user_id", batchesPerCommit = 2,
+      // Commit interval = drain length (r14 verdict item 4): this drain
+      // is a BOUNDED replay of exactly three paced tercile batches, so
+      // the production tuning of the two independent knobs is trigger
+      // interval 1 file (buffer latency) and ONE commit at stream end —
+      // buffering all three deltas and letting flush() issue the single
+      // COW MERGE. An unbounded deployment would set batchesPerCommit to
+      // its churn budget instead; the buffered mechanism is identical,
+      // and BatchedMergerSpec exercises the multi-commit path.
+      val merger = new BatchedMerger(s, table, "user_id", batchesPerCommit = 4,
         combine = latestPerUser, filesPerCommit = 2)
       withShmCheckpoint { ckpt =>
         val q = Events.readEventStreamPaced(s, src, 1).writeStream

@@ -650,11 +650,11 @@ object TextQueries {
          |                i -> tk[i+1] || ' ' || tk[i+2])) AS bg
          |       FROM t WHERE len(tk) >= 2),
          |bfd AS (SELECT doc_id, bg, count(*) AS k FROM bg GROUP BY 1, 2),
-         |freq AS (SELECT bg, ${PortableMath.lnSql("CAST(sum(k) AS DOUBLE)")} AS ln_n FROM bfd GROUP BY 1),
+         |freq AS (SELECT bg, CAST(round(${PortableMath.lnSql("CAST(sum(k) AS DOUBLE)")} * 1099511627776.0) AS BIGINT) AS ln_fp FROM bfd GROUP BY 1),
          |tot AS (SELECT CAST(sum(k) AS DOUBLE) AS nn FROM bfd),
          |tot2 AS (SELECT ${PortableMath.lnSql("nn")} AS ln_nn FROM tot)
          |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-         |  max(ln_nn) - list_reduce(list(k * ln_n ORDER BY bg), (a, b) -> a + b) / sum(k) AS ce
+         |  max(ln_nn) - CAST(sum(k * ln_fp) AS BIGINT) / 1099511627776.0 / CAST(sum(k) AS DOUBLE) AS ce
          |FROM bfd JOIN freq USING (bg) CROSS JOIN tot2
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       // Three narrow exchanges instead of the r7 plan's four wide ones,
@@ -683,16 +683,28 @@ object TextQueries {
       // is an OOM at 100 TB, so the freq join is left to the threshold +
       // AQE (broadcast locally, shuffle at scale; the same rule as the
       // sf-proportional dims in q5). Only the 1-row total broadcasts.
+      // FIXED-POINT ln (the idf_fp discipline from E12): ln quantized to
+      // the 2^-40 grid — ×2^40 is an exact exponent shift, so both
+      // engines round the bit-identical pLn double to the same BIGINT —
+      // and the per-doc Σ k·ln_fp becomes an EXACT integer sum:
+      // associative, map-side combinable, streaming in both engines. The
+      // r14 form pinned float order with an ordered-list fold instead,
+      // and DuckDB's list() aggregation cannot spill — the sf10 oracle
+      // died of MemoryError on exactly that operator. Headroom:
+      // Σ k·ln_fp ≤ doc_bigrams × ln(nn)·2^40 ≈ 2^63 only past ~400k
+      // bigrams per document. The quantum (2^-40 ≈ 1e-12) sits far below
+      // the gate's 9-sig-digit compare.
       val freq = bfd.groupBy("bg")
-        .agg(PortableMath.pLn(sum("k").cast("double")).as("ln_n"))
+        .agg(round(PortableMath.pLn(sum("k").cast("double"))
+          * lit(1099511627776.0)).cast("long").as("ln_fp"))
       val tot2 = broadcast(bfd.agg(sum("k").cast("double").as("nn"))
         .select(PortableMath.pLn(col("nn")).as("ln_nn")))
       bfd.join(freq, "bg").crossJoin(tot2)
         .groupBy("doc_id")
         .agg(sum("k").cast("long").as("n_bigrams"),
           (max(col("ln_nn")) -
-            expr("aggregate(array_sort(collect_list(named_struct('bg', bg, 'v', k * ln_n))), " +
-              "CAST(0 AS DOUBLE), (a, x) -> a + x.v)") / sum(col("k"))).as("ce"))
+            sum(col("k") * col("ln_fp")).cast("long") / lit(1099511627776.0)
+              / sum(col("k")).cast("double")).as("ce"))
         .orderBy("doc_id")
     },
 

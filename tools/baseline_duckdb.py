@@ -13,11 +13,15 @@ denominator, produced by the same oracle strings the correctness gate runs.
 import json, os, sys, time
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import sweep_lock  # noqa: E402
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def main():
+    sweep_lock.acquire()
     sf_dir = sys.argv[1]
     sql_json = sys.argv[2]
     out_json = sys.argv[3] if len(sys.argv) > 3 else "baseline_duckdb.json"
@@ -68,6 +72,15 @@ def main():
         finally:
             if timer is not None:
                 timer.cancel()
+                if fired.is_set():
+                    # cancel() doesn't stop an in-flight callback: the
+                    # timer thread sets `fired` BEFORE calling
+                    # con.interrupt(), so without a join() the absorbing
+                    # SELECT 1 below can start and finish before the
+                    # interrupt lands — leaving it pending to abort the
+                    # NEXT query, the exact failure the absorb exists to
+                    # prevent (r14 ADVICE).
+                    timer.join()
             if fired.is_set():
                 # The timer can fire between fetchall() returning and
                 # cancel(): an interrupt landing on an idle connection

@@ -25,9 +25,12 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+import sweep_lock  # noqa: E402
 
 
 def main():
+    sweep_lock.acquire()
     sf_dir, out_dir, out_json = sys.argv[1:4]
     args = sys.argv[4:]
     timeout = 600.0
