@@ -153,8 +153,16 @@ object GeoQueries {
     * (columns as [[custSide]]): probe fans out 9×, equi-joins on cell,
     * integer bounding box drops far candidates before the haversine. */
   private def candidatesFor(cust: DataFrame, supp: DataFrame): DataFrame = {
-    // probe side explodes to its 3x3 cell neighborhood; equi-join on cell
+    // NUMBERED repartition before the 9× fan-out: the probe side is tens
+    // of MB of keyed rows, so AQE right-sizes (or the single-file scan
+    // under-splits) its stage to a few tasks — and the quadratic
+    // haversine work downstream then runs on those few cores (the r15
+    // q_geo_knn sf10 profile measured 190 task-seconds on 6 of 32 cores
+    // before the same pin, 136 s wall → 14 s after). Keyed so the plan
+    // stays deterministic; AQE cannot coalesce a numbered repartition.
     val probes = cust
+      .repartition(cust.sparkSession.sparkContext.defaultParallelism,
+        col("c_custkey"))
       .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("c_custkey"), col("hlat"), col("hlon"), col("lat"), col("lon"),
@@ -253,7 +261,17 @@ object GeoQueries {
       // pair-sized is ever shuffled.
       val kmUnitLat = kmPerDegLat / 100000.0
       val kmUnitLon = kmPerDegLat * math.cos(math.toRadians(38.0)) / 100000.0
-      val cust = custSide(s, d)
+      // NUMBERED repartition before the fan-out (the d_jaro_winkler
+      // lesson, third appearance): the customer side is ~50 MB of keyed
+      // rows, so AQE right-sizes its exchange to a handful of partitions
+      // — and then the home-cell join's quadratic haversine work explodes
+      // INSIDE those few tasks (r15 sf10 profile: 190 task-seconds of
+      // the 3-decade-hot stage on 6 of 32 cores, 136 s wall). A numbered
+      // repartition is AQE-coalesce-exempt, pinning the fan-out at
+      // cluster parallelism; partitioning by c_custkey also feeds the
+      // per-customer window exchange downstream.
+      val fan = s.sparkContext.defaultParallelism
+      val cust = custSide(s, d).repartition(fan, col("c_custkey"))
       val supp = suppSide(s, d)
       val withClear = cust.withColumn("clear_km",
         least(
