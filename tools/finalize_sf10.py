@@ -74,18 +74,29 @@ def main():
     # Named oracle-side dispositions: compare ATTEMPTED, resource-limited
     # on this host. Overridden automatically if a later sweep records pass.
     SPILL = ('oracle_infeasible_on_host',
-             'DuckDB oracle spill exceeds host disk (>53 GB free) even at '
-             '100 GB memory_limit — quadratic/closure intermediate cannot '
-             'spill within this host; engine output dumped, oracled green '
-             'at sf0.01/0.1/1')
+             'DuckDB oracle spill exceeds host free disk (~47-53 GB) — '
+             'retried in r14 at 100 GB memory_limit and again in r15 at '
+             '110 GB with a dedicated temp_directory on maximum free disk; '
+             'the quadratic/closure intermediate cannot spill within this '
+             'host. Engine output dumped, oracled green at sf0.01/0.1/1')
     overrides = {}
     if q.get('q_geo_knn', {}).get('status') not in ('pass',):
         overrides['q_geo_knn'] = (
             'oracle_infeasible_on_host',
-            'engine two-phase kNN completes SOLO at sf10 (171.6 s, 90 GB '
-            'heap; r13: >480 s cap); DuckDB oracle (3x3-blocked haversine '
-            'CTE chain) ran 745 s then died writing >53 GB spill at 100 GB '
-            'memory_limit')
+            'engine two-phase kNN completes at sf10 in 14.6 s after the r15 '
+            'fan-out repartition pin (r14: 171.6 s; r13: >480 s cap); the '
+            'DuckDB oracle (3x3-blocked haversine CTE chain) died again in '
+            'the r15 retry writing >44 GB spill at 110 GB memory_limit '
+            '(r14: 745 s then >53 GB spill death)')
+    if q.get('q_geo_join', {}).get('status') not in ('pass',):
+        overrides['q_geo_join'] = (
+            'oracle_infeasible_on_host',
+            'engine cell-blocked distance join completes at sf10 in 14.3 s '
+            'after the r15 candidatesFor repartition pin (r14 recorded it '
+            'engine-infeasible by arithmetic — falsified by measurement; '
+            'fresh dump committed); the DuckDB oracle (materialized '
+            'haversine CTE chain over ~1.2e9 candidate pairs) died in the '
+            'r15 retry at 689 s writing >44 GB spill at 110 GB memory_limit')
     for k in ['d_components', 'd_survivor_pick', 'g_local_clustering',
               'd_dedup_report', 'g_link_predict']:
         if q.get(k, {}).get('status') in ('FAIL', 'fail'):
