@@ -87,14 +87,15 @@ object Bench {
     // the lock to clear; if it won't, proceed but tag the output JSON so
     // the number can never be read as a clean round-over-round signal.
     @volatile var contended = false
+    val lockPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_SWEEP_LOCK", "/tmp/graft/oracle_sweep.lock"))
+    def holderAlive: Boolean = try {
+      val pid = new String(
+        java.nio.file.Files.readAllBytes(lockPath), "UTF-8").trim.toLong
+      ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+    } catch { case _: Throwable => false }
     locally {
-      val lock = java.nio.file.Paths.get(
-        sys.env.getOrElse("GRAFT_SWEEP_LOCK", "/tmp/graft/oracle_sweep.lock"))
-      def holderAlive: Boolean = try {
-        val pid = new String(
-          java.nio.file.Files.readAllBytes(lock), "UTF-8").trim.toLong
-        ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
-      } catch { case _: Throwable => false }
+      val lock = lockPath
       val waitCap = math.min(budgetSec * 0.25, 600.0)
       var warned = false
       while (holderAlive && elapsed < waitCap) {
@@ -143,6 +144,26 @@ object Bench {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       if (!finalPrinted && !best.isEmpty) emit()
     }))
+    // Hard self-deadline (r15: a 90 GB sf10 JVM wedged in TEARDOWN,
+    // ignoring SIGTERM for 7+ min — Spark's own shutdown hooks can hang
+    // on a huge heap, and SIGKILL then loses every result). A daemon
+    // reaper emits best-so-far and `halt`s the JVM — halt skips the
+    // wedgeable hooks — once the budget plus margin is spent. Nothing
+    // the bench still owes can be worth more than the results it holds.
+    locally {
+      val reaper = new Thread(() => {
+        while (true) {
+          Thread.sleep(5000)
+          if (elapsed > budgetSec + 120) {
+            if (!finalPrinted) emit()
+            System.err.println("[bench] hard deadline reached — halting JVM")
+            Runtime.getRuntime.halt(if (finalPrinted) 0 else 3)
+          }
+        }
+      }, "bench-reaper")
+      reaper.setDaemon(true)
+      reaper.start()
+    }
 
     val spark = GraftSession.local("graft-bench", cpus)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () } // session init
@@ -205,6 +226,9 @@ object Bench {
         // Queries may persist reused intermediates; drop them so later
         // queries aren't timed against a polluted executor heap.
         spark.catalog.clearCache()
+        // A sweep can START mid-run (the lock only refuses sweep-vs-
+        // sweep); sample it per query so any overlap taints the output.
+        if (!contended && holderAlive) contended = true
         // Spark reclaims shuffle/broadcast state via GC-triggered weak refs
         // (ContextCleaner) — but a full GC on this heap costs seconds of
         // wall-clock, and 2 passes x 100+ queries of per-query GC burned
@@ -221,12 +245,25 @@ object Bench {
     timedPass()
     val p1Cost = elapsed - p1Start
     if (remaining > p1Cost * 1.2 + 60) timedPass()
+    // A sweep that STARTED after the startup check pollutes the run just
+    // the same (sweep_lock only refuses sweep-vs-sweep; it cannot see a
+    // running bench) — re-check before emitting so "contended" covers
+    // the whole window, not just its first instant (r15 ADVICE).
+    if (holderAlive) contended = true
     emit()
     // Only mark printed AFTER the lines are out: a SIGTERM landing between
     // the two statements would otherwise suppress both this print and the
     // shutdown hook's. A rare duplicate line is harmless — the driver
     // parses the last JSON line, and the summary is always last.
     finalPrinted = true
+    // Bound the teardown too: results are already out, so if stop()
+    // wedges (the r15 failure mode) a 2-minute daemon timer halts.
+    locally {
+      val t = new Thread(() => { Thread.sleep(120000); Runtime.getRuntime.halt(0) },
+        "bench-teardown-reaper")
+      t.setDaemon(true); t.start()
+    }
     spark.stop()
+    Runtime.getRuntime.halt(0) // skip Spark's (wedgeable) shutdown hooks
   }
 }

@@ -122,8 +122,13 @@ object TimeSeries {
     val day = to_date(col(tsCol))
     // The only fact-sized stage: map-side partial collect_set (dedups
     // like partial-distinct), one user-keyed shuffle of week-set rows.
-    val weekSets = events.select(col(userCol),
-        to_date(date_trunc("week", day)).as("wk"))
+    // Null timestamps are filtered EXPLICITLY (r15 ADVICE): collect_set
+    // silently drops nulls, so a user whose every event has a null ts
+    // would vanish here while a window/distinct form (and the oracle's
+    // DISTINCT) would emit a null-cohort group — the equivalence must
+    // not depend on the generator never producing null ts.
+    val weekSets = events.filter(col(tsCol).isNotNull)
+      .select(col(userCol), to_date(date_trunc("week", day)).as("wk"))
       .groupBy(col(userCol)).agg(collect_set(col("wk")).as("wks"))
     // users × active-weeks after the explode (weeks-per-user is
     // calendar-bounded); the (cohort, week_n) agg exchange is tiny.

@@ -121,8 +121,9 @@ object TimeSeriesQueries {
     // integer-deterministic in both engines.
     QueryDef.sql("q_retention",
       """WITH fs AS (SELECT user_id, CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE) AS cohort
-        |            FROM events GROUP BY 1),
-        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk FROM events),
+        |            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+        |        FROM events WHERE ts IS NOT NULL),
         |cs AS (SELECT cohort, count(*) AS cohort_users FROM fs GROUP BY 1)
         |SELECT cohort_week, week_n, count(*) AS active_users,
         |  CAST(count(*) AS DOUBLE)/any_value(cohort_users) AS retention FROM (

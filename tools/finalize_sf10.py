@@ -80,7 +80,23 @@ def main():
              'the quadratic/closure intermediate cannot spill within this '
              'host. Engine output dumped, oracled green at sf0.01/0.1/1')
     overrides = {}
-    if q.get('q_geo_knn', {}).get('status') not in ('pass',):
+
+    def resource_limited(key):
+        """True only when the non-pass status looks like a host resource
+        limit (spill/OOM/timeout), NOT a value mismatch — a genuine FAIL
+        from a future sweep must surface, never be relabeled as an
+        oracle-infeasibility (r15 ADVICE)."""
+        e = q.get(key, {})
+        st = e.get('status')
+        if st == 'pass':
+            return False
+        det = (e.get('detail') or e.get('why') or '') + ' ' + (st or '')
+        markers = ('No space left', 'disk spill', 'spill', 'MemoryError',
+                   'bad allocation', 'OutOfMemory', 'timeout', 'timed out',
+                   'oracle_infeasible', 'oracle_error', 'killed')
+        return any(m.lower() in det.lower() for m in markers)
+
+    if q.get('q_geo_knn', {}).get('status') not in ('pass',) and resource_limited('q_geo_knn'):
         overrides['q_geo_knn'] = (
             'oracle_infeasible_on_host',
             'engine two-phase kNN completes at sf10 in 14.6 s after the r15 '
@@ -88,7 +104,7 @@ def main():
             'DuckDB oracle (3x3-blocked haversine CTE chain) died again in '
             'the r15 retry writing >44 GB spill at 110 GB memory_limit '
             '(r14: 745 s then >53 GB spill death)')
-    if q.get('q_geo_join', {}).get('status') not in ('pass',):
+    if q.get('q_geo_join', {}).get('status') not in ('pass',) and resource_limited('q_geo_join'):
         overrides['q_geo_join'] = (
             'oracle_infeasible_on_host',
             'engine cell-blocked distance join completes at sf10 in 14.3 s '
@@ -103,7 +119,8 @@ def main():
             det = q[k].get('detail', '')
             if 'No space left' in det or 'disk spill' in det:
                 overrides[k] = SPILL
-    if q.get('t_bigram_ce', {}).get('status') in ('FAIL', 'oracle_error'):
+    if (q.get('t_bigram_ce', {}).get('status') in ('FAIL', 'oracle_error')
+            and resource_limited('t_bigram_ce')):
         overrides['t_bigram_ce'] = (
             'oracle_infeasible_on_host',
             'DuckDB bigram-LM oracle exhausts host memory (OOM bad '

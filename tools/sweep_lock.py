@@ -35,16 +35,32 @@ def holder():
 
 
 def acquire():
-    h = holder()
-    if h is not None and h != os.getpid():
-        raise SystemExit(
-            f"another sweep holds {LOCK} (pid {h}); refusing to start — "
-            "two concurrent DuckDB sweeps pollute each other and any "
-            "bench window")
+    """Atomically take the lock (O_CREAT|O_EXCL — the r15 check-then-write
+    let two sweeps starting in the same instant both pass the holder check
+    and both believe they owned it). On EEXIST: a live holder refuses; a
+    stale one is unlinked and the create retried."""
     os.makedirs(os.path.dirname(LOCK), exist_ok=True)
-    with open(LOCK, "w") as f:
-        f.write(str(os.getpid()))
-    atexit.register(release)
+    for _ in range(3):
+        try:
+            fd = os.open(LOCK, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            h = holder()
+            if h is not None and h != os.getpid():
+                raise SystemExit(
+                    f"another sweep holds {LOCK} (pid {h}); refusing to start — "
+                    "two concurrent DuckDB sweeps pollute each other and any "
+                    "bench window")
+            # stale (dead pid / unreadable) or our own: clear and retry
+            try:
+                os.unlink(LOCK)
+            except OSError:
+                pass
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(str(os.getpid()))
+        atexit.register(release)
+        return
+    raise SystemExit(f"could not acquire {LOCK} after 3 attempts")
 
 
 def release():
