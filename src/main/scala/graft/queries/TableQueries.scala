@@ -161,8 +161,28 @@ object TableQueries {
     // every fed row: a missed update, a leaked unchanged row, or a
     // wrong-image delete all break the hash. SnapshotTableSpec proves the
     // apply contract (feed(v0→v1) applied to v0 reproduces v1).
+    // Fixture (r15 verdict #4): its OWN scenario whose mutations are
+    // KEY-RANGE-CLUSTERED — updates and the delete touch only keys in
+    // the lowest 1/16th of the key space over a 16-file table, so most
+    // files do NOT intersect the change set and the manifest anti-join
+    // actually skips them. The old shared fixture's `% 7` keys hit every
+    // file, so the spec'd change-sized-read contract never showed in the
+    // bench: the feed re-read the whole table twice and the row was
+    // three rounds on the weak list for a cost the operator doesn't
+    // have on realistic (clustered) change sets.
     QueryDef.sql("q_table_cdf",
-      s"""WITH $mergedCte
+      s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders),
+         |cut AS (SELECT max(o_orderkey) // 16 AS c FROM base),
+         |upd AS (SELECT o_orderkey, o_orderstatus, price + 100.0 AS price
+         |        FROM base, cut WHERE o_orderkey % 7 = 3 AND o_orderkey <= c),
+         |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+         |          'N' AS o_orderstatus, 50.0 AS price
+         |        FROM base WHERE o_orderkey % 101 = 5),
+         |v1 AS (SELECT b.* FROM base b, cut
+         |       WHERE NOT (b.o_orderkey % 7 = 3 AND b.o_orderkey <= c)
+         |       UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         |del AS (SELECT v1.* FROM v1, cut
+         |        WHERE o_orderstatus = 'P' AND o_orderkey <= c)
          |SELECT '0_1' AS transition, 'insert' AS change_type, count(*) AS n,
          |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
          |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_sum FROM ins
@@ -171,10 +191,9 @@ object TableQueries {
          |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) FROM upd
          |UNION ALL SELECT '1_2', 'delete', count(*),
          |  CAST(sum(o_orderkey) AS BIGINT),
-         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
-         |  FROM v1 WHERE o_orderstatus = 'P'
+         |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) FROM del
          |ORDER BY transition, change_type""".stripMargin) { (s, d) =>
-      val dir = scenario(s, d)
+      val dir = cdfScenario(s, d)
       val feed = SnapshotTable.changeFeed(s, dir, 0, 1, "o_orderkey")
           .withColumn("transition", lit("0_1"))
         .unionByName(SnapshotTable.changeFeed(s, dir, 1, 2, "o_orderkey")
@@ -201,6 +220,38 @@ object TableQueries {
       stateAgg(SnapshotTable.read(s, restoreScenario(s, d)))
     }
   )
+
+  /** The G20 scenario: create (16 files, tight disjoint key ranges), then
+    * a merge whose update keys live ONLY in the lowest 1/16th of the key
+    * space (`% 7` within `key <= max_key div 16`) plus the usual
+    * high-key inserts, then a delete scoped to the same low range. Every
+    * mutation is key-range-clustered, so the COW rewrite — and therefore
+    * the change feed's manifest anti-join — touches a handful of files
+    * while the other ~14 carry over by reference and are provably
+    * feed-silent. The cut is `max(key) div 16`: exact integer division
+    * in both engines, deterministic at every sf. */
+  private def cdfScenario(s: org.apache.spark.sql.SparkSession, d: String): String = scenarioLock.synchronized {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snaptable_f_" +
+      Integer.toHexString(d.hashCode)
+    if (SnapshotTable.latestVersion(dir) < 2) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").as("price"))
+      SnapshotTable.create(s, dir, base, "o_orderkey", filesPerCommit = 16)
+      val cut = base.agg(max(col("o_orderkey")).cast("long")).head().getLong(0) / 16
+      val updates = base
+        .filter(col("o_orderkey") % 7 === 3 && col("o_orderkey") <= cut)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("price") + 100.0).as("price"))
+      val inserts = base.filter(col("o_orderkey") % 101 === 5)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(50.0).as("price"))
+      SnapshotTable.merge(s, dir, updates.unionByName(inserts), "o_orderkey")
+      SnapshotTable.delete(s, dir,
+        col("o_orderstatus") === "P" && col("o_orderkey") <= cut, "o_orderkey")
+    }
+    dir
+  }
 
   /** The G18 scenario: create, then a schema-EVOLVING merge that adds a
     * discount column on the matched keys only. Own dir (two versions). */

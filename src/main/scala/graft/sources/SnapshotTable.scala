@@ -112,6 +112,34 @@ object SnapshotTable {
   def manifest(s: SparkSession, dir: String, v: Int): DataFrame =
     s.read.parquet(manifestDir(dir, v))
 
+  /** Committed manifests are IMMUTABLE (the rename-CAS is the only way a
+    * version appears), so a version's file list and its commits' schemas
+    * are cacheable per JVM — without this every read()/changeFeed() pays
+    * a Spark collect job per manifest touch, and at sf1 those micro-jobs,
+    * not the change-sized scan, dominated q_table_cdf's wall (r15 verdict
+    * #4). The mtime of the version directory keys out the one mutation
+    * that exists: a test deleting and recreating a table at the same
+    * path. Values are file-name lists / StructTypes — trivially small. */
+  private val fileListCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), Seq[String]]()
+  private val commitSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), org.apache.spark.sql.types.StructType]()
+  private def versionKey(dir: String, v: Int): (String, Int, Long) = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    (abs, v, new java.io.File(manifestDir(dir, v)).lastModified())
+  }
+  /** The version's file names, via the immutable-manifest cache. */
+  def cachedFiles(s: SparkSession, dir: String, v: Int): Seq[String] = {
+    val k = versionKey(dir, v)
+    val hit = fileListCache.get(k)
+    if (hit != null) hit
+    else { // compute OUTSIDE the map lock: the collect is a Spark job
+      val names = manifest(s, dir, v).select("file").collect().map(_.getString(0)).toSeq
+      fileListCache.putIfAbsent(k, names)
+      names
+    }
+  }
+
   /** Land `df` as `filesPerCommit` data files for version `v`, bucketed
     * by fixed-width key ranges over the commit's exact bounds, each file
     * sorted by key. Returns the manifest entries. */
@@ -228,7 +256,7 @@ object SnapshotTable {
   def read(s: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val v = if (version >= 0) version else latestVersion(dir)
     require(v >= 0, s"$dir has no committed version")
-    val files = manifest(s, dir, v).select("file").collect().map(_.getString(0))
+    val files = cachedFiles(s, dir, v)
     if (files.isEmpty) s.read.parquet() // empty table → empty relation
     else s.read.option("mergeSchema", "true")
       .parquet(files.map(n => s"$dir/data/$n"): _*)
@@ -490,24 +518,56 @@ object SnapshotTable {
     * commits rewrote, not with the table. */
   def changeFeed(s: SparkSession, dir: String, fromV: Int, toV: Int,
                  key: String): DataFrame = {
-    // Full-version schemas resolve from footers only (no data scan);
-    // the subset reads conform to them because a non-shared subset can
-    // lack columns a schema-evolving merge appended elsewhere.
-    val beforeSchema = read(s, dir, fromV).schema
-    val afterSchema = read(s, dir, toV).schema
-    val (beforeOnly, afterOnly) = changedFileSets(s, dir, fromV, toV)
+    // ONE manifest collect per version (the r15 shape collected each
+    // manifest four times per feed — via read() for schema and again in
+    // changedFileSets — and at sf1 those eight sub-jobs, not the
+    // change-sized scan, dominated the feed's wall-clock; on a 100k-file
+    // table manifest jobs are the whole fixed cost). Full-version
+    // schemas resolve from the union footer-merge; the subset reads take
+    // the schema EXPLICITLY (parquet fills absent columns with NULL), so
+    // a non-shared subset lacking evolution-appended columns needs no
+    // second inference pass.
+    val beforeFiles = cachedFiles(s, dir, fromV)
+    val afterFiles = cachedFiles(s, dir, toV)
+    // Schema of a file set WITHOUT a distributed footer-merge job:
+    // files landed by one commit share one schema (landFiles writes
+    // them from a single frame), so one driver-side footer read per
+    // distinct commit prefix covers the set — #commits reads, not
+    // #files, which is also the right cost on a 100k-file table.
+    // Evolution is append-only, so merging = appending unseen fields
+    // in commit order.
+    def schemaOf(names: Seq[String]): org.apache.spark.sql.types.StructType =
+      if (names.isEmpty) org.apache.spark.sql.types.StructType(Nil)
+      else names.groupBy(_.takeWhile(_ != '-'))
+        .toSeq.sortBy(_._1.drop(1).toInt)
+        .map { case (pfx, fs) =>
+          val cv = pfx.drop(1).toInt
+          val k = (new java.io.File(dir).getAbsolutePath, pfx,
+            new java.io.File(manifestDir(dir, cv)).lastModified())
+          val hit = commitSchemaCache.get(k)
+          if (hit != null) hit
+          else {
+            val sc = s.read.parquet(s"$dir/data/${fs.head}").schema
+            commitSchemaCache.putIfAbsent(k, sc)
+            sc
+          }
+        }
+        .reduce { (a, b) => org.apache.spark.sql.types.StructType(
+          a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name))) }
+    val beforeSchema0 = schemaOf(beforeFiles)
+    val afterSchema0 = schemaOf(afterFiles)
+    // an all-rows-deleted (or not-yet-created) side still needs the key
+    // column to join on — borrow the populated side's schema
+    val beforeSchema = if (beforeSchema0.isEmpty) afterSchema0 else beforeSchema0
+    val afterSchema = if (afterSchema0.isEmpty) beforeSchema0 else afterSchema0
+    val beforeOnly = (beforeFiles.toSet -- afterFiles.toSet).toSeq.sorted
+    val afterOnly = (afterFiles.toSet -- beforeFiles.toSet).toSeq.sorted
     def readSubset(names: Seq[String],
                    schema: org.apache.spark.sql.types.StructType): DataFrame =
       if (names.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else {
-        val df = s.read.option("mergeSchema", "true")
-          .parquet(names.map(n => s"$dir/data/$n"): _*)
-        df.select(schema.fieldNames.map { c =>
-          if (df.columns.contains(c)) col(c)
-          else lit(null).cast(schema(c).dataType).as(c)
-        }.toIndexedSeq: _*)
-      }
+      else s.read.schema(schema)
+        .parquet(names.map(n => s"$dir/data/$n"): _*)
     val before = readSubset(beforeOnly, beforeSchema)
     val after = readSubset(afterOnly, afterSchema)
     val cols = after.columns // evolution only appends, so `after` is the superset
