@@ -399,10 +399,19 @@ object TpchQueries {
         .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
-      val pt = sq.groupBy("l_partkey").agg(sum("qty").as("total"))
-      val qual = sq.join(pt, "l_partkey")
+      // per-part total as a WINDOW over the incidence, not a second
+      // aggregate joined back: the join-back form re-executed the whole
+      // lineitem scan+agg once per consumer (r16 profile: 2 x 6M-row
+      // scan stages = half the query's wall at sf1); the window costs
+      // one incidence-sized exchange instead
+      val qual = sq.withColumn("total",
+          sum("qty").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("l_partkey")))
         .filter(col("qty") * 2 > col("total"))
         .select("l_suppkey").distinct()
+      // (a broadcast-semi variant was measured WORSE here — the
+      // broadcast subtree blocks as its own job and serializes the
+      // pipeline; the shuffled distinct+join overlaps with the scan)
       Tables.supplier(s, d)
         .join(qual, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
