@@ -1078,21 +1078,22 @@ object AnalyticsQueries {
         |ORDER BY reorder_rate DESC, partkey LIMIT 20""".stripMargin) { (s, d) =>
       // incidence off the staged shared fact (StagedTables.orderLines):
       // the join ran once, this is a 3-column pruned scan. ONE fact
-      // shuffle for the whole reduction chain (r12 profiled 4.4× at
-      // sf10; the old shape paid two — distinct partitioned by (c,p,o),
-      // then the (c,p) rollup repartitioned everything again): hash-
-      // partition by (c, p) once, and every later aggregate's grouping
-      // keys contain or equal a superset of (c, p), so distinct, the
-      // per-(c,p) order count all run shuffle-free on that partitioning;
-      // only the final part-grain rollup moves data again, at parts
-      // size. The numbered repartition pins fan-out at cluster
-      // parallelism (the staged fact is small at toy sf — AQE would
-      // coalesce the chain onto 1-2 tasks).
+      // shuffle for the ENTIRE query, keyed on p ALONE (r16; the r12
+      // shape keyed it (c, p)): every grouping in the chain — the
+      // (c,p,o) distinct, the per-(c,p) order count, and the final
+      // part-grain rollup — contains p, so hash-partitioning on p
+      // satisfies all three and they fuse into one shuffle-free stage.
+      // The (c,p) keying satisfied only the first two: the part rollup's
+      // map-side partial agg then emitted ~parts×partitions rows (64M at
+      // sf10, a 320 MB second shuffle + an extra merge stage — the r16
+      // profile's 3.03× residual). Keys per partition stay uniform
+      // (parts are unskewed), and the numbered repartition pins fan-out
+      // at cluster parallelism (AQE-coalesce-exempt).
       val fan = s.sparkContext.defaultParallelism
       val cpo = StagedTables.orderLines(s, d)
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
           col("l_orderkey").as("o"))
-        .repartition(fan, col("c"), col("p"))
+        .repartition(fan, col("p"))
         .distinct()
       val cp = cpo.groupBy("c", "p").agg(count(lit(1)).cast("long").as("n_orders"))
       val pr = cp.groupBy(col("p").as("partkey"))
