@@ -1,8 +1,18 @@
 #!/usr/bin/env python3
 """Scale-factor testdata generator for scales the driver does not supply.
 
-Usage: python3 tools/gen_sf.py <sf> <outDir> [seed]
+Usage: python3 tools/gen_sf.py <sf> <outDir> [seed] [--vocab zipf50k] [--only documents]
 e.g.   python3 tools/gen_sf.py 1 /tmp/graft/sf1
+       python3 tools/gen_sf.py 10 /tmp/graft/sf10zipf 20260815 --vocab zipf50k --only documents
+
+--vocab zipf50k swaps the documents vocabulary from the driver's 31-word
+uniform toy (which SATURATES: every 3-gram shingle's document frequency
+grows linearly with the corpus, so exact pair-enumeration rungs go
+output-quadratic by construction) to a Zipf(1.07) distribution over 50k
+synthetic word forms — the realistic-corpus shape where shingle df is
+bounded and the exact dedup ladder can actually be demonstrated at sf10
+(r15 verdict #6). --only documents skips the other tables (the dedup
+rungs read only documents).
 
 Reproduces the driver's synthetic-table distributions (TESTDATA.md tables,
 profiled from /root/testdata/sf0.1) at an arbitrary scale factor so the
@@ -73,9 +83,65 @@ def r2(x):
     return np.round(x, 2)
 
 
-def gen(sf, out, seed):
+def doc_vocab(kind, rng):
+    """(vocab array, probability array) for the documents table."""
+    if kind == "toy":
+        vocab = np.array(VOCAB + ["dup"])
+        w = np.ones(len(vocab))
+        w[-1] = 0.028
+        return vocab, w / w.sum()
+    if kind == "zipf50k":
+        # Zipf-Mandelbrot over 50k synthetic forms: p_i ∝ 1/(i+2.7)^1.07
+        # (English-like exponent/shift). Forms are deterministic 5-hex
+        # tags — the dedup/text operators tokenize on whitespace, so the
+        # shape of the distribution is what matters, not the letters.
+        # 'dup' keeps its absolute toy-corpus rate so the planted-dup
+        # queries keep firing on this corpus too.
+        n = 50_000
+        ranks = np.arange(n, dtype=np.float64)
+        w = 1.0 / (ranks + 2.7) ** 1.07
+        vocab = np.array([f"w{i:05x}" for i in range(n)] + ["dup"])
+        w = np.concatenate([w / w.sum() * (1 - 0.028 / 31), [0.028 / 31]])
+        return vocab, w / w.sum()
+    raise SystemExit(f"unknown --vocab {kind!r} (toy | zipf50k)")
+
+
+def gen_documents(sf, out, rng, vocab_kind):
+    """Word salad over the chosen vocab + planted exact dups. Draw order
+    is IDENTICAL to the original inline block — a full default run must
+    reproduce existing dirs (sf30's bit-image artifacts) byte for byte."""
+    n_doc = int(50_000 * sf)
+    vocab, w = doc_vocab(vocab_kind, rng)
+    lens = rng.integers(10, 101, n_doc)
+    words = rng.choice(vocab, lens.sum(), p=w)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n_doc)]
+    n_dup = int(round(0.0016 * n_doc))
+    for tgt in rng.choice(np.arange(1, n_doc), n_dup, replace=False):
+        texts[tgt] = texts[rng.integers(0, tgt)]
+    src = np.array([f"src{i % 20}" for i in range(n_doc)])
+    rng.shuffle(src)
+    write(out, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+        "text": texts,
+        "lang": pa.array(rng.choice(LANGS, n_doc, p=LANG_P)),
+        "source": pa.array(src),
+        "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
+    }))
+
+
+def gen(sf, out, seed, vocab_kind="toy", only=None):
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
+    if only is not None:
+        # Documents-only mode consumes the rng from a FRESH state, so its
+        # content differs from the documents table of a full run at the
+        # same seed — it generates a new corpus variant, it is never a
+        # way to regenerate one table of an existing dir.
+        assert set(only) == {"documents"}, "--only supports documents"
+        gen_documents(sf, out, rng, vocab_kind)
+        return
+
     for dim in ("region", "nation"):
         shutil.copyfile(f"/root/testdata/sf0.1/{dim}.parquet",
                         os.path.join(out, f"{dim}.parquet"))
@@ -88,7 +154,6 @@ def gen(sf, out, seed):
     n_li = int(6_000_000 * sf)
     n_ev = int(1_000_000 * sf)
     n_users = max(1, n_cust // 10)
-    n_doc = int(50_000 * sf)
     n_emb = int(2_000 * 4 ** np.log10(10 * sf)) if sf >= 0.01 else 500
 
     write(out, "customer", pa.table({
@@ -153,25 +218,8 @@ def gen(sf, out, seed):
         "props": pa.array(['{"k": %d}' % k for k in rng.integers(0, 100, n_ev)]),
     }))
 
-    # documents: word salad, uniform vocab + rare 'dup' token, planted exact dups
-    vocab = np.array(VOCAB + ["dup"])
-    w = np.ones(len(vocab)); w[-1] = 0.028; w /= w.sum()
-    lens = rng.integers(10, 101, n_doc)
-    words = rng.choice(vocab, lens.sum(), p=w)
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n_doc)]
-    n_dup = int(round(0.0016 * n_doc))
-    for tgt in rng.choice(np.arange(1, n_doc), n_dup, replace=False):
-        texts[tgt] = texts[rng.integers(0, tgt)]
-    src = np.array([f"src{i % 20}" for i in range(n_doc)])
-    rng.shuffle(src)
-    write(out, "documents", pa.table({
-        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
-        "text": texts,
-        "lang": pa.array(rng.choice(LANGS, n_doc, p=LANG_P)),
-        "source": pa.array(src),
-        "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
-    }))
+    # documents: word salad, chosen vocab + rare 'dup' token, planted exact dups
+    gen_documents(sf, out, rng, vocab_kind)
 
     # embeddings: unit 64-dim float32, 10 weak clusters (intra-cos ~0.07)
     cents = rng.normal(size=(10, 64))
@@ -187,8 +235,15 @@ def gen(sf, out, seed):
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1])
-    out = sys.argv[2]
-    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 20260815
-    print(f"gen_sf: sf={sf} -> {out} (seed {seed})")
-    gen(sf, out, seed)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = sys.argv[1:]
+    sf = float(args[0])
+    out = args[1]
+    seed = int(args[2]) if len(args) > 2 else 20260815
+    vocab_kind = (flags[flags.index("--vocab") + 1]
+                  if "--vocab" in flags else "toy")
+    only = ({flags[flags.index("--only") + 1]}
+            if "--only" in flags else None)
+    print(f"gen_sf: sf={sf} -> {out} (seed {seed}, vocab {vocab_kind}"
+          + (f", only {sorted(only)}" if only else "") + ")")
+    gen(sf, out, seed, vocab_kind, only)
