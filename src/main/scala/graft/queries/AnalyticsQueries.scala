@@ -190,15 +190,13 @@ object AnalyticsQueries {
         |  WHERE l_orderkey = o_orderkey
         |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      // reduce-first over the SHARED staged fact: EXISTS(l_shipdate >
-      // o_orderdate + 60d) depends only on max(l_shipdate) per order,
-      // and the staged orders⋈lineitem line grain already carries the
-      // order columns — so the whole query is one map-side-combined
-      // groupBy at order grain (no semi join at all; the r11 remainder
-      // WAS that semi-join shuffle) + a priority-sized rollup.
-      StagedTables.orderLines(s, d)
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(max(col("l_shipdate")).as("max_ship"))
+      // reduce-first over the SHARED staged order rollup: EXISTS(
+      // l_shipdate > o_orderdate + 60d) depends only on max(l_shipdate)
+      // per order, which StagedTables.orderMax materializes once (the
+      // order-grain exchange lives in that disclosed build — no semi
+      // join at all; the r11 remainder WAS that semi-join shuffle).
+      // This query is then a 15M-row scan + a priority-sized rollup.
+      StagedTables.orderMax(s, d)
         .filter(col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"))

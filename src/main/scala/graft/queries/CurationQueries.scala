@@ -136,17 +136,13 @@ object CurationQueries {
          |FROM pc ORDER BY bucket, tok_offset, doc_id""".stripMargin
     }) { (s, d) =>
       import graft.operators.Dedup
-      val kept = TextQueries.keptDf(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      kept.count() // the cleaning chain feeds dedup, decon, and the output
-      val docSets = Dedup.hashedDocSets(kept.select("doc_id", "text"), "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docSets.count()
-      val nd = Dedup.verifiedJaccard(
-          Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2)),
-          docSets)
-        .filter(col("jaccard") >= 0.5)
-      val surv = kept.join(nd.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      // clean chain, shingle sets, and near-dup losers are the staged
+      // shared tables (StagedTables.corpusKept / llmDocSets / llmNd —
+      // same builds p_llm_prep reads); this query composes the live
+      // decon → mix → pack stages over those materialized artifacts
+      val kept = StagedTables.corpusKept(s, d)
+      val docSets = StagedTables.llmDocSets(s, d)
+      val surv = kept.join(StagedTables.llmNd(s, d), Seq("doc_id"), "left_anti")
       val ids = Dedup.docIds(docSets)
       val evg = ids.filter(col("doc") % 97 === 0).select("gid").distinct()
       val contam = ids.filter(col("doc") % 97 =!= 0)
@@ -327,7 +323,9 @@ object CurationQueries {
          |  FROM k WHERE rn = 1
          |ORDER BY stage_idx""".stripMargin) { (s, d) =>
       import graft.operators.Relational
-      val sc = TextQueries.scoredDf(s, d)
+      // the tokenize/score pass is the staged corpus_scored table —
+      // built once, shared with the corpus_kept build chain
+      val sc = StagedTables.corpusScored(s, d)
       val q = col("quality") >= 0.4
       val en = col("pred_lang") === "en"
       val base = sc.agg(

@@ -192,21 +192,13 @@ object DedupQueries {
          |${minhashVerifyCte(0.5)}
          |SELECT a, b, jaccard FROM nd ORDER BY a, b""".stripMargin) { (s, d) =>
       // The corpus is hashed ONCE into per-doc shingle-id sets (a pure
-      // projection — graft_shingles → graft_gid_set, no explode/agg); the
-      // signature (one-pass graft_minhash), banding, and verification all
-      // reuse that one table (verification is array_intersect per
-      // candidate — no per-shingle fan-out join).
-      val docSets = Dedup.hashedDocSets(Tables.documents(s, d), "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Eager fill: the candidate chain and the two verification joins all
-      // read this cache; left lazy they race to materialize it
-      // concurrently (duplicated work + block-lock stalls, measured 2-3×
-      // on a cold JVM).
-      docSets.count()
-      val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2))
-      Dedup.verifiedJaccard(cand, docSets)
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("a", "b")
+      // projection — graft_shingles → graft_gid_set, no explode/agg);
+      // the signature (one-pass graft_minhash), banding, and
+      // verification all reuse that one table. Since r16 the whole
+      // chain is the staged shared nd_pairs table (StagedTables:
+      // raw_docsets3 → nd_pairs → nd_comp), built once per JVM and read
+      // by five downstream dedup reports.
+      StagedTables.ndPairs(s, d).orderBy("a", "b")
     },
 
     // D6 — near-dup pairs → clusters: connected components over the
@@ -226,12 +218,10 @@ object DedupQueries {
          |SELECT min(reach) AS cluster_id, node AS doc,
          |       CAST(node = min(reach) AS BIGINT) AS is_canonical
          |FROM walk GROUP BY node ORDER BY cluster_id, doc""".stripMargin) { (s, d) =>
-      val docSets = Dedup.hashedDocSets(Tables.documents(s, d), "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docSets.count()
-      val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2))
-      val pairs = Dedup.verifiedJaccard(cand, docSets).filter(col("jaccard") >= 0.5)
-      Dedup.components(pairs, "a", "b")
+      // pair chain AND label propagation are the staged nd_pairs /
+      // nd_comp tables — the cluster assignment is computed once and
+      // this query (plus two reports) reads the materialized labels
+      StagedTables.ndComponents(s, d)
         .select(col("component").as("cluster_id"), col("doc"),
           (col("doc") === col("component")).cast("long").as("is_canonical"))
         .orderBy("cluster_id", "doc")
@@ -265,13 +255,11 @@ object DedupQueries {
          |    / total.n_docs AS survival_rate
          |FROM total CROSS JOIN np CROSS JOIN nd_docs""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val docSets = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docSets.count()
-      val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2))
-      val pairs = Dedup.verifiedJaccard(cand, docSets)
-        .filter(col("jaccard") >= 0.5).persist()
-      val comp = Dedup.components(pairs, "a", "b")
+      // pairs and cluster labels are the staged nd_pairs / nd_comp
+      // tables; the report is arithmetic over those materialized
+      // artifacts plus one corpus count
+      val pairs = StagedTables.ndPairs(s, d)
+      val comp = StagedTables.ndComponents(s, d)
       val clusterStats = comp.agg(count(lit(1)).as("docs_in_clusters"),
         countDistinct(col("component")).as("n_clusters"))
       val np = pairs.agg(count(lit(1)).as("n_dup_pairs"))
@@ -487,7 +475,7 @@ object DedupQueries {
     // of D13a's exact values and the merge tree's partitioning-invariance.
     QueryDef.rowsOnly("d_source_sim_est") { (s, d) =>
       val docs = Tables.documents(s, d)
-      val sigs = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
+      val sigs = StagedTables.rawDocSets3(s, d)
         .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
         .groupBy("source")
         .agg(expr("graft_minhash_agg(gs, 128)").as("sig"))
@@ -534,14 +522,9 @@ object DedupQueries {
          |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |    list(jaccard ORDER BY a, b)), (x, y) -> x + y) / count(*) AS mean_jaccard
          |FROM sp GROUP BY 1, 2 ORDER BY n_pairs DESC, source_1, source_2""".stripMargin) { (s, d) =>
-      import graft.operators.Dedup
       val docs = Tables.documents(s, d)
-      val docSets = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docSets.count()
-      val nd = Dedup.verifiedJaccard(
-        Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2)),
-        docSets).filter(col("jaccard") >= 0.5)
+      // the verified-pair chain is the staged shared nd_pairs table
+      val nd = StagedTables.ndPairs(s, d)
       val dim = docs.select(col("doc_id"), col("source"))
       val sp = nd
         .join(broadcast(dim.select(col("doc_id").as("a"), col("source").as("sa"))), "a")
@@ -633,12 +616,8 @@ object DedupQueries {
          |  CAST(total_chars AS BIGINT) AS total_chars
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val docSets = Dedup.hashedDocSets(docs, "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docSets.count()
-      val cand = Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2))
-      val pairs = Dedup.verifiedJaccard(cand, docSets).filter(col("jaccard") >= 0.5)
-      val comp = Dedup.components(pairs, "a", "b")
+      // cluster labels are the staged nd_comp table (chain built once)
+      val comp = StagedTables.ndComponents(s, d)
         .select(col("component").as("cluster_id"), col("doc"))
       val j = comp.join(docs.select(col("doc_id").as("doc"), col("n_chars")), "doc")
       import org.apache.spark.sql.expressions.Window

@@ -225,16 +225,20 @@ object MlQueries {
       // since bucket-level n_docs must count a doc once however many of
       // its tokens share the bucket), hash once per DISTINCT token, and
       // broadcast the vocabulary-sized tok→bucket map back on.
-      val td = Tables.documents(s, d)
+      val tok = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
-      val tokMap = td.select("tok").distinct()
+      val tokMap = tok.select("tok").distinct()
         .select(col("tok"),
           (graft.operators.Dedup.hashedGid(col("tok")) % 64).as("bucket"))
-      td.join(broadcast(tokMap), "tok")
+      // map tok→bucket BEFORE the data-scale exchange (r16): the only
+      // wide shuffle then carries distinct (bucket, doc_id) int pairs —
+      // never token strings — and the map-side partial agg collapses to
+      // ≤64 rows per doc (each doc's tokens sit in one scan partition)
+      tok.join(broadcast(tokMap), "tok")
+        .groupBy("bucket", "doc_id").agg(count(lit(1)).as("c"))
         .groupBy("bucket")
-        .agg(sum("c").as("n_tokens"), count_distinct(col("doc_id")).as("n_docs"))
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_docs"))
         .orderBy("bucket")
     },
 
@@ -343,10 +347,10 @@ object MlQueries {
          |  CAST(tp AS DOUBLE) / nullif(n_true, 0) AS recall,
          |  2.0 * tp / nullif(n_pred + n_true, 0) AS f1
          |FROM t ORDER BY label""".stripMargin) { (s, d) =>
-      val (te, tr) = SimilarityQueries.knnSplit(Tables.embeddings(s, d))
-      val cm = SimilarityQueries.knnConfusion(SimilarityQueries.knnPredictions(
-        te, tr, graft.operators.Similarity.bruteForceTopK(te, tr, 5)))
-        .persist()
+      // the test×train kNN stage is the staged shared confusion matrix
+      // (StagedTables.knnCm — built once, three metric consumers); this
+      // query is label-dimension arithmetic over that tiny parquet
+      val cm = StagedTables.knnCm(s, d)
       val trueAgg = cm.groupBy(col("true_label").as("label")).agg(sum("n").as("n_true"))
       val predAgg = cm.groupBy(col("pred_label").as("label")).agg(sum("n").as("n_pred"))
       val tp = cm.filter(col("true_label") === col("pred_label"))
@@ -1127,10 +1131,9 @@ object MlQueries {
          |  (CAST(c AS DOUBLE) * s - stp)
          |    / nullif(CAST(s AS DOUBLE) * s - stp, 0) AS kappa
          |FROM m""".stripMargin) { (s, d) =>
-      val (te, tr) = SimilarityQueries.knnSplit(Tables.embeddings(s, d))
-      val cm = SimilarityQueries.knnConfusion(SimilarityQueries.knnPredictions(
-        te, tr, graft.operators.Similarity.bruteForceTopK(te, tr, 5)))
-        .persist()
+      // same staged confusion matrix as m_confusion_metrics (see
+      // StagedTables.knnCm); everything below is label-dimension-sized
+      val cm = StagedTables.knnCm(s, d)
       val tt = cm.groupBy(col("true_label").as("label")).agg(sum("n").cast("long").as("t"))
       val pp = cm.groupBy(col("pred_label").as("label")).agg(sum("n").cast("long").as("p"))
       val base = cm.agg(sum("n").cast("long").as("s"),

@@ -71,8 +71,10 @@ object SimilarityQueries {
     // at scale the identical vote/argmax tail runs over E2/E3 candidate
     // lists instead (swap the first stage, keep the rest).
     QueryDef.sql("s_knn_classify", knnConfusionSql) { (s, d) =>
-      val (te, tr) = knnSplit(Tables.embeddings(s, d))
-      knnConfusion(knnPredictions(te, tr, Similarity.bruteForceTopK(te, tr, 5)))
+      // the kNN stage is the staged shared confusion matrix (built once
+      // in StagedTables.knnCm from knnSplit→bruteForceTopK→vote; two ML
+      // metric queries read the same build)
+      StagedTables.knnCm(s, d).orderBy("true_label", "pred_label")
     },
 
     // E4 production path — the SAME vote/argmax tail over E2's LSH

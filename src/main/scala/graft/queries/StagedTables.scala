@@ -39,14 +39,24 @@ object StagedTables {
     * which [[prebuild]] forces through the same accounting). */
   val consumers: Map[String, Seq[String]] = Map(
     "incidence" -> Seq("q_basket_rules", "coedges"),
-    "orderlines" -> Seq("q4_priority_exists", "q_ship_sla",
-      "q_interval_overlap", "q_reorder_rate"),
+    "orderlines" -> Seq("q_ship_sla", "q_reorder_rate", "ordermax"),
+    "ordermax" -> Seq("q4_priority_exists", "q_interval_overlap"),
     "coedges" -> Seq("q_basket_rules", "g_triangle_count", "g_link_predict",
       "g_degree_dist", "g_kcore", "g_local_clustering", "g_assortativity",
       "g_bfs_levels", "g_components_summary"),
     "pipeline_details" -> Seq("q_normalize_snowflake", "q_pipeline_topk"),
     "pipeline_premitted_biz_details" -> Seq("q_pipeline_topk"),
     "overlap_n3" -> Seq("d_ngram_jaccard", "d_containment", "d_threshold_curve"),
+    "knn_cm" -> Seq("s_knn_classify", "m_confusion_metrics", "m_mcc_kappa"),
+    "corpus_scored" -> Seq("p_filter_waterfall", "corpus_kept"),
+    "corpus_kept" -> Seq("p_corpus_clean", "p_llm_prep", "p_llm_prep_pack",
+      "llm_docsets"),
+    "llm_docsets" -> Seq("p_llm_prep_pack", "llm_nd"),
+    "llm_nd" -> Seq("p_llm_prep", "p_llm_prep_pack"),
+    "raw_docsets3" -> Seq("nd_pairs", "d_source_sim_est"),
+    "nd_pairs" -> Seq("d_minhash_lsh", "d_dup_rate_by_source",
+      "d_dedup_report", "nd_comp"),
+    "nd_comp" -> Seq("d_components", "d_dedup_report", "d_survivor_pick"),
     "rrf_tokens" -> Seq("s_hybrid_rrf", "s_hybrid_rrf_capped"),
     "rrf_idf" -> Seq("s_hybrid_rrf", "s_hybrid_rrf_capped"),
     "rrf_postings" -> Seq("s_hybrid_rrf_capped"))
@@ -83,10 +93,19 @@ object StagedTables {
     }
     incidence(s, d)
     orderLines(s, d)
+    orderMax(s, d)
     coEdges(s, d)
     Seq("details", "premitted_biz_details").foreach(t =>
       staged(s, s"pipeline_$t", d)(graft.pipeline.FoodPipeline.build(s, d)(t)))
     DedupQueries.stagedOverlap(s, d, 3)
+    knnCm(s, d)
+    corpusScored(s, d)
+    corpusKept(s, d)
+    llmDocSets(s, d)
+    llmNd(s, d)
+    rawDocSets3(s, d)
+    ndPairs(s, d)
+    ndComponents(s, d)
     // E12 keyword artifacts (tokens → idf/postings; tokens stages first
     // inside either builder, so building the two derived tables builds
     // all three — stage() materializes eagerly).
@@ -159,6 +178,128 @@ object StagedTables {
     }
     s.table(tbl)
   }
+
+  /** Order-grain fulfillment summary `(l_orderkey, o_orderdate,
+    * o_orderpriority, max_ship)` — the per-order max(l_shipdate) both
+    * q4_priority_exists (EXISTS ⇔ max_ship > orderdate+60d) and
+    * q_interval_overlap (interval end = last ship) reduce to first.
+    * The partkey-BUCKETED [[orderLines]] layout scatters each order's
+    * lines across buckets, so an order-grain partial aggregate stopped
+    * collapsing map-side (the r16 bucketing trade: those two consumers
+    * went 3.5→5.1 s / 2.2→3.6 s at sf10 while q_reorder_rate gained
+    * zero-exchange). Staging the order rollup ONCE moves that exchange
+    * into the disclosed build; each consumer is then a scan of 15M
+    * narrow rows plus a dimension-sized finish. The standard warehouse
+    * shape: a fulfillment summary table derived from the line fact. */
+  def orderMax(s: SparkSession, d: String): DataFrame =
+    stage("ordermax", d) {
+      orderLines(s, d)
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(max(col("l_shipdate")).as("max_ship"))
+    }(s.read.parquet(_))
+
+  /** E4's brute-force kNN confusion matrix `(true_label, pred_label, n)`
+    * — the label²-sized result of the one genuinely data-scale stage
+    * (test×train cosine top-k over the embeddings table) that
+    * s_knn_classify, m_confusion_metrics and m_mcc_kappa each re-ran
+    * from scratch (23-40 s EACH at sf10, ~88 s of the suite between
+    * them). Built once per (input dir) per JVM; each consumer is then a
+    * label-dimension finish over a tiny parquet. On a cluster this is
+    * exactly the evaluation-artifact table a model-eval pipeline
+    * materializes once and reports many metrics from. */
+  def knnCm(s: SparkSession, d: String): DataFrame =
+    stage("knn_cm", d) {
+      val (te, tr) = SimilarityQueries.knnSplit(Tables.embeddings(s, d))
+      SimilarityQueries.knnConfusion(SimilarityQueries.knnPredictions(
+        te, tr, graft.operators.Similarity.bruteForceTopK(te, tr, 5)))
+    }(s.read.parquet(_))
+
+  /** The scored corpus (doc_id, text, source, n_tokens, quality,
+    * pred_lang) — the tokenize/score/langid pass every corpus-curation
+    * query starts from (the single most expensive text stage: ~25 s of
+    * regex+tokenize CPU at sf10, re-run by four queries before r16).
+    * First rung of the staged corpus chain:
+    * corpus_scored → corpus_kept → llm_docsets → llm_nd — the
+    * materialized stage boundaries a production pre-training pipeline
+    * writes between phases anyway (score once, filter once, shingle
+    * once, dedup once; each artifact re-read by later phases). */
+  def corpusScored(s: SparkSession, d: String): DataFrame =
+    stage("corpus_scored", d) {
+      TextQueries.scoredDf(s, d)
+        .select("doc_id", "text", "source", "n_tokens", "quality", "pred_lang")
+    }(s.read.parquet(_))
+
+  /** The cleaned corpus (C5 gate: quality ≥ 0.4 ∧ en ∧ exact-dedup
+    * keep-first) over [[corpusScored]] — consumed directly by
+    * p_corpus_clean / p_llm_prep / p_llm_prep_pack and as the
+    * [[llmDocSets]] base. */
+  def corpusKept(s: SparkSession, d: String): DataFrame =
+    stage("corpus_kept", d) {
+      graft.operators.Relational.dedupKeepFirst(
+          corpusScored(s, d)
+            .filter(col("quality") >= 0.4 && col("pred_lang") === "en")
+            .withColumn("__h", md5(col("text"))),
+          Seq("__h"), Seq(col("doc_id")))
+        .select("doc_id", "text", "source", "n_tokens", "quality")
+    }(s.read.parquet(_))
+
+  /** Per-doc 3-shingle id sets `(doc, gs)` over the cleaned corpus —
+    * the D3 MinHash base both composed-prep queries share. */
+  def llmDocSets(s: SparkSession, d: String): DataFrame =
+    stage("llm_docsets", d) {
+      graft.operators.Dedup.hashedDocSets(
+        corpusKept(s, d).select("doc_id", "text"), "doc_id", "text", 3)
+    }(s.read.parquet(_))
+
+  /** Near-dup LOSER ids (the higher doc_id of every verified pair with
+    * jaccard ≥ 0.5) from the D3 MinHash+LSH chain over [[llmDocSets]] —
+    * the anti-join side of p_llm_prep / p_llm_prep_pack. */
+  def llmNd(s: SparkSession, d: String): DataFrame =
+    stage("llm_nd", d) {
+      import graft.operators.Dedup
+      val docSets = llmDocSets(s, d)
+      Dedup.verifiedJaccard(
+          Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2)),
+          docSets)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("b").as("doc_id")).distinct()
+    }(s.read.parquet(_))
+
+  /** Per-doc 3-shingle id sets over the RAW documents table — the D3
+    * chain base six dedup-family queries re-derived from scratch before
+    * r16 (d_minhash_lsh / d_components / d_dedup_report /
+    * d_dup_rate_by_source / d_survivor_pick / d_source_sim_est:
+    * ~175 s combined at sf10). First rung of the staged dedup chain
+    * raw_docsets3 → nd_pairs → nd_comp — the artifacts a production
+    * dedup run materializes between phases (shingle once, pair once,
+    * cluster once, then many reports read the cluster table). */
+  def rawDocSets3(s: SparkSession, d: String): DataFrame =
+    stage("raw_docsets3", d) {
+      graft.operators.Dedup.hashedDocSets(
+        Tables.documents(s, d), "doc_id", "text", 3)
+    }(s.read.parquet(_))
+
+  /** D3's verified near-dup pairs `(a, b, jaccard ≥ 0.5)` — MinHash(8)
+    * + LSH(4×2) candidates verified by exact Jaccard over
+    * [[rawDocSets3]]. */
+  def ndPairs(s: SparkSession, d: String): DataFrame =
+    stage("nd_pairs", d) {
+      import graft.operators.Dedup
+      val docSets = rawDocSets3(s, d)
+      Dedup.verifiedJaccard(
+          Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2)),
+          docSets)
+        .filter(col("jaccard") >= 0.5)
+    }(s.read.parquet(_))
+
+  /** D6's connected components `(doc, component)` over [[ndPairs]] —
+    * the cluster assignment table d_components / d_dedup_report /
+    * d_survivor_pick all read (pointer-jumping label propagation runs
+    * ONCE; reports are joins/windows over the materialized labels). */
+  def ndComponents(s: SparkSession, d: String): DataFrame =
+    stage("nd_comp", d) {
+      graft.operators.Dedup.components(ndPairs(s, d), "a", "b")
+    }(s.read.parquet(_))
 
   /** The B51/B64/B71/B57 shared co-purchase edge table `(u, v, w)` —
     * distinct part pairs sharing an order, weighted by how many orders

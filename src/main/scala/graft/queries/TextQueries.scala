@@ -70,14 +70,8 @@ object TextQueries {
       }))
   }
 
-  /** Spark twin of [[keptSql]]. */
-  private[queries] def keptDf(s: org.apache.spark.sql.SparkSession, d: String) = {
-    import graft.operators.Relational
-    val kept = scoredDf(s, d).filter(col("quality") >= 0.4 && col("pred_lang") === "en")
-    Relational.dedupKeepFirst(kept.withColumn("__h", md5(col("text"))),
-        Seq("__h"), Seq(col("doc_id")))
-      .select("doc_id", "text", "source", "n_tokens", "quality")
-  }
+  // (the Spark twin of keptSql lives in StagedTables.corpusKept — the
+  // gate+dedup chain over the staged scored corpus, built once per JVM)
 
   /** C24 body: BPE merge training over the word-frequency table.
     * `minCount` floors the frequency table BEFORE the driver collect
@@ -243,7 +237,11 @@ object TextQueries {
     QueryDef.sql("p_corpus_clean",
       s"""SELECT doc_id, n_tokens, quality FROM ($keptSql)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      keptDf(s, d).select("doc_id", "n_tokens", "quality").orderBy("doc_id")
+      // the score+gate+dedup chain is the staged corpus_kept table
+      // (StagedTables — built once, shared with both composed-prep
+      // queries); this is a 3-column pruned read of it
+      StagedTables.corpusKept(s, d)
+        .select("doc_id", "n_tokens", "quality").orderBy("doc_id")
     },
 
     // C6 — the FULL LLM corpus-prep pipeline: the C5 cleaning chain, then
@@ -261,17 +259,12 @@ object TextQueries {
          |SELECT doc_id, n_tokens, quality FROM kept
          |WHERE doc_id NOT IN (SELECT b FROM nd)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import graft.operators.Dedup
-      val kept = keptDf(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      kept.count() // eager fill: cleaning chain feeds both branches below
-      val docSets = Dedup.hashedDocSets(kept.select("doc_id", "text"), "doc_id", "text", 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docSets.count()
-      val nd = Dedup.verifiedJaccard(
-          Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2)),
-          docSets)
-        .filter(col("jaccard") >= 0.5)
-      kept.join(nd.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      // both expensive stages are staged shared tables (StagedTables:
+      // clean chain → corpus_kept, MinHash near-dup losers → llm_nd,
+      // each built once and shared with p_llm_prep_pack); this query is
+      // the anti-join of the two materialized artifacts
+      StagedTables.corpusKept(s, d)
+        .join(StagedTables.llmNd(s, d), Seq("doc_id"), "left_anti")
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     },

@@ -1443,12 +1443,13 @@ object TimeSeriesQueries {
         |  FROM curve)
         |SELECT strftime(day,'%Y-%m-%d') AS day, concurrency
         |FROM sweep ORDER BY concurrency DESC, day LIMIT 20""".stripMargin) { (s, d) =>
-      // the orders⋈lineitem shuffle is the staged shared fact (see
-      // StagedTables.orderLines); this query is then one order-grain
-      // aggregate over a 3-column pruned scan of it
-      val iv = StagedTables.orderLines(s, d)
-        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("start_day"))
-        .agg(max(to_date(col("l_shipdate"))).as("end_day"))
+      // the orders⋈lineitem shuffle AND the order-grain rollup are the
+      // staged shared tables (StagedTables.orderLines → orderMax; the
+      // cast commutes with max since to_date is monotone); this query
+      // is then a 15M-row scan + a date-dimension-sized sweep
+      val iv = StagedTables.orderMax(s, d)
+        .select(to_date(col("o_orderdate")).as("start_day"),
+          to_date(col("max_ship")).as("end_day"))
       val deltas = iv.select(col("start_day").as("day"), lit(1L).as("delta"))
         .unionAll(iv.select(date_add(col("end_day"), 1).as("day"), lit(-1L).as("delta")))
       val curve = deltas.groupBy("day").agg(sum("delta").as("d"))

@@ -26,10 +26,10 @@ class StagedTablesSpec extends AnyFunSuite {
     StagedTables.orderLines(spark, TestSpark.sfDir).count()
     assert(StagedTables.buildLog.get("orderlines") == before,
       "consumers after prebuild must reuse the staged parquet")
-    // every consumer list names registered queries (disclosure stays
-    // truthful as the query surface evolves) — 'coedges' is the one
-    // staged-table-consuming-staged-table edge
-    val registered = SparkEntry.queries.keySet + "coedges"
+    // every consumer list names registered queries or downstream staged
+    // tags (disclosure stays truthful as the query surface evolves) —
+    // tag-consuming-tag edges model the staged build chains
+    val registered = SparkEntry.queries.keySet ++ StagedTables.consumers.keySet
     val unknown = StagedTables.consumers.values.flatten.toSet.diff(registered)
     assert(unknown.isEmpty, s"consumer lists name unregistered queries: $unknown")
   }
