@@ -53,6 +53,7 @@ object StagedTables {
       "llm_docsets"),
     "llm_docsets" -> Seq("p_llm_prep_pack", "llm_nd"),
     "llm_nd" -> Seq("p_llm_prep", "p_llm_prep_pack"),
+    "doc_tok" -> Seq("t_inverted_index", "t_cooccur_pmi"),
     "raw_docsets3" -> Seq("nd_pairs", "d_source_sim_est"),
     "nd_pairs" -> Seq("d_minhash_lsh", "d_dup_rate_by_source",
       "d_dedup_report", "nd_comp"),
@@ -103,6 +104,7 @@ object StagedTables {
     corpusKept(s, d)
     llmDocSets(s, d)
     llmNd(s, d)
+    docTok(s, d)
     rawDocSets3(s, d)
     ndPairs(s, d)
     ndComponents(s, d)
@@ -263,6 +265,20 @@ object StagedTables {
           docSets)
         .filter(col("jaccard") >= 0.5)
         .select(col("b").as("doc_id")).distinct()
+    }(s.read.parquet(_))
+
+  /** Distinct `(doc_id, tok)` incidence of the raw corpus — the
+    * document-frequency grain t_inverted_index and t_cooccur_pmi both
+    * reduce to first (each paid the explode+distinct separately before
+    * r16). The pre-explode repartition pins the tokenizer fan-out at
+    * cluster parallelism (single-file scan trap — the scoredDf guard). */
+  def docTok(s: SparkSession, d: String): DataFrame =
+    stage("doc_tok", d) {
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
     }(s.read.parquet(_))
 
   /** Per-doc 3-shingle id sets over the RAW documents table — the D3

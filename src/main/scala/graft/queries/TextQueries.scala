@@ -565,18 +565,23 @@ object TextQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val dt = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .distinct()
+      // df grain is the staged doc_tok incidence (shared with C12); the
+      // top-20 postings head is a rank-filter, which the TopKPerGroup
+      // rewrite runs as a bounded heap — no full per-token sort window
+      // over the corpus, and df comes from a vocabulary-sized aggregate
+      // broadcast back on.
+      val dt = StagedTables.docTok(s, d)
       val w = Window.partitionBy("tok").orderBy("doc_id")
-      dt.select(col("tok"), col("doc_id"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(Window.partitionBy("tok")).as("df"))
+      val top = dt.select(col("tok"), col("doc_id"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 20)
+      val f = dt.groupBy("tok").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 5)
+      top.join(broadcast(f), "tok")
         .groupBy("tok")
         .agg(max("df").as("df"),
           array_join(
-            transform(sort_array(collect_list(when(col("rn") <= 20, col("doc_id")))),
+            transform(sort_array(collect_list(col("doc_id"))),
               x => x.cast("string")), ",").as("postings"))
         .orderBy("tok")
     },
@@ -606,7 +611,8 @@ object TextQueries {
          |FROM pm ORDER BY ta, tb""".stripMargin
     }) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val dt = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok")).distinct()
+      // the explode+distinct incidence is the staged doc_tok table
+      val dt = StagedTables.docTok(s, d)
       val f = dt.groupBy("tok").agg(count(lit(1)).as("df"))
       val mid = f.filter(col("df").between(50, 400))
       val dtm = dt.join(broadcast(mid.select("tok")), "tok")
