@@ -225,17 +225,20 @@ object MlQueries {
       // since bucket-level n_docs must count a doc once however many of
       // its tokens share the bucket), hash once per DISTINCT token, and
       // broadcast the vocabulary-sized tok→bucket map back on.
-      val tok = Tables.documents(s, d)
+      // One scan, bucket computed per occurrence (r16 — StageProfile
+      // showed the previous dictionary-encode shape tokenizing the
+      // single-file corpus in ONE 12 s task, twice): the pre-explode
+      // repartition spreads the tokenizer across the cluster, the md5
+      // bucket is a per-row projection (short tokens — hashing is noise
+      // next to tokenize), and the only wide shuffle carries distinct
+      // (bucket, doc_id) int pairs after the ≤64-rows-per-doc map-side
+      // partial collapse.
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-      val tokMap = tok.select("tok").distinct()
-        .select(col("tok"),
+        .select(col("doc_id"),
           (graft.operators.Dedup.hashedGid(col("tok")) % 64).as("bucket"))
-      // map tok→bucket BEFORE the data-scale exchange (r16): the only
-      // wide shuffle then carries distinct (bucket, doc_id) int pairs —
-      // never token strings — and the map-side partial agg collapses to
-      // ≤64 rows per doc (each doc's tokens sit in one scan partition)
-      tok.join(broadcast(tokMap), "tok")
         .groupBy("bucket", "doc_id").agg(count(lit(1)).as("c"))
         .groupBy("bucket")
         .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_docs"))
