@@ -149,6 +149,104 @@ case class LshBucketF32(first: Expression, second: Expression, third: Expression
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Native squared-L2 distance over two `array<double>` columns (E10 PQ
+  * assignment hot path). Same arithmetic as [[VectorFunctions.l2sq]]'s
+  * HOF fold — per element d = x−y widened/left-to-right, acc += d·d —
+  * so results are bit-identical (VecExprSpec asserts it); the HOF form
+  * pays interpreted lambda machinery per element × per candidate
+  * centroid (r16 sf10: 128 folds/row made a 32k-row assignment cost
+  * ~10 s). Zip stops at the shorter array, matching `zip_with` over
+  * equal-length inputs (PQ subspaces are fixed-width). */
+case class L2SqF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val di = x.getDouble(i) - y.getDouble(i)
+      acc += di * di
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val di = ctx.freshName("di")
+      s"""
+         |int $n = java.lang.Math.min($xa.numElements(), $ya.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $di = $xa.getDouble($i) - $ya.getDouble($i);
+         |  $acc += $di * $di;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqF64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native unit-normalization of an `array<float>` vector, float output
+  * (E3/F8 trainer hot path). Bit-identical to the HOF chain
+  * `unitVia(v, norm(v)).cast("array<float>")` (SimilaritySpec asserts
+  * it): per element xd = (double)x[i]; n = √(Σ xd², left-to-right);
+  * out[i] = (float)(xd / n) — the same widen → divide → narrow IEEE ops
+  * in the same order, so the trained centroids (and every rows-only
+  * output downstream of them) are unchanged. The HOF chain evaluated
+  * interpreted lambda machinery per element (r16 sf10: 9.3 CPU-s for
+  * 32k×64-f rows, on the ONE task a single-row-group parquet scan
+  * yields); this is one compiled loop. */
+case class UnitF32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false)
+
+  override def prettyName: String = "graft_unit_f32"
+
+  override def nullSafeEval(v: Any): Any =
+    UnitF32.compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.UnitF32.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): UnitF32 =
+    copy(child = newChild)
+}
+
+object UnitF32 {
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val xd = v.getFloat(i).toDouble; ss += xd * xd; i += 1 }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = (v.getFloat(i).toDouble / nrm).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Session extension registering the engine's native functions in the
   * FunctionRegistry (`spark.sql.extensions=graft.functions.GraftExtensions`
   * — wired by GraftSession), so `graft_cosine(a, b)` is callable from SQL
@@ -159,6 +257,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineF32].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineF32(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_unit_f32"),
+      new ExpressionInfo(classOf[UnitF32].getName, "graft_unit_f32"),
+      (children: Seq[Expression]) => UnitF32(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2SqF64].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => L2SqF64(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "graft_shingles"),

@@ -27,9 +27,16 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(foldSum(transform(toD(a), x => x * x)))
 
-  /** Squared L2 distance (PQ codebook assignment metric). */
+  /** Squared L2 distance (PQ codebook assignment metric) — HOF twin of
+    * the native codegen form below (VecExprSpec asserts bit-identity). */
   def l2sq(a: Column, b: Column): Column =
     foldSum(zip_with(toD(a), toD(b), (x, y) => (x - y) * (x - y)))
+
+  /** [[l2sq]] via the native codegen expression — same fold, same result
+    * bits, a tight primitive loop instead of per-element interpreted
+    * lambdas (use on any per-row × per-centroid assignment path). */
+  def l2sqFast(a: Column, b: Column): Column =
+    call_function("graft_l2sq", toD(a), toD(b))
 
   /** HOF formulation — kept as the cross-check twin of [[CosineF32]]
     * (the spec asserts bit-identical outputs). HOF lambdas evaluate
@@ -39,11 +46,24 @@ object VectorFunctions {
   /** L2-normalized copy of the vector (doubles). Cosine is invariant to
     * it; k-means is NOT — training on unit vectors makes L2 k-means
     * spherical, so "nearest centroid by cosine" and "centroid that
-    * claimed me in training" agree (the IVF assignment consistency). */
+    * claimed me in training" agree (the IVF assignment consistency).
+    *
+    * PERF TRAP (r16): `norm(a)` is a full-array fold, and referencing it
+    * inside the per-element lambda makes the interpreted HOF machinery
+    * re-evaluate the fold for EVERY element — O(d²) interpreted work per
+    * row (measured 28.9 s for 32k×64-f rows in the sf10 IVF trainer).
+    * Hot paths must stage the norm as a column and call [[unitVia]]. */
   def unit(a: Column): Column = {
     val n = norm(a)
     transform(toD(a), x => x / n)
   }
+
+  /** [[unit]] with the norm already staged as its own column: the same
+    * per-element `x / n` IEEE division over the same double images (so
+    * results are bit-identical to [[unit]]), but the fold runs once per
+    * row instead of once per element. */
+  def unitVia(a: Column, n: Column): Column =
+    transform(toD(a), x => x / n)
 
   /** Cosine similarity via the native codegen expression (same arithmetic,
     * same result bits as [[cosineHof]] — see CosineF32's scaladoc).

@@ -38,6 +38,11 @@ object Boost {
     * each round — the spec's monotonicity witness). */
   def fitStumps(df: DataFrame, feature: String, target: String,
                 rounds: Int, lr: Double = 0.5): Seq[Round] = {
+    // R rounds = 2R aggregate passes over the (x, y) projection. A
+    // persist() of the projection was MEASURED SLOWER here (r16 sf10:
+    // 6.5-9 s per cached pass vs ~1.9 s per parquet pass — the columnar
+    // cache decompresses worse than the dictionary/RLE'd parquet scan of
+    // two narrow columns), so the passes deliberately re-scan parquet.
     val base = df.select(col(feature).cast("int").as("x"),
       col(target).cast("double").as("y"))
     var pred: org.apache.spark.sql.Column = lit(0.0)

@@ -92,10 +92,18 @@ object Curation {
     * aggregation — no text ever moves.
     * Output: (doc, n_shared_grams, n_eval_docs) per contaminated doc. */
   def decontaminate(train: DataFrame, eval_ : DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
-    val tr = Dedup.docIds(Dedup.hashedDocSets(train, idCol, textCol, n))
-    val ev = Dedup.docIds(Dedup.hashedDocSets(eval_, idCol, textCol, n))
-      .withColumnRenamed("doc", "__ev")
+                    textCol: String, n: Int): DataFrame =
+    decontaminateSets(Dedup.hashedDocSets(train, idCol, textCol, n),
+      Dedup.hashedDocSets(eval_, idCol, textCol, n))
+
+  /** [[decontaminate]] from PRE-SHINGLED (doc, gs) frames — the entry a
+    * caller holding a staged doc-set table uses (r16: d_decontaminate
+    * re-shingled the whole corpus that raw_docsets3 already holds;
+    * filtering the staged sets is row-identical to shingling the
+    * filtered corpus because hashedDocSets is per-row). */
+  def decontaminateSets(trainSets: DataFrame, evalSets: DataFrame): DataFrame = {
+    val tr = Dedup.docIds(trainSets)
+    val ev = Dedup.docIds(evalSets).withColumnRenamed("doc", "__ev")
     tr.join(broadcast(ev), "gid")
       .groupBy("doc")
       .agg(count_distinct(col("gid")).as("n_shared_grams"),

@@ -62,15 +62,26 @@ object Similarity {
       else corpus.sample(withReplacement = false, sampleCap.toDouble / n, seed)
     // Unit-normalize before training: L2 k-means on unit vectors is
     // spherical k-means, so the cosine-nearest centroid at query time is
-    // the centroid that owned the vector in training.
-    val feats = sampled.select(
-      array_to_vector(VectorFunctions.unit(col(vecCol)).cast("array<float>")).as("features"))
+    // the centroid that owned the vector in training. The normalization
+    // runs through the native graft_unit_f32 expression (bit-identical to
+    // the HOF unit() chain — SimilaritySpec; the HOF form paid O(d²)
+    // interpreted lambdas per row, 29 s at sf10), and the projected
+    // features persist across KMeans' init + iteration passes (sf10
+    // StageProfile: the UNCACHED expression was evaluated three times).
+    // No repartition here: the training partition layout feeds the
+    // seeded k-means|| init, so spreading it would change the (rows-only)
+    // centroids — the native expression keeps them bit-identical instead.
+    val feats = sampled.select(array_to_vector(
+        call_function("graft_unit_f32", col(vecCol).cast("array<float>")))
+      .as("features"))
+      .persist()
     // A coarse quantizer needs rough cluster shapes, not convergence —
     // 10 iterations caps the per-iteration job overhead that dominates
     // training cost at any corpus size (the data per iteration is tiny).
-    new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+    val centers = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .fit(feats).clusterCenters
-      .map { c =>
+    feats.unpersist()
+    centers.map { c =>
         // Re-normalize each centroid: on unit centroids, cosine-argmax ==
         // L2-argmin on the unit sphere, so query-time assignment matches
         // the training partition (plain mean centroids sit inside the
@@ -169,7 +180,15 @@ object Similarity {
     * is the output of a clustering/LSH pre-pass, so the quadratic blowup
     * is bounded per block). */
   def embeddingNearDupPairs(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    // Spread the probe side before the block join: the build side is
+    // block-dim and broadcasts, so the pair fan-out runs at the PROBE
+    // side's parallelism — which a single-row-group embedding store
+    // pins to one task (r16 sf10: 14 s in 1 task). Round-robin is
+    // result-safe: the join emits a pair set with per-row cosines, no
+    // order- or partition-dependent aggregate anywhere downstream.
+    val fan = emb.sparkSession.sparkContext.defaultParallelism
     val x = emb.select(col("vec_id").as("a"), col("embedding").as("av"), col(blockCol).as("blk"))
+      .repartition(fan)
     val y = emb.select(col("vec_id").as("b"), col("embedding").as("bv"), col(blockCol).as("blk"))
     x.join(y, "blk")
       .filter(col("a") < col("b"))

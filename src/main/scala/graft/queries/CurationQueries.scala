@@ -171,11 +171,13 @@ object CurationQueries {
          |  CAST(count(DISTINCT ev.doc) AS BIGINT) AS n_eval_docs
          |FROM tr JOIN ev ON tr.gid = ev.gid
          |GROUP BY 1 ORDER BY doc""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      Curation.decontaminate(
-          docs.filter(col("doc_id") % 97 =!= 0),
-          docs.filter(col("doc_id") % 97 === 0),
-          "doc_id", "text", 3)
+      // r16: both sides come from the staged raw_docsets3 doc-set table
+      // (filter commutes with the per-row shingle projection), so the
+      // corpus is tokenized once per JVM, not once per consumer.
+      val sets = graft.queries.StagedTables.rawDocSets3(s, d)
+      Curation.decontaminateSets(
+          sets.filter(col("doc") % 97 =!= 0),
+          sets.filter(col("doc") % 97 === 0))
         .orderBy("doc")
     },
 

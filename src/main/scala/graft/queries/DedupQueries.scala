@@ -427,12 +427,16 @@ object DedupQueries {
          |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
       import s.implicits._
       val docs = Tables.documents(s, d)
-      // projection straight off the scan: source is a documents column, so
-      // no doc-keyed join or repartition belongs here — shingle → gid-set →
-      // explode feeds the ONE shuffle (on gid) directly
-      val byGid = docs
-        .select(col("source"), explode(call_function("graft_gid_set",
-          call_function("graft_shingles", col("text"), lit(3)))).as("gid"))
+      // r16: the shingle → gid-set pass is the staged raw_docsets3 table
+      // (the dedup chain's base — identical expression:
+      // graft_gid_set(graft_shingles(text, 3)) keyed by doc). Re-deriving
+      // it here cost the whole corpus tokenize again (sf10: ~35 s of the
+      // 40 s wall); the staged read + a slim (doc_id, source) dim join is
+      // doc-grain. The empty-set filter raw_docsets3 carries is a no-op
+      // under explode, so the (source, gid) multiset is unchanged.
+      val byGid = StagedTables.rawDocSets3(s, d)
+        .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+        .select(col("source"), explode(col("gs")).as("gid"))
         .groupBy("gid").agg(collect_set(col("source")).as("srcs"))
         .persist()                                    // vocabulary-sized
       // per-source distinct-gid sizes: one cached-scan agg, source-dim
@@ -572,8 +576,12 @@ object DedupQueries {
         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin) { (s, d) =>
       // graft_cdc_windows = the declarative explode→filter→md5 chain in
       // one compiled byte-scan (bit-identity spec'd in ShingleExprSpec):
-      // only surviving anchor hashes fan out, not one row per character
+      // only surviving anchor hashes fan out, not one row per character.
+      // The pre-explode repartition spreads the md5 byte-scan across the
+      // cluster (r16 sf10 StageProfile: the single-row-group corpus file
+      // ran the whole 49 CPU-s CDC pass in ONE task — 49 of 63 s wall).
       val w = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           explode(expr("graft_cdc_windows(text, 64, 8)")).as("h"))
         .distinct()

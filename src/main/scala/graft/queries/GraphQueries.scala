@@ -123,12 +123,12 @@ object GraphQueries {
       // distinct co-purchase pair); the data-scale self-join runs once
       // per JVM across B51/B64/B71
       val pairs = stagedCoEdges(s, d).select("u", "v")
-      val deg = pairs.select(col("u").as("node"))
-        .unionAll(pairs.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("dg"))
+      // r16: degrees from the staged codeg rollup (shared with B71/B104/
+      // B106) — each consumer previously re-ran the 2|E|-row aggregate.
+      val deg = StagedTables.coDeg(s, d)
       // orient every edge from its lower-degree endpoint (ties by id):
       // the fan-out of the two-path join is bounded by small-side degrees.
-      // No broadcast hint: deg derives from the node-sized staged parquet,
+      // No broadcast hint: deg IS a node-sized staged parquet,
       // so the 64 MB threshold + AQE broadcast it while it fits and fall
       // back to a shuffled join when the graph outgrows the driver —
       // a forced broadcast here was the r7 verdict's one OOM-at-100× shape.
@@ -275,10 +275,9 @@ object GraphQueries {
       // shared staged edge table (see stagedCoEdges): B71 re-reads the
       // same parquet B51/B64 stage instead of re-running the pair dedup —
       // the r7 verdict's 4.2×-over-oracle gap was exactly that re-run
-      val pairs = stagedCoEdges(s, d).select("u", "v")
-      pairs.select(col("u").as("node"))
-        .unionAll(pairs.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("dg"))
+      // r16: degrees come from the staged codeg rollup (shared with
+      // B106) — the histogram is a node-dim aggregate over it.
+      StagedTables.coDeg(s, d)
         .groupBy(col("dg").as("degree")).agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
     },
@@ -335,9 +334,10 @@ object GraphQueries {
         |FROM pt JOIN deg USING (node) WHERE dg >= 2
         |ORDER BY lcc DESC, node LIMIT 20""".stripMargin) { (s, d) =>
       val pairs = stagedCoEdges(s, d).select("u", "v")
-      val deg = pairs.select(col("u").as("node"))
-        .unionAll(pairs.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("dg"))
+      // r16: degrees from the staged codeg rollup — the node-dim parquet
+      // carries real size stats, so the two deg joins below broadcast
+      // while the node dim fits (the g_assortativity SMJ lesson).
+      val deg = StagedTables.coDeg(s, d)
       val oriented = pairs
         .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
         .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
@@ -378,10 +378,22 @@ object GraphQueries {
     // B51/B104's clustering numbers): Pearson correlation of endpoint
     // degrees over DIRECTED edge instances (each edge counted both ways,
     // the standard convention). Every sum is an exact BIGINT over the
-    // edge-dim table (degrees are small integers; products can't
-    // overflow below ~10⁹-degree hubs), one double closed form at the
-    // end; the deg joins ride the staged edge table like the rest of the
-    // graph family.
+    // edge-dim table (degrees are small integers; the dg³ moment rows
+    // stay under 2⁶³ below ~2·10⁶-degree hubs — the node dim itself),
+    // one double closed form at the end. r16: the oracle's adj⋈deg⋈deg
+    // form materialized 2|E| directed
+    // rows and sort-merge-joined them TWICE (sf10 StageProfile: 78.7 s +
+    // 18.3 s join stages, 3.2 GB shuffled — 97 of 110 s solo). Algebra
+    // removes both joins for four of the five sums: over directed edge
+    // instances node a appears exactly deg(a) times, so n = Σdeg,
+    // sx = sy = Σdeg², sxx = syy = Σdeg³ — node-dim aggregates over the
+    // degree table. Only the cross-moment sxy needs edge×degree
+    // alignment: one pass over the UNDIRECTED staged pairs with the
+    // node-dim degree table broadcast twice (nodes = the part dimension,
+    // broadcastable at any fact scale), doubled (each undirected pair
+    // contributes dx·dy + dy·dx). Exact BIGINT totals are identical sums
+    // of identical integers, so the closed-form doubles match the oracle
+    // bit-for-bit.
     QueryDef.sql("g_assortativity",
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -402,17 +414,25 @@ object GraphQueries {
         |   sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) AS assortativity
         |FROM m""".stripMargin) { (s, d) =>
       val pairs = stagedCoEdges(s, d).select("u", "v")
-      val deg = pairs.select(col("u").as("node"))
-        .unionAll(pairs.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("dg"))
-      val adj = pairs.select(col("u").as("a"), col("v").as("b"))
-        .unionAll(pairs.select(col("v").as("a"), col("u").as("b")))
-      val e = adj
-        .join(deg.select(col("node").as("a"), col("dg").as("x")), "a")
-        .join(deg.select(col("node").as("b"), col("dg").as("y")), "b")
-      e.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+      // node-dim degrees: the staged codeg rollup (shared with B71 —
+      // each consumer previously paid the 2|E|-row aggregate itself)
+      val deg = StagedTables.coDeg(s, d)
+      // n/sx/sy/sxx/syy collapse to degree-table moments (see header):
+      // node `a` occurs deg(a) times among directed edge instances.
+      val mom = deg.agg(sum("dg").as("n"),
+        sum(col("dg") * col("dg")).as("sx"),
+        sum(col("dg") * col("dg") * col("dg")).as("sxx")).head()
+      val (nE, sxM, sxxM) = (mom.getLong(0), mom.getLong(1), mom.getLong(2))
+      // the one sum that needs edge×degree alignment: Σ_adj x·y =
+      // 2·Σ_pairs deg(u)·deg(v) — broadcast the node-dim degrees.
+      val sxyRow = pairs
+        .join(broadcast(deg.select(col("node").as("u"), col("dg").as("x"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"), col("dg").as("y"))), "v")
+        .agg((sum(col("x") * col("y")) * 2L).as("sxy")).head()
+      val sxy = sxyRow.getLong(0)
+      import s.implicits._
+      Seq((nE, sxM, sxM, sxxM, sxxM, sxy))
+        .toDF("n", "sx", "sy", "sxx", "syy", "sxy")
         .selectExpr("n",
           """(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
             |(sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *

@@ -227,19 +227,18 @@ object MlQueries {
       // broadcast the vocabulary-sized tok→bucket map back on.
       // One scan, bucket computed per occurrence (r16 — StageProfile
       // showed the previous dictionary-encode shape tokenizing the
-      // single-file corpus in ONE 12 s task, twice): the pre-explode
-      // repartition spreads the tokenizer across the cluster, the md5
-      // bucket is a per-row projection (short tokens — hashing is noise
-      // next to tokenize), and the only wide shuffle carries distinct
-      // (bucket, doc_id) int pairs after the ≤64-rows-per-doc map-side
-      // partial collapse.
-      Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // single-file corpus in ONE 12 s task, twice). r16 second half:
+      // the tokenize pass itself is now the staged doc_tok_cnt grain —
+      // per-occurrence bucket counts are Σk over its (doc, tok) rows
+      // (identical integers), the md5 bucket is a per-row projection
+      // over the vocabulary-incidence table, and the only wide shuffle
+      // carries (bucket, doc_id) pairs after the ≤64-rows-per-doc
+      // map-side partial collapse.
+      graft.queries.StagedTables.docTokCnt(s, d)
         .select(col("doc_id"),
-          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
-          (graft.operators.Dedup.hashedGid(col("tok")) % 64).as("bucket"))
-        .groupBy("bucket", "doc_id").agg(count(lit(1)).as("c"))
+          (graft.operators.Dedup.hashedGid(col("tok")) % 64).as("bucket"),
+          col("k"))
+        .groupBy("bucket", "doc_id").agg(sum("k").as("c"))
         .groupBy("bucket")
         .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_docs"))
         .orderBy("bucket")
@@ -636,8 +635,29 @@ object MlQueries {
       val sc = Tables.events(s, d).select(col("event_id"), col("value").as("score"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
       val t = sc.agg(count(lit(1)).as("tn"), sum("y").as("tpos"))
-      val dec = sc.select(col("y"),
-        ntile(10).over(Window.orderBy(col("score").desc, col("event_id"))).as("decile"))
+      // r16: the global ntile window ran as ONE task holding every row
+      // (sf10 StageProfile: 14.2 s single-task sort over 108 MB). The
+      // m_auc surrogate-key machinery gives the same total order
+      // distributed (range partition + per-partition row_number +
+      // offsets); ntile(10) is then closed-form integer arithmetic over
+      // the dense 0-based rank: the first n%10 buckets hold ⌈n/10⌉ rows,
+      // the rest ⌊n/10⌋ — exactly SQL ntile's row placement, so every
+      // decile's membership (and all downstream sums) is unchanged.
+      val nTot = t.head().getLong(0)
+      val dec =
+        if (nTot < 10L) // degenerate fixture guard: buckets of size ≤1
+          sc.select(col("y"),
+            ntile(10).over(Window.orderBy(col("score").desc, col("event_id"))).as("decile"))
+        else {
+          val q = nTot / 10L; val rem = nTot % 10L
+          graft.operators.Relational
+            .surrogateKey(sc, "__rid", Seq(col("score").desc, col("event_id")))
+            .selectExpr("y",
+              s"""CAST(CASE WHEN __rid < ${rem * (q + 1L)}L
+                 |  THEN __rid DIV ${q + 1L}L
+                 |  ELSE ${rem}L + (__rid - ${rem * (q + 1L)}L) DIV ${q}L
+                 |END + 1 AS INT) AS decile""".stripMargin)
+        }
       val g = dec.groupBy("decile").agg(count(lit(1)).as("n"), sum("y").as("npos"))
       g.crossJoin(broadcast(t))
         .select(col("decile"), col("n"), col("npos").cast("long").as("n_pos"),
@@ -1001,14 +1021,27 @@ object MlQueries {
     // SQL ⇒ rows-only; MetricsSpec pins convergence (‖grad‖≈0), a
     // log-likelihood above the intercept-only baseline.
     QueryDef.rowsOnly("m_logreg_newton") { (s, d) =>
+      // Project the narrow feature frame ONCE and persist it: the six
+      // Newton passes then scan 24 B/row from memory instead of paying
+      // the parquet decode + string compares + log() per pass (r16 sf10
+      // StageProfile: 6 × ~10 s stages, 110-170 CPU-s each — the scan
+      // inputs re-decoded every iteration).
       val data = Tables.orders(s, d).select(
         when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0).as("y"),
         log(col("o_totalprice")).as("x1"),
         when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("x2"))
-      // exact split-long sum of ROUND(term*1e12): hi/lo pairs
-      def isum(e: String, n: String) = Seq(
-        s"sum(CAST(FLOOR(ROUND(($e) * 1e12) / 1e6) AS BIGINT)) AS ${n}_hi",
-        s"sum(CAST(ROUND(($e) * 1e12) AS BIGINT) - CAST(FLOOR(ROUND(($e) * 1e12) / 1e6) AS BIGINT) * 1000000L) AS ${n}_lo")
+        .persist()
+      // exact split-long sum of ROUND(term*1e12): hi/lo pairs. The
+      // rounded double ROUND(term·1e12) and its ⌊/10⁶⌋ hi image are
+      // projected ONCE per row (same IEEE expression tree as inlining
+      // them into both sum args — r16: the inline form evaluated each
+      // ROUND up to 4× per row inside the 20 aggregate expressions).
+      def iproj(e: String, n: String) = Seq(
+        s"ROUND(($e) * 1e12) AS ${n}_rd",
+        s"CAST(FLOOR(ROUND(($e) * 1e12) / 1e6) AS BIGINT) AS ${n}_hi0")
+      def isum(n: String) = Seq(
+        s"sum(${n}_hi0) AS ${n}_hi",
+        s"sum(CAST(${n}_rd AS BIGINT) - ${n}_hi0 * 1000000L) AS ${n}_lo")
       def unsplit(r: org.apache.spark.sql.Row, n: String): Double =
         ((BigDecimal(r.getAs[Long](s"${n}_hi")) * BigDecimal(1000000) +
           BigDecimal(r.getAs[Long](s"${n}_lo"))) / BigDecimal("1e12")).toDouble
@@ -1027,7 +1060,8 @@ object MlQueries {
           "h22" -> "p*(1.0D-p)*x2*x2",
           "ll" -> "CASE WHEN y = 1.0D THEN ln(p) ELSE ln(1.0D-p) END")
         val r = data.selectExpr(s"y", s"x1", s"x2", s"$p AS p")
-          .selectExpr(terms.flatMap { case (n, e) => isum(e, n) }: _*)
+          .selectExpr(terms.flatMap { case (n, e) => iproj(e, n) }: _*)
+          .selectExpr(terms.flatMap { case (n, _) => isum(n) }: _*)
           .head()
         def v(n: String) = unsplit(r, n)
         val g = Array(v("g0"), v("g1"), v("g2"))
@@ -1070,6 +1104,7 @@ object MlQueries {
         // only re-measure what quadratic convergence already guarantees
         if (gnorm < 1e-6) converged = true
       }
+      data.unpersist()
       import s.implicits._
       Seq((beta(0), beta(1), beta(2), ll, gnorm, it.toLong))
         .toDF("beta0", "beta1", "beta2", "loglik", "grad_norm", "n_iter")

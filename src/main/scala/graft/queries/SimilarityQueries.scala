@@ -286,12 +286,23 @@ object SimilarityQueries {
       val best = (0 until m).map { si =>
         val sub = slice(col("embedding"), si * dsub + 1, dsub)
         val scored = books(si).zipWithIndex.map { case (c, i) =>
-          struct(VectorFunctions.l2sq(sub, typedlit(c.map(_.toDouble))).as("d2"),
+          struct(VectorFunctions.l2sqFast(sub, typedlit(c.map(_.toDouble))).as("d2"),
             lit(i).as("code"))
         }
-        sort_array(array(scored.toIndexedSeq: _*), asc = true)(0).as(s"b$si")
+        // least == sort_array(...)(0): the minimum under the same struct
+        // (d2, code) ordering, without materializing+sorting a 16-struct
+        // array per row per subspace (r16: that sort was the residual
+        // CPU after the native l2sq landed).
+        least(scored.toIndexedSeq: _*).as(s"b$si")
       }
-      val assigned = emb.select(best: _*)
+      // The assignment is a pure per-row projection and the downstream
+      // per-subspace sums are exact DECIMAL (order-invariant), so the
+      // round-robin spread only parallelizes — results are unchanged.
+      // (r16 sf10: the single-row-group scan ran the whole 11 s
+      // assignment in ONE task.)
+      val assigned = emb
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(best: _*)
       val stacked = assigned.select(posexplode(
         array((0 until m).map(si => col(s"b$si")): _*)).as(Seq("subspace", "b")))
       stacked.groupBy("subspace")

@@ -43,7 +43,9 @@ object StagedTables {
     "ordermax" -> Seq("q4_priority_exists", "q_interval_overlap"),
     "coedges" -> Seq("q_basket_rules", "g_triangle_count", "g_link_predict",
       "g_degree_dist", "g_kcore", "g_local_clustering", "g_assortativity",
-      "g_bfs_levels", "g_components_summary"),
+      "g_bfs_levels", "g_components_summary", "codeg"),
+    "codeg" -> Seq("g_degree_dist", "g_assortativity",
+      "g_triangle_count", "g_local_clustering"),
     "pipeline_details" -> Seq("q_normalize_snowflake", "q_pipeline_topk"),
     "pipeline_premitted_biz_details" -> Seq("q_pipeline_topk"),
     "overlap_n3" -> Seq("d_ngram_jaccard", "d_containment", "d_threshold_curve"),
@@ -53,8 +55,12 @@ object StagedTables {
       "llm_docsets"),
     "llm_docsets" -> Seq("p_llm_prep_pack", "llm_nd"),
     "llm_nd" -> Seq("p_llm_prep", "p_llm_prep_pack"),
-    "doc_tok" -> Seq("t_inverted_index", "t_cooccur_pmi"),
-    "raw_docsets3" -> Seq("nd_pairs", "d_source_sim_est"),
+    "doc_tok_cnt" -> Seq("t_inverted_index", "t_cooccur_pmi",
+      "t_frequent_tokens", "t_lexical_stats", "t_zipf_fit", "t_unigram_ce",
+      "t_vocab_growth", "t_token_trend", "m_feature_hash",
+      "t_bpe_train", "t_bpe_encode"),
+    "raw_docsets3" -> Seq("nd_pairs", "d_source_sim_est",
+      "d_source_similarity", "t_ngram_novelty", "d_decontaminate"),
     "nd_pairs" -> Seq("d_minhash_lsh", "d_dup_rate_by_source",
       "d_dedup_report", "nd_comp"),
     "nd_comp" -> Seq("d_components", "d_dedup_report", "d_survivor_pick"),
@@ -96,6 +102,7 @@ object StagedTables {
     orderLines(s, d)
     orderMax(s, d)
     coEdges(s, d)
+    coDeg(s, d)
     Seq("details", "premitted_biz_details").foreach(t =>
       staged(s, s"pipeline_$t", d)(graft.pipeline.FoodPipeline.build(s, d)(t)))
     DedupQueries.stagedOverlap(s, d, 3)
@@ -104,7 +111,7 @@ object StagedTables {
     corpusKept(s, d)
     llmDocSets(s, d)
     llmNd(s, d)
-    docTok(s, d)
+    docTokCnt(s, d)
     rawDocSets3(s, d)
     ndPairs(s, d)
     ndComponents(s, d)
@@ -267,19 +274,33 @@ object StagedTables {
         .select(col("b").as("doc_id")).distinct()
     }(s.read.parquet(_))
 
-  /** Distinct `(doc_id, tok)` incidence of the raw corpus — the
-    * document-frequency grain t_inverted_index and t_cooccur_pmi both
-    * reduce to first (each paid the explode+distinct separately before
-    * r16). The pre-explode repartition pins the tokenizer fan-out at
-    * cluster parallelism (single-file scan trap — the scoredDf guard). */
-  def docTok(s: SparkSession, d: String): DataFrame =
-    stage("doc_tok", d) {
+  /** Per-(doc, token) OCCURRENCE counts `(doc_id, tok, k)` over the raw
+    * corpus — the tokenize-ONCE artifact of the whole bag-of-words
+    * family. Before r16's second half, t_frequent_tokens /
+    * t_lexical_stats / t_zipf_fit / t_unigram_ce / t_vocab_growth /
+    * t_token_trend / m_feature_hash each re-ran the corpus tokenizer
+    * (sf10: 15-18 s apiece, single-row-group scan → ONE task); every
+    * one of their aggregates is a projection/rollup of this grain
+    * (occurrence totals = Σk, document frequency = row count, distinct
+    * incidence = the (doc_id, tok) projection). The pre-explode
+    * repartition pins the tokenizer fan-out at cluster parallelism
+    * (single-file scan trap — the scoredDf guard). */
+  def docTokCnt(s: SparkSession, d: String): DataFrame =
+    stage("doc_tok_cnt", d) {
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-        .distinct()
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
     }(s.read.parquet(_))
+
+  /** Distinct `(doc_id, tok)` incidence of the raw corpus — the
+    * document-frequency grain t_inverted_index and t_cooccur_pmi both
+    * reduce to first. Since r16's second half this is a pruned-column
+    * read of [[docTokCnt]] (its (doc_id, tok) grain IS the distinct
+    * incidence), so the corpus is tokenized once for the whole family. */
+  def docTok(s: SparkSession, d: String): DataFrame =
+    docTokCnt(s, d).select("doc_id", "tok")
 
   /** Per-doc 3-shingle id sets over the RAW documents table — the D3
     * chain base six dedup-family queries re-derived from scratch before
@@ -306,6 +327,20 @@ object StagedTables {
           Dedup.lshCandidates(Dedup.lshBands(Dedup.minHashSignature(docSets, 8), 4, 2)),
           docSets)
         .filter(col("jaccard") >= 0.5)
+    }(s.read.parquet(_))
+
+  /** Per-node degree `(node, dg)` of the co-purchase graph (w ≥ 1
+    * undirected pairs) — the node-dim rollup g_degree_dist and
+    * g_assortativity both reduce to first. Each paid the 2|E|-row
+    * union + 2M-group aggregate separately before r16's second half
+    * (sf10: 13.8 s wall, 840 MB of partial-agg shuffle per consumer —
+    * high-group-count partial aggregation collapses little map-side). */
+  def coDeg(s: SparkSession, d: String): DataFrame =
+    stage("codeg", d) {
+      val pairs = coEdges(s, d).select("u", "v")
+      pairs.select(col("u").as("node"))
+        .unionAll(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
     }(s.read.parquet(_))
 
   /** D6's connected components `(doc, component)` over [[ndPairs]] —

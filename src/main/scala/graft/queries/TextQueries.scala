@@ -83,9 +83,10 @@ object TextQueries {
     * floor. Exposed for that spec; queries ship minCount = 2. */
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
                               minCount: Long): org.apache.spark.sql.DataFrame = {
-    val words = Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
+    // r16: word frequencies = Σk over the staged doc_tok_cnt grain
+    // (identical integers; the corpus tokenize runs once per JVM).
+    val words = graft.queries.StagedTables.docTokCnt(s, d)
+      .groupBy(col("tok").as("w")).agg(sum("k").as("n"))
       .filter(col("n") >= minCount) // Zipf-tail floor — bounds the collect
       .collect().map(r => (r.getString(0), r.getLong(1))) // vocab-HEAD-sized
     var segs: Array[(Array[String], Long)] =
@@ -280,10 +281,11 @@ object TextQueries {
          |  GROUP BY tok)
          |ORDER BY n DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
       import graft.operators.Relational
+      // r16: occurrence totals = Σk over the staged doc_tok_cnt grain —
+      // identical counts, no per-query corpus tokenize.
       Relational.topKByAgg(
-        Tables.documents(s, d)
-          .select(explode(tokens(col("text"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("n")),
+        graft.queries.StagedTables.docTokCnt(s, d)
+          .groupBy("tok").agg(sum("k").as("n")),
         20, Seq(col("n").desc, col("tok")))
     },
 
@@ -295,7 +297,12 @@ object TextQueries {
     // token must appear in the sketch's top-20 with its exact count (the
     // corpus' heavy hitters are far above the sketch's error bound).
     QueryDef.rowsOnly("t_frequent_tokens_approx") { (s, d) =>
+      // The sketch's point is bounded per-partition state over the raw
+      // occurrence STREAM, so it keeps its own tokenize pass (unlike the
+      // exact C7, which reads the staged counts) — spread across the
+      // cluster (r16: single-row-group scan trap, one 14 s task at sf10).
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(explode(tokens(col("text"))).as("tok"))
         .agg(expr("approx_top_k(tok, 20, 10000)").as("top"))
         .select(posexplode(col("top")).as(Seq("rank", "r")))
@@ -728,11 +735,9 @@ object TextQueries {
          |FROM tfd JOIN freq USING (tok) CROSS JOIN tot2
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import PortableMath.pLn
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val tfd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
-        .persist()
+      // r16: tfd IS the staged doc_tok_cnt table (same build expression);
+      // the parquet materialization replaces the per-query persist.
+      val tfd = graft.queries.StagedTables.docTokCnt(s, d)
       val freq = broadcast(tfd.groupBy("tok")
         .agg(pLn(sum("k").cast("double")).as("ln_n")))
       val tot2 = broadcast(tfd.agg(sum("k").cast("double").as("nn"))
@@ -852,9 +857,9 @@ object TextQueries {
          |  CAST(count(*) AS DOUBLE) / sum(n) AS type_token_ratio
          |FROM tf""".stripMargin
     }) { (s, d) =>
-      val tf = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("n"))
+      // r16: tf from the staged doc_tok_cnt grain (Σk per token).
+      val tf = graft.queries.StagedTables.docTokCnt(s, d)
+        .groupBy("tok").agg(sum("k").as("n"))
       tf.agg(sum("n").cast("long").as("n_tokens"),
         count(lit(1)).cast("long").as("vocab"),
         sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long").as("hapax"),
@@ -891,9 +896,9 @@ object TextQueries {
          |FROM s""".stripMargin
     }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val tf = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("n"))
+      // r16: tf from the staged doc_tok_cnt grain (Σk per token).
+      val tf = graft.queries.StagedTables.docTokCnt(s, d)
+        .groupBy("tok").agg(sum("k").as("n"))
       // Distributed top-k FIRST (TakeOrderedAndProject — per-partition
       // heaps, no global sort), then rank only the 1000 survivors with
       // the single-partition window. Ranking the full vocabulary-sized
@@ -1068,8 +1073,10 @@ object TextQueries {
          |SELECT doc AS doc_id, n_grams, n_novel,
          |  CAST(n_novel AS DOUBLE)/n_grams AS novelty
          |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import graft.operators.Dedup
-      val ids = Dedup.hashedDocSets(Tables.documents(s, d), "doc_id", "text", 3)
+      // r16: the doc→gid-set pass IS the staged raw_docsets3 table
+      // (same hashedDocSets(documents, 3) expression); re-deriving it
+      // here re-tokenized the whole corpus (sf10: most of the 16.6 s).
+      val ids = graft.queries.StagedTables.rawDocSets3(s, d)
         .select(col("doc"), explode(col("gs")).as("gid"))
       val fo = ids.groupBy("gid").agg(min("doc").as("first_doc"))
       ids.join(fo, "gid")
@@ -1117,10 +1124,10 @@ object TextQueries {
       val merges = TextQueries.bpeTrain(s, d, minCount = 2)
         .orderBy("round").collect() // merge-table-sized (training artifact)
         .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
-      val occ = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      // r16: the per-(doc, word) occurrence table IS the staged
+      // doc_tok_cnt grain (same build expression, renamed columns).
+      val occ = graft.queries.StagedTables.docTokCnt(s, d)
+        .select(col("doc_id"), col("tok").as("w"), col("k").as("c"))
       val enc = merges.foldLeft(
         concat(split(col("w"), ""), array(lit("</w>")))) {
         case (c0, (l, r)) => TextQueries.bpeApplyMerge(c0, l, r)
@@ -1158,10 +1165,10 @@ object TextQueries {
          |  (CAST(nm AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
          |  (CAST(nm AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope
          |FROM sl WHERE nm >= 6 ORDER BY slope DESC, tok LIMIT 10""".stripMargin) { (s, d) =>
-      val tk = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select((col("doc_id") % 12).as("m"),
-          explode(array_distinct(tokens(col("text")))).as("tok"))
+      // r16: the distinct (doc, tok) incidence is the staged doc_tok_cnt
+      // grain — cohort membership is a projection of it.
+      val tk = graft.queries.StagedTables.docTokCnt(s, d)
+        .select((col("doc_id") % 12).as("m"), col("tok"))
       val mt = tk.groupBy("m", "tok").agg(count(lit(1)).as("c"))
       val tot = mt.groupBy("m").agg(sum("c").as("mc"))
       val sh = mt.join(broadcast(tot), "m")
@@ -1247,21 +1254,31 @@ object TextQueries {
          |  tokens_cum, vocab
          |FROM docs JOIN voc ON docs.k = voc.k
          |ORDER BY decile""".stripMargin) { (s, d) =>
-      import graft.functions.TextFunctions
+      // r16: first-owner and cumulative token totals both come from the
+      // staged doc_tok_cnt grain — a token's first_doc is min(doc_id)
+      // over its incidence rows, and tokens_cum is Σk over docs ≤ cut
+      // (identical integers to sum(tokenCount) — zero-token docs
+      // contribute 0 either way, hence the coalesce). Only the n_docs
+      // count still touches documents, as an id-only column scan.
       val docs = Tables.documents(s, d)
-      val dt = docs.select(col("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
-      val ft = dt.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      val dtc = graft.queries.StagedTables.docTokCnt(s, d)
+      val ft = dtc.groupBy("tok").agg(min("doc_id").as("first_doc"))
       val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
       val cp = broadcast(s.range(1, 11).select(col("id").as("k"))
         .crossJoin(broadcast(b))
         .selectExpr("k", "lo - 1 + ((hi - lo + 1) * k) DIV 10 AS cut"))
-      val dstats = docs
-        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("ntok"))
+      val nd = docs.select("doc_id")
         .join(cp, col("doc_id") <= col("cut"))
         .groupBy("k", "cut")
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum("ntok").cast("long").as("tokens_cum"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val tc = dtc.select(col("doc_id"), col("k").as("kn"))
+        .join(cp.select(col("k").as("k3"), col("cut").as("cut3")),
+          col("doc_id") <= col("cut3"))
+        .groupBy(col("k3"))
+        .agg(sum("kn").cast("long").as("tokens_cum"))
+      val dstats = nd.join(tc, col("k") === col("k3"), "left")
+        .select(col("k"), col("cut"), col("n_docs"),
+          coalesce(col("tokens_cum"), lit(0L)).as("tokens_cum"))
       val voc = ft.join(cp, col("first_doc") <= col("cut"))
         .groupBy(col("k").as("k2"))
         .agg(count(lit(1)).cast("long").as("vocab"))

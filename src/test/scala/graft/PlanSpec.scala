@@ -73,16 +73,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("REPARTITION_BY_NUM"), s"expected pinned repartition in:\n$p")
   }
 
-  test("t_unigram_ce reuses the persisted (doc,token) aggregate and broadcasts the vocabulary") {
+  test("t_unigram_ce reads the staged (doc,token) aggregate and broadcasts the vocabulary") {
     // r6 flagged run-to-run variance on this query; the plan shape is the
-    // structural guard: the (doc_id, tok, k) aggregate must be an
-    // InMemoryRelation read TWICE (vocabulary build + final per-doc agg —
-    // if the persist is lost, the tokenize+explode+agg runs twice), and
-    // the vocabulary/total joins must broadcast (vocabulary-sized side,
-    // never a shuffle of the doc-token table).
+    // structural guard. Since r16 the (doc_id, tok, k) aggregate is the
+    // staged doc_tok_cnt parquet (tokenize-once for the whole bag-of-words
+    // family): every branch must read the STAGED FILE — if the staging is
+    // lost, the tokenize+explode+agg reappears as an explode/generate over
+    // documents — and the vocabulary/total joins must broadcast
+    // (vocabulary-sized side, never a shuffle of the doc-token table).
     val p = plan("t_unigram_ce")
-    assert(p.split("InMemoryTableScan").length >= 3,
-      s"expected two InMemoryTableScan reads of the persisted tfd in:\n$p")
+    assert(p.split("graft_doc_tok_cnt").length >= 3,
+      s"expected two staged doc_tok_cnt reads (vocab build + per-doc agg) in:\n$p")
+    assert(!p.contains("Generate"),
+      s"expected NO tokenize explode (staged counts only) in:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast vocab join in:\n$p")
   }
 

@@ -30,6 +30,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("native UnitF32 is bit-identical to the HOF unit().cast chain") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(500)
+    val diffs = emb
+      .select(
+        expr("graft_unit_f32(CAST(embedding AS array<float>))").as("native"),
+        VectorFunctions.unit(col("embedding")).cast("array<float>").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("unitVia (staged norm) is bit-identical to unit") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(500)
+    val diffs = emb
+      .withColumn("__n", VectorFunctions.norm(col("embedding")))
+      .select(VectorFunctions.unit(col("embedding")).as("u"),
+        VectorFunctions.unitVia(col("embedding"), col("__n")).as("uv"))
+      .filter(col("u") =!= col("uv")) // array equality is element-wise exact
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("native L2SqF64 is bit-identical to the HOF l2sq formulation") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("av"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("bv")))
+      .filter(col("a") < col("b"))
+    val diffs = pairs.select(
+        VectorFunctions.l2sqFast(col("av"), col("bv")).as("native"),
+        VectorFunctions.l2sq(col("av"), col("bv")).as("hof"))
+      .filter(col("native") =!= col("hof")) // bit-exact: plain != on doubles
+      .count()
+    assert(diffs == 0)
+  }
+
   test("graft_cosine is registered for SQL via GraftExtensions") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     emb.createOrReplaceTempView("emb_sql_check")
