@@ -36,7 +36,7 @@ object DedupQueries {
     // shared buildLog (bench staging disclosure) and check-then-stage
     // serializes on the one staging lock.
     StagedTables.staged(s, s"overlap_n$n", d)(
-      Dedup.setOverlapPairs(Tables.documents(s, d), "doc_id", "text", n))
+      Dedup.setOverlapPairs(StagedTables.docsSpread(s, d), "doc_id", "text", n))
 
   /** Shared oracle CTE prefix: tokenize → word n-grams → distinct
     * (doc, shingle) → md5-hashed 60-bit gid (Dedup.hashedIds twin — no
@@ -580,8 +580,7 @@ object DedupQueries {
       // The pre-explode repartition spreads the md5 byte-scan across the
       // cluster (r16 sf10 StageProfile: the single-row-group corpus file
       // ran the whole 49 CPU-s CDC pass in ONE task — 49 of 63 s wall).
-      val w = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val w = StagedTables.docsSpread(s, d)
         .select(col("doc_id"),
           explode(expr("graft_cdc_windows(text, 64, 8)")).as("h"))
         .distinct()

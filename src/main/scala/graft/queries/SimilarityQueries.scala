@@ -554,12 +554,12 @@ object SimilarityQueries {
     * at sf0.1 made it SLOWER than the exact path it exists to beat). The
     * repartition spreads the single-split corpus before the fan-out. */
   private[queries] def rrfTokens(s: org.apache.spark.sql.SparkSession, d: String) =
-    StagedTables.staged(s, "rrf_tokens", d) {
-      Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
-          explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
-    }
+    // r16: the distinct (doc_id, tok) incidence IS the staged doc_tok_cnt
+    // grain — the rrf chain's own tokenize pass (and its separate
+    // rrf_tokens staging) collapsed into the corpus-wide tokenize-once
+    // artifact. Row-identical: explode(array_distinct(tokens)) per doc
+    // == the distinct (doc_id, tok) projection.
+    StagedTables.docTok(s, d)
 
   /** Staged vocabulary-sized fixed-point idf table (tok, idf_fp): the
     * portable ln runs once per vocabulary entry per dataset, not once

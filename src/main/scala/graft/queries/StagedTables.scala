@@ -38,6 +38,9 @@ object StagedTables {
     * [[buildLog]]; `overlap_n3` is DedupQueries' staged candidate table,
     * which [[prebuild]] forces through the same accounting). */
   val consumers: Map[String, Seq[String]] = Map(
+    "docs_spread" -> Seq("doc_tok_cnt", "raw_docsets3", "corpus_scored",
+      "overlap_n3", "d_substring_dedup", "t_chunk_overlap",
+      "t_frequent_tokens_approx", "t_repetition"),
     "incidence" -> Seq("q_basket_rules", "coedges"),
     "orderlines" -> Seq("q_ship_sla", "q_reorder_rate", "ordermax"),
     "ordermax" -> Seq("q4_priority_exists", "q_interval_overlap"),
@@ -58,13 +61,13 @@ object StagedTables {
     "doc_tok_cnt" -> Seq("t_inverted_index", "t_cooccur_pmi",
       "t_frequent_tokens", "t_lexical_stats", "t_zipf_fit", "t_unigram_ce",
       "t_vocab_growth", "t_token_trend", "m_feature_hash",
-      "t_bpe_train", "t_bpe_encode"),
+      "t_bpe_train", "t_bpe_encode", "s_hybrid_rrf", "s_hybrid_rrf_capped",
+      "rrf_idf", "rrf_postings"),
     "raw_docsets3" -> Seq("nd_pairs", "d_source_sim_est",
       "d_source_similarity", "t_ngram_novelty", "d_decontaminate"),
     "nd_pairs" -> Seq("d_minhash_lsh", "d_dup_rate_by_source",
       "d_dedup_report", "nd_comp"),
     "nd_comp" -> Seq("d_components", "d_dedup_report", "d_survivor_pick"),
-    "rrf_tokens" -> Seq("s_hybrid_rrf", "s_hybrid_rrf_capped"),
     "rrf_idf" -> Seq("s_hybrid_rrf", "s_hybrid_rrf_capped"),
     "rrf_postings" -> Seq("s_hybrid_rrf_capped"))
 
@@ -98,6 +101,7 @@ object StagedTables {
       // cost is measured fresh like the parquet-staged tables
       s.sql(s"DROP TABLE IF EXISTS orderlines_${Integer.toHexString(d.hashCode)}")
     }
+    docsSpread(s, d)
     incidence(s, d)
     orderLines(s, d)
     orderMax(s, d)
@@ -115,9 +119,9 @@ object StagedTables {
     rawDocSets3(s, d)
     ndPairs(s, d)
     ndComponents(s, d)
-    // E12 keyword artifacts (tokens → idf/postings; tokens stages first
-    // inside either builder, so building the two derived tables builds
-    // all three — stage() materializes eagerly).
+    // E12 keyword artifacts (idf/postings — both derive from the
+    // doc_tok_cnt incidence staged above; r16 removed their separate
+    // rrf_tokens tokenize pass).
     SimilarityQueries.rrfIdf(s, d)
     SimilarityQueries.rrfPostings(s, d)
     import scala.jdk.CollectionConverters._
@@ -274,6 +278,21 @@ object StagedTables {
         .select(col("b").as("doc_id")).distinct()
     }(s.read.parquet(_))
 
+  /** The documents table re-chunked to cluster parallelism (hash by
+    * doc_id, one file per partition): the driver-generated corpus
+    * parquet is ONE row group, so every direct scan — and the MAP side
+    * of every spread repartition — runs as ONE task (r16 sf10
+    * StageProfile: 2-9 s of serial scan+shuffle-compression per
+    * consumer). Spread ONCE per JVM; heavy consumers read the 32-file
+    * copy at full parallelism. Row content identical; every consumer
+    * is either keyed/aggregated or globally ordered, so layout cannot
+    * change results. */
+  def docsSpread(s: SparkSession, d: String): DataFrame =
+    stage("docs_spread", d) {
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    }(s.read.parquet(_))
+
   /** Per-(doc, token) OCCURRENCE counts `(doc_id, tok, k)` over the raw
     * corpus — the tokenize-ONCE artifact of the whole bag-of-words
     * family. Before r16's second half, t_frequent_tokens /
@@ -287,7 +306,7 @@ object StagedTables {
     * (single-file scan trap — the scoredDf guard). */
   def docTokCnt(s: SparkSession, d: String): DataFrame =
     stage("doc_tok_cnt", d) {
-      Tables.documents(s, d)
+      docsSpread(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
@@ -313,7 +332,7 @@ object StagedTables {
   def rawDocSets3(s: SparkSession, d: String): DataFrame =
     stage("raw_docsets3", d) {
       graft.operators.Dedup.hashedDocSets(
-        Tables.documents(s, d), "doc_id", "text", 3)
+        docsSpread(s, d), "doc_id", "text", 3)
     }(s.read.parquet(_))
 
   /** D3's verified near-dup pairs `(a, b, jaccard ≥ 0.5)` — MinHash(8)

@@ -55,7 +55,7 @@ object TextQueries {
     // a small-file corpus otherwise runs the whole regex pipeline on
     // however few partitions the scan produced (measured: ONE 4 s task
     // for all of sf0.1 — same pitfall Dedup.explodedShingles guards).
-    val spread = Tables.documents(s, d)
+    val spread = graft.queries.StagedTables.docsSpread(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val base = spread.withColumn("__toks", tokens(col("text")))
       .withColumn("__scores", stopwordScores(col("__toks")))
@@ -301,8 +301,7 @@ object TextQueries {
       // occurrence STREAM, so it keeps its own tokenize pass (unlike the
       // exact C7, which reads the staged counts) — spread across the
       // cluster (r16: single-row-group scan trap, one 14 s task at sf10).
-      Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.queries.StagedTables.docsSpread(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
         .agg(expr("approx_top_k(tok, 20, 10000)").as("top"))
         .select(posexplode(col("top")).as(Seq("rank", "r")))
@@ -376,7 +375,7 @@ object TextQueries {
          |    THEN CAST(top_n AS DOUBLE) / nb ELSE 0.0 END AS top_bigram_frac
          |FROM b0 LEFT JOIN ba USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
       import graft.operators.Dedup
-      val base = Tables.documents(s, d)
+      val base = graft.queries.StagedTables.docsSpread(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
@@ -422,8 +421,7 @@ object TextQueries {
          |  CAST(len(chunk) AS BIGINT) AS n_toks,
          |  md5(array_to_string(chunk, ' ')) AS sig
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.queries.StagedTables.docsSpread(s, d)
         .select(col("doc_id"), tokens(col("text")).as("__toks"))
         .filter(size(col("__toks")) > 0)
         .select(col("doc_id"), col("__toks"),
