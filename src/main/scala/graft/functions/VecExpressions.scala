@@ -164,6 +164,21 @@ case class L2SqF64(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_l2sq"
 
+  // SQL-registered (graft_l2sq), so arbitrary child types can reach it:
+  // getDouble over a non-double array would silently return garbage.
+  // ExpectsInputTypes is private[sql]; checkInputDataTypes is the
+  // overridable public seam (r16 ADVICE).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.ArrayType
+    Seq(left, right).zipWithIndex.collectFirst {
+      case (c, i) if !c.dataType.isInstanceOf[ArrayType] ||
+        c.dataType.asInstanceOf[ArrayType].elementType != DoubleType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_l2sq argument ${i + 1} must be array<double>, got ${c.dataType.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -213,9 +228,29 @@ case class L2SqF64(left: Expression, right: Expression)
 case class UnitF32(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.FloatType, containsNull = false)
+  // Element nullability PROPAGATES from the child (r16 ADVICE: the
+  // embeddings schema is array<float> containsNull=true; declaring false
+  // here let a null element be read by getFloat as garbage). compute()
+  // mirrors the HOF twin on null elements: a null poisons the norm fold,
+  // so every output element is null — same rows as unitVia + cast.
+  override def dataType: DataType = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, cn) =>
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = cn)
+    case _ =>
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true)
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_unit_f32 argument must be array<float>, got ${other.sql}")
+    }
+  }
 
   override def prettyName: String = "graft_unit_f32"
 
@@ -233,8 +268,19 @@ case class UnitF32(child: Expression)
 object UnitF32 {
   def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
-    var ss = 0.0
+    // Null-element scan first (r16 ADVICE): the HOF twin's norm fold
+    // (aggregate(..., acc + x*x)) yields null on any null element, so
+    // every output element of transform(v, x -> x/norm) is null. Mirror
+    // that exactly instead of reading the null slot as an arbitrary float.
     var i = 0
+    while (i < n) {
+      if (v.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](n)) // all-null, same length
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
     while (i < n) { val xd = v.getFloat(i).toDouble; ss += xd * xd; i += 1 }
     val nrm = math.sqrt(ss)
     val out = new Array[Any](n)
@@ -313,6 +359,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomContainsExpr(children.head,
           children(1).eval(null).asInstanceOf[Array[Byte]])
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_round0"),
+      new ExpressionInfo(classOf[Round0Expr].getName, "graft_round0"),
+      (children: Seq[Expression]) => Round0Expr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),

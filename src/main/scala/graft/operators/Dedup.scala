@@ -107,12 +107,18 @@ object Dedup {
     * partitioning every downstream doc-keyed aggregate/join wants. Docs
     * with fewer than n tokens are dropped (no shingles), matching the
     * oracle's `len(toks) >= n` filter. */
-  def hashedDocSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.repartition(fanout(df), col(idCol))
-      .select(col(idCol).as("doc"),
+  def hashedDocSets(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    respread: Boolean = true): DataFrame = {
+    // respread=false when the caller's input is already laid out wide
+    // (e.g. StagedTables.docsSpread: defaultParallelism files hashed by
+    // doc id) — the repartition would re-shuffle the full text column
+    // just to land at the parallelism the scan already has (r16 ADVICE).
+    val in = if (respread) df.repartition(fanout(df), col(idCol)) else df
+    in.select(col(idCol).as("doc"),
         call_function("graft_gid_set",
           call_function("graft_shingles", col(textCol), lit(n))).as("gs"))
       .filter(size(col("gs")) > 0)
+  }
 
   /** PRODUCTION doc sets: xxhash64 ids, no md5/hex decode. */
   def hashedDocSetsXx(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

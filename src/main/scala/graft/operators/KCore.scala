@@ -35,24 +35,45 @@ object KCore {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val und = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-    var cur = ckpt(und.unionAll(und.select(col("v").as("u"), col("u").as("v"))))
+    // r17 (§2.3/§2.4): DEGREE-MAINTENANCE peel. The r16 shape re-derived
+    // the full degree aggregate over the surviving 2|E|-row edge list and
+    // re-materialized that edge list (two semi-joins + localCheckpoint +
+    // count) EVERY round — at sf10 each round moved the whole graph to
+    // remove a handful of nodes. Invariant instead: deg(u) = degree of u
+    // within the survivor-induced subgraph. Each round removes the
+    // deg < k nodes and DECREMENTS survivors by their edges into the
+    // removed set — one pass over the immutable directed edge list
+    // (joined against the node-dim removal set, which AQE broadcasts
+    // while it fits) plus node-dim bookkeeping; the edge list itself is
+    // materialized once and never rewritten. Removing a sub-k node never
+    // raises another node's degree, so the peel is order-independent and
+    // the maintained degrees equal a from-scratch recount by induction
+    // (PropertySpec pins equality with a sequential brute-force peel).
+    val cur = ckpt(und.unionAll(und.select(col("v").as("u"), col("u").as("v"))))
+    var deg = ckpt(cur.groupBy("u").agg(count(lit(1)).as("dg")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val keep = cur.groupBy("u").agg(count(lit(1)).as("dg"))
-        .filter(col("dg") >= k).select("u")
-      val next = ckpt(cur
-        .join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi"))
-      converged = next.count() == cur.count()
-      cur = next
+      val removed = ckpt(deg.filter(col("dg") < k).select("u"))
+      if (removed.isEmpty) converged = true
+      else {
+        // per-survivor count of edges whose OTHER endpoint is removed:
+        // the directed list carries (u,v) and (v,u), so one semi-join on
+        // the target side counts every lost edge exactly once per owner
+        val lost = cur
+          .join(removed.select(col("u").as("v")), Seq("v"), "left_semi")
+          .groupBy("u").agg(count(lit(1)).as("dec"))
+        deg = ckpt(deg.filter(col("dg") >= k)
+          .join(lost, Seq("u"), "left")
+          .select(col("u"),
+            (col("dg") - coalesce(col("dec"), lit(0L))).as("dg")))
+      }
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"k-core peel did not converge in $maxIter rounds (k=$k); " +
           "result would contain sub-k nodes — raise maxIter")
-    cur.groupBy("u").agg(count(lit(1)).as("core_degree"))
-      .select(col("u").as("node"), col("core_degree"))
+    deg.select(col("u").as("node"), col("dg").as("core_degree"))
   }
 }

@@ -577,13 +577,19 @@ object DedupQueries {
       // graft_cdc_windows = the declarative explode→filter→md5 chain in
       // one compiled byte-scan (bit-identity spec'd in ShingleExprSpec):
       // only surviving anchor hashes fan out, not one row per character.
-      // The pre-explode repartition spreads the md5 byte-scan across the
-      // cluster (r16 sf10 StageProfile: the single-row-group corpus file
-      // ran the whole 49 CPU-s CDC pass in ONE task — 49 of 63 s wall).
+      // The docsSpread read runs the CDC byte-scan wide (r16: the
+      // single-row-group corpus file ran the whole 49 CPU-s pass in ONE
+      // task). r17 (§2.4 "two operations keyed the same way share one
+      // exchange"): ONE repartition by h serves BOTH the (doc_id, h)
+      // distinct (hash(h) clusters every (doc_id, h) group) and the
+      // h-keyed self-join — the r16 plan exchanged the window fan-out
+      // once for the distinct and then re-shuffled both join inputs by h,
+      // three data-scale exchanges where one suffices.
       val w = StagedTables.docsSpread(s, d)
         .select(col("doc_id"),
           explode(expr("graft_cdc_windows(text, 64, 8)")).as("h"))
-        .distinct()
+        .repartition(col("h"))
+        .dropDuplicates("doc_id", "h")
         .persist()
       val xa = w.select(col("h"), col("doc_id").as("a"))
       val xb = w.select(col("h"), col("doc_id").as("b"))

@@ -422,21 +422,31 @@ object GraphQueries {
       val mom = deg.agg(sum("dg").as("n"),
         sum(col("dg") * col("dg")).as("sx"),
         sum(col("dg") * col("dg") * col("dg")).as("sxx")).head()
-      val (nE, sxM, sxxM) = (mom.getLong(0), mom.getLong(1), mom.getLong(2))
-      // the one sum that needs edge×degree alignment: Σ_adj x·y =
-      // 2·Σ_pairs deg(u)·deg(v) — broadcast the node-dim degrees.
-      val sxyRow = pairs
-        .join(broadcast(deg.select(col("node").as("u"), col("dg").as("x"))), "u")
-        .join(broadcast(deg.select(col("node").as("v"), col("dg").as("y"))), "v")
-        .agg((sum(col("x") * col("y")) * 2L).as("sxy")).head()
-      val sxy = sxyRow.getLong(0)
-      import s.implicits._
-      Seq((nE, sxM, sxM, sxxM, sxxM, sxy))
-        .toDF("n", "sx", "sy", "sxx", "syy", "sxy")
-        .selectExpr("n",
-          """(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
-            |(sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
-            | sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) AS assortativity""".stripMargin)
+      // Empty-graph guard (r16 ADVICE): sum() over an empty degree table
+      // is null — mirror the old single-aggregate form's answer (one row,
+      // n = 0, null assortativity) instead of an NPE at getLong.
+      if (mom.isNullAt(0))
+        s.sql("SELECT CAST(0 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS assortativity")
+      else {
+        val (nE, sxM, sxxM) = (mom.getLong(0), mom.getLong(1), mom.getLong(2))
+        // the one sum that needs edge×degree alignment: Σ_adj x·y =
+        // 2·Σ_pairs deg(u)·deg(v). NO forced broadcast (r16 verdict item 5:
+        // the node dim is the part dimension and SCALES with sf — a forced
+        // hint OOMs the driver at 100 TB; the staged codeg parquet carries
+        // real size stats, so the 64 MB threshold + AQE broadcast it for as
+        // long as it fits and degrade to a shuffle join when it doesn't).
+        val sxy = pairs
+          .join(deg.select(col("node").as("u"), col("dg").as("x")), "u")
+          .join(deg.select(col("node").as("v"), col("dg").as("y")), "v")
+          .agg((sum(col("x") * col("y")) * 2L).as("sxy")).head().getLong(0)
+        import s.implicits._
+        Seq((nE, sxM, sxM, sxxM, sxxM, sxy))
+          .toDF("n", "sx", "sy", "sxx", "syy", "sxy")
+          .selectExpr("n",
+            """(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+              |(sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) *
+              | sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) AS assortativity""".stripMargin)
+      }
     },
 
     // B119 — BFS hop distances from the minimum-id node over the strong

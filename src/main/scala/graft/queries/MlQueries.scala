@@ -421,25 +421,25 @@ object MlQueries {
          |SELECT true_lang, pred_lang, count(*) AS n
          |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     }) { (s, d) =>
-      import graft.functions.TextFunctions
       val u = graft.operators.Curation.uniform(col("doc_id"))
-      // Tokenize ONCE, pinned by doc_id: both folds, the model build and
-      // the scoring pass all derive from the cached tokenized corpus (the
-      // r7 plan tokenized the corpus twice and paid ~15 exchange/window
-      // stages; this shape has two data-scale passes over memory and two
-      // report-sized exchanges).
-      val base = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), col("lang"),
-          TextFunctions.tokens(col("text")).as("toks"), u.as("__u"))
-        .localCheckpoint(true)
-      val tr = base.filter(col("__u") >= 0.3)
-      val te = base.filter(col("__u") < 0.3)
-      // The train fold explodes ONCE into the vocabulary-sized (lang,
-      // tok) count table, pinned — the model pivot, |V|, and the class
-      // stats all derive from it.
-      val ltc = tr.select(col("lang"), explode(col("toks")).as("tok"))
-        .groupBy("lang", "tok").agg(count(lit(1)).as("k"))
+      // Tokenize ZERO times (r17): every count this query needs is a
+      // rollup of the staged tokenize-once doc_tok_cnt grain — per-(doc,
+      // tok) occurrence counts are identical integers to exploding
+      // tokens(text), and the staged rows carry `lang`, so the class
+      // counts need NO doc-dim join (a join here broadcast the 11M-row
+      // count side — its parquet sits under the 64 MB estimate — paying a
+      // multi-second driver hash-build; the join-free rollup is also the
+      // right 100 TB shape: one pass, no alignment). The split predicate
+      // u(doc_id) is a pure hash of the key, computable on any grain.
+      // The r16 shape re-tokenized the 500 MB corpus into a checkpoint
+      // per run (sf10 profile: 2.3 s repartition+tokenize, then two
+      // 500 MB cache passes); this reads the 65 MB count grain twice.
+      val dtc = StagedTables.docTokCnt(s, d).withColumn("__u", u)
+      // The vocabulary-sized (lang, tok) count table, pinned — the model
+      // pivot, |V|, and the class stats all derive from it. Σk over the
+      // per-doc counts == counting the exploded occurrence stream.
+      val ltc = dtc.filter(col("__u") >= 0.3)
+        .groupBy("lang", "tok").agg(sum("k").as("k"))
         .localCheckpoint(true)
       // Class list, per-class token totals and doc priors are
       // class-count-sized — collected once to the driver (the dim-sized
@@ -462,7 +462,13 @@ object MlQueries {
       val ltot = stats.filter(_.getInt(3) == 0)
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val v = stats.filter(_.getInt(3) == 1).head.getLong(2)
-      val prior = tr.groupBy("lang").agg(count(lit(1)).as("nd")).collect()
+      // Priors count train DOCS (zero-token docs included, which the
+      // token grain cannot see) — one doc-grain rollup over the spread
+      // corpus copy (32-way scan of two pruned columns).
+      val prior = StagedTables.docsSpread(s, d)
+        .select(col("doc_id"), col("lang"))
+        .filter(u >= 0.3)
+        .groupBy("lang").agg(count(lit(1)).as("nd")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val classes = prior.keys.toSeq.sorted
       val ndAll = prior.values.sum
@@ -475,13 +481,11 @@ object MlQueries {
           graft.functions.PortableMath.pLn(
             (coalesce(col(s"`$c`"), lit(0L)) + 1.0) / (ltot(c) + v))): _*).as("lp"))
       // Score: per-(doc,tok) counts (k·ln form, matching the oracle's
-      // arithmetic), model probe, then per-doc per-class sums as |C|
-      // parallel aggregates — every step inherits hashpartitioning(doc_id)
-      // from the checkpointed base, so nothing re-shuffles until the
-      // report-sized confusion rollup.
-      val tet = te.select(col("doc_id"), col("lang").as("true_lang"),
-          explode(col("toks")).as("tok"))
-        .groupBy("doc_id", "true_lang", "tok").agg(count(lit(1)).as("k"))
+      // arithmetic) are ALREADY the doc_tok_cnt grain — filter to the
+      // test fold, then the model probe and per-doc per-class sums as
+      // |C| parallel aggregates.
+      val tet = dtc.filter(col("__u") < 0.3)
+        .select(col("doc_id"), col("lang").as("true_lang"), col("tok"), col("k"))
       val llCols = classes.indices.map(i =>
         sum(col("k") * element_at(col("lp"), i + 1)).as(s"ll_$i"))
       val perDoc = tet.join(model, "tok")
@@ -1036,9 +1040,15 @@ object MlQueries {
       // projected ONCE per row (same IEEE expression tree as inlining
       // them into both sum args — r16: the inline form evaluated each
       // ROUND up to 4× per row inside the 20 aggregate expressions).
+      // r17: graft_round0 — bit-identical to ROUND on DOUBLE (Round0Expr:
+      // fast half-away-from-zero path, BigDecimal reference fallback on
+      // the ambiguous .5±ulp band; Round0ExprSpec stress-gates equality)
+      // without Spark Round's BigDecimal.valueOf(Double.toString) per
+      // call. Ten rounds per row × 15M rows × 6 passes was the dominant
+      // per-row cost (r17 sf10 StageProfile: 56-76 CPU-s per pass).
       def iproj(e: String, n: String) = Seq(
-        s"ROUND(($e) * 1e12) AS ${n}_rd",
-        s"CAST(FLOOR(ROUND(($e) * 1e12) / 1e6) AS BIGINT) AS ${n}_hi0")
+        s"graft_round0(($e) * 1e12) AS ${n}_rd",
+        s"CAST(FLOOR(graft_round0(($e) * 1e12) / 1e6) AS BIGINT) AS ${n}_hi0")
       def isum(n: String) = Seq(
         s"sum(${n}_hi0) AS ${n}_hi",
         s"sum(CAST(${n}_rd AS BIGINT) - ${n}_hi0 * 1000000L) AS ${n}_lo")

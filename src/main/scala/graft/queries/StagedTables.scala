@@ -40,7 +40,7 @@ object StagedTables {
   val consumers: Map[String, Seq[String]] = Map(
     "docs_spread" -> Seq("doc_tok_cnt", "raw_docsets3", "corpus_scored",
       "overlap_n3", "d_substring_dedup", "t_chunk_overlap",
-      "t_frequent_tokens_approx", "t_repetition"),
+      "t_frequent_tokens_approx", "t_repetition", "m_naive_bayes"),
     "incidence" -> Seq("q_basket_rules", "coedges"),
     "orderlines" -> Seq("q_ship_sla", "q_reorder_rate", "ordermax"),
     "ordermax" -> Seq("q4_priority_exists", "q_interval_overlap"),
@@ -60,7 +60,7 @@ object StagedTables {
     "llm_nd" -> Seq("p_llm_prep", "p_llm_prep_pack"),
     "doc_tok_cnt" -> Seq("t_inverted_index", "t_cooccur_pmi",
       "t_frequent_tokens", "t_lexical_stats", "t_zipf_fit", "t_unigram_ce",
-      "t_vocab_growth", "t_token_trend", "m_feature_hash",
+      "t_vocab_growth", "t_token_trend", "m_feature_hash", "m_naive_bayes",
       "t_bpe_train", "t_bpe_encode", "s_hybrid_rrf", "s_hybrid_rrf_capped",
       "rrf_idf", "rrf_postings"),
     "raw_docsets3" -> Seq("nd_pairs", "d_source_sim_est",
@@ -306,11 +306,20 @@ object StagedTables {
     * (single-file scan trap — the scoredDf guard). */
   def docTokCnt(s: SparkSession, d: String): DataFrame =
     stage("doc_tok_cnt", d) {
+      // No repartition (r16 ADVICE): docsSpread is already staged as
+      // defaultParallelism hash-by-doc_id files, so the scan itself runs
+      // wide — re-shuffling the text column here paid a second full-text
+      // exchange in the build path for nothing.
+      // `lang` rides along (r17): it is constant per doc (grain and row
+      // count unchanged, dictionary-encodes to ~nothing, pruned away by
+      // consumers that don't select it) and lets m_naive_bayes derive its
+      // class counts from this grain with NO doc-dim join — the join's
+      // broadcast side was this 11M-row table (under the 64 MB estimate),
+      // a ~5 s driver hash-build per join at sf10.
       docsSpread(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("lang"),
           explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("k"))
     }(s.read.parquet(_))
 
   /** Distinct `(doc_id, tok)` incidence of the raw corpus — the
@@ -332,7 +341,7 @@ object StagedTables {
   def rawDocSets3(s: SparkSession, d: String): DataFrame =
     stage("raw_docsets3", d) {
       graft.operators.Dedup.hashedDocSets(
-        docsSpread(s, d), "doc_id", "text", 3)
+        docsSpread(s, d), "doc_id", "text", 3, respread = false)
     }(s.read.parquet(_))
 
   /** D3's verified near-dup pairs `(a, b, jaccard ≥ 0.5)` — MinHash(8)

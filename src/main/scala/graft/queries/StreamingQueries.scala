@@ -132,6 +132,25 @@ object StreamingQueries {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Scale-adaptive state-partition count, sized from the STAGED INPUT
+    * BYTES instead of a constant (r16 verdict item 7: the fixed 8 kept
+    * the sf10 session-window state stage at a quarter of the machine
+    * while the state volume had grown 100×). Floor stays 8 — the
+    * documented small-batch store-commit economics at toy scale are
+    * unchanged there (events: sf0.1 ≈ 2 MB → 8, sf10 ≈ 180 MB → cluster
+    * parallelism); the ceiling is cluster parallelism, the same
+    * defaultParallelism every other scale-adaptive width here derives
+    * from. On a cluster this is the standard "size state partitions from
+    * expected state volume" override, derived instead of guessed. */
+  private def statePartitionsFor(s: org.apache.spark.sql.SparkSession,
+                                 stagedDir: String,
+                                 bytesPerPartition: Long = 4L << 20): Int = {
+    val sz = try org.apache.commons.io.FileUtils.sizeOfDirectory(
+      new java.io.File(stagedDir)) catch { case _: Throwable => 0L }
+    math.max(8L, math.min(s.sparkContext.defaultParallelism.toLong,
+      sz / bytesPerPartition)).toInt
+  }
+
   /** Stage the events table as a µs-precision parquet dir for file-source
     * streaming (parquet NANOS can't stream through a TimestampType
     * schema). The staged copy of an immutable input dir is itself
@@ -431,9 +450,10 @@ object StreamingQueries {
         |    FROM events))
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-      val ev = Events.readEventStream(s, stagedEvents(s, d, flush = true))
+      val evDir = stagedEvents(s, d, flush = true)
+      val ev = Events.readEventStream(s, evDir)
       val sink = "f_stream_session_sink"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, statePartitionsFor(s, evDir)) {
         withShmCheckpoint { ckpt =>
           val q = Events.sessionCounts(ev, "30 minutes")
             .writeStream.format("memory").queryName(sink)

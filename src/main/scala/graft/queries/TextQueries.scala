@@ -51,12 +51,11 @@ object TextQueries {
 
   /** Spark twin of [[scoredSql]]. */
   private[queries] def scoredDf(s: org.apache.spark.sql.SparkSession, d: String) = {
-    // Repartition the raw text BEFORE the expensive tokenize/score chain:
-    // a small-file corpus otherwise runs the whole regex pipeline on
-    // however few partitions the scan produced (measured: ONE 4 s task
-    // for all of sf0.1 — same pitfall Dedup.explodedShingles guards).
+    // docsSpread is staged as defaultParallelism hash-by-doc_id files, so
+    // the scan already runs the regex pipeline wide — no further
+    // repartition (r16 ADVICE: the extra exchange re-shuffled the full
+    // text column to land at the parallelism the scan already had).
     val spread = graft.queries.StagedTables.docsSpread(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val base = spread.withColumn("__toks", tokens(col("text")))
       .withColumn("__scores", stopwordScores(col("__toks")))
     val comps = qualityComponents(col("text"), col("__toks"),
