@@ -29,38 +29,58 @@ object KCore {
     * k-core (sub-k nodes still present), and a silently-wrong core is
     * worse than a loud failure. Callers on pathological graphs raise
     * maxIter (peel depth = degeneracy depth, ~5-20 even on web graphs). */
+  /** `deg0` optionally supplies the whole-graph degree table `(u, dg)`
+    * (e.g. the staged codeg rollup the co-purchase family shares) so the
+    * peel skips its own 2|E|-row aggregate; when absent it is computed
+    * here. */
   def kcore(edges: DataFrame, k: Int, maxIter: Int = 30,
-            reliable: Boolean = false): DataFrame = {
+            reliable: Boolean = false,
+            deg0: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val und = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-    // r17 (§2.3/§2.4): DEGREE-MAINTENANCE peel. The r16 shape re-derived
-    // the full degree aggregate over the surviving 2|E|-row edge list and
-    // re-materialized that edge list (two semi-joins + localCheckpoint +
-    // count) EVERY round — at sf10 each round moved the whole graph to
-    // remove a handful of nodes. Invariant instead: deg(u) = degree of u
-    // within the survivor-induced subgraph. Each round removes the
-    // deg < k nodes and DECREMENTS survivors by their edges into the
-    // removed set — one pass over the immutable directed edge list
-    // (joined against the node-dim removal set, which AQE broadcasts
-    // while it fits) plus node-dim bookkeeping; the edge list itself is
-    // materialized once and never rewritten. Removing a sub-k node never
-    // raises another node's degree, so the peel is order-independent and
-    // the maintained degrees equal a from-scratch recount by induction
-    // (PropertySpec pins equality with a sequential brute-force peel).
-    val cur = ckpt(und.unionAll(und.select(col("v").as("u"), col("u").as("v"))))
-    var deg = ckpt(cur.groupBy("u").agg(count(lit(1)).as("dg")))
+    // r17 (§2.3/§2.4, §5): DEGREE-MAINTENANCE peel over node-dim state
+    // ONLY. The r16 shape re-derived the full degree aggregate over the
+    // surviving 2|E|-row edge list and re-materialized that list (two
+    // semi-joins + localCheckpoint + count) EVERY round — at sf10 the
+    // directed list is 240 M rows (a 20 GB deserialized checkpoint),
+    // which OOM'd a 32 GB solo JVM before removing a single node; even
+    // the first r17 cut (checkpoint it once) spent 73 + 60 s on that
+    // materialization + degree scan. Invariant instead: deg(u) = degree
+    // of u within the survivor-induced subgraph, maintained
+    // incrementally. Per round: remove deg < k nodes; decrement each
+    // survivor by its edges into the removed set — ONE pass over the
+    // caller's undirected edge frame (both directions derived in-flight
+    // by a Generate, nothing edge-scale ever checkpointed), semi-joined
+    // against the node-dim removal set (AQE broadcasts it while it
+    // fits), then node-dim bookkeeping. Rounds that remove nothing never
+    // touch the edge frame at all — on dense graphs (sf10: min degree
+    // ≥ k already) the whole peel is the degree read plus one empty
+    // probe. Removing a sub-k node never raises another node's degree,
+    // so the peel is order-independent and the maintained degrees equal
+    // a from-scratch recount by induction (PropertySpec pins equality
+    // with a sequential brute-force peel).
+    var deg = deg0.map(_.select(col("u").cast("long").as("u"),
+        col("dg").cast("long").as("dg")))
+      .getOrElse {
+        ckpt(und
+          .select(explode(array(col("u"), col("v"))).as("u"))
+          .groupBy("u").agg(count(lit(1)).as("dg")))
+      }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val removed = ckpt(deg.filter(col("dg") < k).select("u"))
       if (removed.isEmpty) converged = true
       else {
-        // per-survivor count of edges whose OTHER endpoint is removed:
-        // the directed list carries (u,v) and (v,u), so one semi-join on
-        // the target side counts every lost edge exactly once per owner
-        val lost = cur
+        // directed instances derived in-flight; count every edge whose
+        // TARGET is removed once for its surviving owner
+        val inst = und.select(explode(array(
+            struct(col("u").as("s"), col("v").as("t")),
+            struct(col("v").as("s"), col("u").as("t")))).as("e"))
+          .select(col("e.s").as("u"), col("e.t").as("v"))
+        val lost = inst
           .join(removed.select(col("u").as("v")), Seq("v"), "left_semi")
           .groupBy("u").agg(count(lit(1)).as("dec"))
         deg = ckpt(deg.filter(col("dg") >= k)

@@ -295,7 +295,12 @@ object GraphQueries {
     // sequential brute-force peel on random graphs — the property that
     // makes the distributed algorithm correct at any scale.
     QueryDef.rowsOnly("g_kcore") { (s, d) =>
-      graft.operators.KCore.kcore(stagedCoEdges(s, d).select("u", "v"), k = 4)
+      // whole-graph degrees from the staged codeg rollup (shared with
+      // B71/B104/B106) — the peel then starts from node-dim state and
+      // touches the edge table only on rounds that remove nodes (r17)
+      graft.operators.KCore.kcore(stagedCoEdges(s, d).select("u", "v"), k = 4,
+          deg0 = Some(StagedTables.coDeg(s, d)
+            .select(col("node").as("u"), col("dg"))))
         .orderBy("node")
     },
 

@@ -492,7 +492,6 @@ object SimilarityQueries {
       // (r14 verdict item 6: rebuilding these per run made the capped
       // path slower than exact at sf0.1, inverting its purpose).
       val tkAll = rrfTokens(s, d)
-      val dfIdf = broadcast(rrfIdf(s, d))
       val postings = rrfPostings(s, d)
       // Bounded probe set: modulus 25 up to rrfProbeBudget probes (every
       // scale through sf10 unchanged), then grows with the corpus so the
@@ -504,9 +503,18 @@ object SimilarityQueries {
       val pr = docs.filter(col("doc_id") % probeMod === 0).select(col("doc_id").as("q"))
       val ptk = broadcast(pr.join(
         tkAll.select(col("doc_id").as("q"), col("tok")), Seq("q")))
-      val cands = postings.join(ptk.select("tok", "q"), Seq("tok"))
+      // The candidate fan-out (capped postings × probe tokens) has a TINY
+      // input (vocab × cap rows, one parquet file) and a 100×+ fan — the
+      // Dedup fanout trap: the scan is ONE task, so the whole fan ran
+      // serially (r17 sf10 StageProfile: 10.2 s single-task stage, the
+      // query's dominant cost). A numbered repartition by tok (exempt
+      // from AQE coalescing) pins the fan at cluster parallelism.
+      val fan = s.sparkContext.defaultParallelism
+      val cands = postings.repartition(fan, col("tok"))
+        .join(ptk.select("tok", "q"), Seq("tok"))
         .filter(col("d") =!= col("q"))
         .select("q", "d").distinct()
+      val dfIdf = broadcast(rrfIdf(s, d))
       val kw = cands
         .join(tkAll.select(col("doc_id").as("d"), col("tok")), Seq("d"))
         .join(ptk, Seq("q", "tok"))

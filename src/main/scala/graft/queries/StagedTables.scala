@@ -48,7 +48,7 @@ object StagedTables {
       "g_degree_dist", "g_kcore", "g_local_clustering", "g_assortativity",
       "g_bfs_levels", "g_components_summary", "codeg"),
     "codeg" -> Seq("g_degree_dist", "g_assortativity",
-      "g_triangle_count", "g_local_clustering"),
+      "g_triangle_count", "g_local_clustering", "g_kcore"),
     "pipeline_details" -> Seq("q_normalize_snowflake", "q_pipeline_topk"),
     "pipeline_premitted_biz_details" -> Seq("q_pipeline_topk"),
     "overlap_n3" -> Seq("d_ngram_jaccard", "d_containment", "d_threshold_curve"),
