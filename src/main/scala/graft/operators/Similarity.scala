@@ -36,19 +36,14 @@ object Similarity {
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, dims: Int, nPlanes: Int): DataFrame = {
     val bucket = VectorFunctions.lshBucket(col("embedding"), dims, nPlanes)
     val pb = probes.select(col("vec_id").as("q"), col("embedding").as("qv"), bucket.as("bucket"))
-    // Spread the corpus BEFORE the bucket projection (r17; the
-    // d_embed_neardup lesson): the embeddings parquet is one row group,
-    // so the bucket compute — nPlanes × dims LCG ops per row — and the
-    // bucket-exchange map side otherwise run as ONE task (sf10
-    // StageProfile: 11.1 s single-task stage inside s_hybrid_rrf_capped).
-    // Hash by vec_id: deterministic, and results are invariant to layout
-    // (bucket/cosine are pure projections; the per-probe top-k orders by
-    // (cos DESC, n) — a total order).
-    val fan = corpus.sparkSession.sparkContext.defaultParallelism
-    val cb = corpus.select(col("vec_id").as("n"), col("embedding").as("nv"))
-      .repartition(fan, col("n"))
-      .select(col("n"), col("nv"),
-        VectorFunctions.lshBucket(col("nv"), dims, nPlanes).as("bucket"))
+    // r17 note: a corpus-side spread repartition before the bucket
+    // projection was tried here (the embeddings parquet is one row
+    // group, so the bucket compute runs on one task locally) and
+    // REVERTED: it shuffles the full vector payload (§2.3) to fix a
+    // local fixture-layout problem, and the sf10 subset bench measured
+    // it a wash (s_knn_classify_lsh −0.7 s, s_ann_lsh +0.8 s). At scale
+    // the corpus scan is many tasks and the spread is pure overhead.
+    val cb = corpus.select(col("vec_id").as("n"), col("embedding").as("nv"), bucket.as("bucket"))
     val joined = pb.join(cb, "bucket")
       .filter(col("q") =!= col("n"))
       .select(col("q"), col("n"), VectorFunctions.cosine(col("qv"), col("nv")).as("cos"))

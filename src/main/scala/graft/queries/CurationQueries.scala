@@ -200,7 +200,7 @@ object CurationQueries {
         |  doc_id, source, CAST(rn AS BIGINT) AS rn
         |FROM r ORDER BY position""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      val docs = StagedTables.docsSpread(s, d) // spread corpus copy: 32-way map side (r17)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val w = Window.partitionBy("source")
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -241,7 +241,7 @@ object CurationQueries {
     }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       import graft.functions.TextFunctions
-      val t = Tables.documents(s, d)
+      val t = StagedTables.docsSpread(s, d) // spread corpus copy: 32-way map side (r17)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("source"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),

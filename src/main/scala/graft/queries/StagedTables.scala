@@ -40,7 +40,10 @@ object StagedTables {
   val consumers: Map[String, Seq[String]] = Map(
     "docs_spread" -> Seq("doc_tok_cnt", "raw_docsets3", "corpus_scored",
       "overlap_n3", "d_substring_dedup", "t_chunk_overlap",
-      "t_frequent_tokens_approx", "t_repetition", "m_naive_bayes"),
+      "t_frequent_tokens_approx", "t_repetition", "m_naive_bayes",
+      "t_char_entropy", "t_tfidf", "t_pii_scrub", "t_bigram_ce",
+      "t_chi2_keywords", "t_source_composition", "p_interleave",
+      "p_token_budget"),
     "incidence" -> Seq("q_basket_rules", "coedges"),
     "orderlines" -> Seq("q_ship_sla", "q_reorder_rate", "ordermax"),
     "ordermax" -> Seq("q4_priority_exists", "q_interval_overlap"),

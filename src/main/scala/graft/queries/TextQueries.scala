@@ -329,7 +329,7 @@ object TextQueries {
         |  -list_reduce(list(p * lg ORDER BY c), (a, b) -> a + b) AS entropy
         |FROM e2 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val cnt = Tables.documents(s, d)
+      val cnt = StagedTables.docsSpread(s, d) // spread corpus copy: 32-way map side (r17)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
         .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
@@ -468,7 +468,7 @@ object TextQueries {
          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, score
          |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      val docs = StagedTables.docsSpread(s, d) // spread corpus copy: 32-way map side (r17)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // `tf` is read by BOTH the scoring branch and the df aggregation.
       // Left lazy, Catalyst plans the tokenize→explode→aggregate subtree
@@ -536,7 +536,7 @@ object TextQueries {
       val clean = regexp_replace(regexp_replace(regexp_replace(col("t"),
         lit(piiEmail), lit("<EMAIL>")), lit(piiUrl), lit("<URL>")),
         lit(piiPhone), lit("<PHONE>"))
-      Tables.documents(s, d)
+      StagedTables.docsSpread(s, d) // spread corpus copy: 32-way map side (r17)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), t.as("t"))
         .select(col("doc_id"),
@@ -674,7 +674,7 @@ object TextQueries {
       //      bfd⋈freq equi-join, so neither shuffles;
       //  (3) only the final per-doc reduce exchanges again.
       val fan = s.sparkContext.defaultParallelism
-      val bfd = Tables.documents(s, d)
+      val bfd = StagedTables.docsSpread(s, d) // spread corpus copy: 32-way map side (r17)
         .repartition(fan, col("doc_id"))
         .select(col("doc_id"),
           explode(call_function("graft_shingles", col("text"), lit(2))).as("bg"))
@@ -956,7 +956,7 @@ object TextQueries {
          |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
     }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      val docs = StagedTables.docsSpread(s, d) // spread corpus copy: 32-way map side (r17)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // Doc-frequency via per-row array_distinct, not a global (doc, tok)
       // DISTINCT: doc_id is unique per row, so deduping a token WITHIN its
@@ -1022,7 +1022,7 @@ object TextQueries {
          |ORDER BY source""".stripMargin
     }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
+      val docs = StagedTables.docsSpread(s, d) // spread corpus copy: 32-way map side (r17)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // ONE corpus pass: doc counts AND token totals in the same
       // (source, lang) partial agg — a separate token aggregate would
