@@ -434,7 +434,19 @@ object SimilarityQueries {
       // tokens per pair — and the sum is rank-only, never exits to
       // DOUBLE. The table itself is staged per dataset (rrfIdf).
       val dfIdf = broadcast(rrfIdf(s, d))
+      // r17 (§2.3/§2.4): repartition the doc-token side by d BEFORE the
+      // fan. The staged incidence is laid out by (doc, tok) hash, so each
+      // (q, d) group's rows were scattered across map partitions and the
+      // partial aggregate collapsed nothing — the exchange carried the
+      // whole fan (sf1 StageProfile: 10.5 GB written, 309 s at 16 tasks =
+      // the scan's file count, half the machine idle). Hash by d
+      // co-locates every token of a doc, so (a) the fan runs at cluster
+      // parallelism and (b) HashPartitioning(d) satisfies the (q, d)
+      // clustering — the score aggregate completes with NO exchange; only
+      // the tiny post-aggregate top-k redistributes by q. Rows identical
+      // (exact BIGINT sums, order-free; oracle-gated).
       val kw = tk.select(col("doc_id").as("d"), col("tok"))
+        .repartition(s.sparkContext.defaultParallelism, col("d"))
         .join(ptk, Seq("tok"))
         .filter(col("d") =!= col("q"))
         .join(dfIdf, "tok")
